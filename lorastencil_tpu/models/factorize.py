@@ -1,0 +1,181 @@
+"""Coefficient factorization: turn a dense stencil coefficient matrix into
+separable rank-1 terms + a sparse residue.
+
+This generalizes the reference's host-side Gaussian "rank peel"
+(``/root/reference/src/2d/gpu.cu:280-350``), which peels rank-1 cross terms
+off a doubly-symmetric 7x7 matrix using diagonal pivots (0,0), (1,1), (2,2)
+and keeps whatever is left as a residual.  Here the peel works for any
+square matrix and any pivot sequence, and an SVD fallback handles matrices
+the peel cannot reduce.  Temporal fusion (pre-fusing k radius-r steps into
+one radius-k*r step by self-convolving the taps -- the trick behind the
+reference's fuse factors, see SURVEY.md section 0.6) is `fuse_taps` /
+`fuse_coeffs`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class PeelResult:
+    terms: Tuple[Tuple[np.ndarray, np.ndarray], ...]  # (u, v): u v^T terms
+    residual: np.ndarray  # S - sum(u v^T)
+
+
+def pivot_peel(
+    S: np.ndarray,
+    pivots: Optional[Sequence[Tuple[int, int]]] = None,
+    tol: float = 1e-12,
+) -> PeelResult:
+    """Peel rank-1 terms off ``S`` by Gaussian elimination at given pivots.
+
+    Each step subtracts ``R[:, pj] R[pi, :] / R[pi, pj]`` (the rank-1 cross
+    through the pivot), which zeroes the pivot's entire row and column.  For
+    the reference's box coefficients with pivots on the diagonal this
+    reproduces its factorization exactly (outer ring -> inner), leaving a
+    zero residual.  Pivots with |value| <= tol are skipped.
+
+    Returns terms (u, v) with ``contribution = outer(u, v)`` where ``u``
+    indexes axis 0 (rows) and ``v`` axis 1 (cols).
+    """
+    R = np.asarray(S, dtype=np.float64).copy()
+    n = R.shape[0]
+    if pivots is None:
+        pivots = [(i, i) for i in range(n // 2 + 1)]
+    terms = []
+    for (pi, pj) in pivots:
+        p = R[pi, pj]
+        if abs(p) <= tol:
+            continue
+        u = R[:, pj].copy() / p
+        v = R[pi, :].copy()
+        R = R - np.outer(u, v)
+        terms.append((u, v))
+    return PeelResult(terms=tuple(terms), residual=R)
+
+
+def svd_decompose(S: np.ndarray, max_rank: int, tol: float = 1e-10) -> PeelResult:
+    """Rank-truncated SVD of ``S``: terms (u_t, v_t) with residual."""
+    S = np.asarray(S, dtype=np.float64)
+    U, s, Vt = np.linalg.svd(S)
+    terms = []
+    approx = np.zeros_like(S)
+    for t in range(min(max_rank, s.size)):
+        if s[t] <= tol * s[0]:
+            break
+        u = U[:, t] * s[t]
+        v = Vt[t, :]
+        terms.append((u, v))
+        approx += np.outer(u, v)
+    return PeelResult(terms=tuple(terms), residual=S - approx)
+
+
+def sparse_residue(R: np.ndarray, tol: float = 1e-12):
+    """Nonzero entries of a residual as ((offsets), weight), centered."""
+    R = np.asarray(R, dtype=np.float64)
+    radius = tuple((s - 1) // 2 for s in R.shape)
+    out = []
+    for idx in np.argwhere(np.abs(R) > tol):
+        off = tuple(int(i) - r for i, r in zip(idx, radius))
+        out.append((off, float(R[tuple(idx)])))
+    return tuple(out)
+
+
+def decompose_2d(
+    S: np.ndarray,
+    max_rank: int = 4,
+    residue_budget: int = 16,
+    tol: float = 1e-10,
+):
+    """Best-effort decomposition of a 2-D coefficient matrix into
+    (terms, residue).  Strategy, in order:
+
+    1. diagonal pivot peel (exact for the reference's symmetric boxes);
+    2. if the peel's residual is dense, rank-1 SVD + sparse residue
+       (handles star2d1r-like "low rank + spikes" matrices);
+    3. plain truncated SVD, keeping the leftover as residue if sparse
+       enough, otherwise raising.
+
+    Returns (terms, residue) where terms is a tuple of (u, v) pairs.
+    """
+    S = np.asarray(S, dtype=np.float64)
+
+    def nnz(R):
+        return int(np.sum(np.abs(R) > tol))
+
+    best = None
+    peel = pivot_peel(S, tol=tol)
+    if len(peel.terms) <= max_rank and nnz(peel.residual) <= residue_budget:
+        best = peel
+    if best is None:
+        for r in range(1, max_rank + 1):
+            cand = svd_decompose(S, max_rank=r, tol=tol)
+            if nnz(cand.residual) <= residue_budget:
+                best = cand
+                break
+    if best is None:
+        raise ValueError(
+            f"cannot decompose {S.shape} stencil into <= {max_rank} separable "
+            f"terms with <= {residue_budget} residue points"
+        )
+    return best.terms, sparse_residue(best.residual, tol=tol)
+
+
+def fuse_taps(taps: Sequence[float], k: int) -> np.ndarray:
+    """Temporal fusion of 1-D taps: k-fold self-convolution.
+
+    Applying the fused taps once equals applying ``taps`` k times, so the
+    GStencil/s metric may be multiplied by k (the reference's fuse factor;
+    e.g. 1d1r's {0,1,2,3,4,3,2,1,0} = [1,1,1,1] self-convolved, counted x3:
+    ``src/1d/gpu_1r.cu:132``).
+    """
+    t = np.asarray(taps, dtype=np.float64)
+    out = np.array([1.0])
+    for _ in range(k):
+        out = np.convolve(out, t)
+    return out
+
+
+def fuse_coeffs(S: np.ndarray, k: int) -> np.ndarray:
+    """k-fold self-convolution of a dense N-D coefficient array."""
+    S = np.asarray(S, dtype=np.float64)
+    out = np.zeros((1,) * S.ndim)
+    out[(0,) * S.ndim] = 1.0
+    for _ in range(k):
+        out = _convolve_full_nd(out, S)
+    return out
+
+
+def _convolve_full_nd(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    out_shape = tuple(x + y - 1 for x, y in zip(a.shape, b.shape))
+    out = np.zeros(out_shape, dtype=np.float64)
+    for idx in np.ndindex(a.shape):
+        if a[idx] != 0.0:
+            sl = tuple(slice(i, i + s) for i, s in zip(idx, b.shape))
+            out[sl] += a[idx] * b
+    return out
+
+
+def banded_matrix(
+    taps: Sequence[float], n_out: int, dtype=np.float32
+) -> np.ndarray:
+    """Banded (Toeplitz) matrix B of shape (n_out + 2r, n_out) such that for
+    a window ``x`` of length ``n_out + 2r`` (the output extended by radius r
+    on both sides), ``x @ B`` equals the valid 1-D correlation of ``x`` with
+    ``taps``:  out[c] = sum_k taps[k] * x[c + k].
+
+    This is the TPU analog of the reference's 16x8 banded parameter
+    matrices (``src/1d/gpu_1r.cu:94-99``, ``src/2d/gpu.cu:429-444``) widened
+    to MXU-friendly sizes: B[c + k, c] = taps[k].
+    """
+    t = np.asarray(taps, dtype=np.float64)
+    w = t.size
+    B = np.zeros((n_out + w - 1, n_out), dtype=np.float64)
+    for k in range(w):
+        idx = np.arange(n_out)
+        B[idx + k, idx] = t[k]
+    return B.astype(dtype)
