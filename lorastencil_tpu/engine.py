@@ -1,0 +1,162 @@
+"""High-level stencil engine: the user-facing API of the framework.
+
+Mirrors the reference's host API layer (one ``gpu_<shape>()`` wrapper per
+shape, ``/root/reference/src/*/*.cu`` -- coefficient factorization, device
+upload, ping-pong timestep loop) as a single declarative engine:
+
+    eng = StencilEngine.for_shape("star2d1r", interior=(4096, 4096))
+    out_padded = eng.run(in_padded, steps=64)   # one jit, donated buffers
+
+Design notes (TPU-first):
+  * The whole multi-step loop is one jitted program (``lax.fori_loop``
+    with donated ping-pong buffers) -- a single device program per call,
+    never one dispatch per step like the reference's per-step kernel
+    launches (``src/2d/gpu.cu:410-412``).
+  * State lives in the aligned internal layout (ops/layout.py); the
+    reference-compatible padded array only appears at the boundary.
+  * ``backend='pallas'`` uses the MXU banded-GEMM kernels; ``'xla'`` uses
+    the pure-XLA separable step (always available, and the measured
+    baseline for bench).  ``'auto'`` picks pallas on TPU, interpret-mode
+    pallas elsewhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.shapes import StencilSpec, get_shape
+from .ops import xla_ref
+from .ops.layout import (Layout1D, Layout2D, Layout3D, default_tile_2d,
+                         default_tile_3d)
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    dtype: str = "float32"
+    # matmul precision for the MXU banded GEMMs:
+    #   "highest" = fp32-accurate (bf16x6 passes), "default" = fast bf16
+    precision: str = "highest"
+    backend: str = "auto"  # 'pallas' | 'xla' | 'auto'
+    tile: Optional[Tuple[int, int]] = None
+    interpret: Optional[bool] = None  # force Pallas interpret mode
+
+
+class StencilEngine:
+    def __init__(self, spec: StencilSpec, interior, config: EngineConfig = EngineConfig()):
+        self.spec = spec
+        self.interior = tuple(int(s) for s in np.atleast_1d(interior))
+        assert len(self.interior) == spec.ndim
+        self.config = config
+        self.dtype = jnp.dtype(config.dtype)
+        self.precision = (
+            jax.lax.Precision.HIGHEST
+            if config.precision == "highest"
+            else jax.lax.Precision.DEFAULT
+        )
+        backend = config.backend
+        if backend == "auto":
+            backend = "pallas"
+        self.backend = backend
+        self.interpret = (
+            config.interpret if config.interpret is not None else not _on_tpu()
+        )
+        self.layout = self._build_layout()
+        self._run_jit = jax.jit(
+            self._run_internal, static_argnames=("steps",), donate_argnums=(0,)
+        )
+
+    @classmethod
+    def for_shape(cls, name: str, interior, **kw) -> "StencilEngine":
+        cfg_kw = {k: v for k, v in kw.items()
+                  if k in EngineConfig.__dataclass_fields__}
+        return cls(get_shape(name), interior, EngineConfig(**cfg_kw))
+
+    # -- layout ----------------------------------------------------------
+    def _build_layout(self):
+        spec, interior = self.spec, self.interior
+        if spec.ndim == 1:
+            return Layout1D(interior=interior[0], halo=spec.halo[0],
+                            tile_rows=64)
+        if spec.ndim == 2:
+            tile = self.config.tile or default_tile_2d(*interior)
+            return Layout2D(interior=interior, halo=spec.halo, tile=tile)
+        tile = self.config.tile or default_tile_3d(*interior[1:])
+        return Layout3D(interior=interior, halo=spec.halo, tile=tile)
+
+    # -- single step on the internal layout ------------------------------
+    def _step_internal(self, cur, donor):
+        if self.backend == "xla":
+            del donor
+            return xla_ref.separable_step(cur, self.spec)
+        if self.spec.ndim == 1:
+            from .ops import pallas_1d
+            return pallas_1d.stencil1d_step(
+                cur, donor, self.spec, self.layout,
+                precision=self.precision, interpret=self.interpret)
+        if self.spec.ndim == 2:
+            from .ops import pallas_2d
+            return pallas_2d.stencil2d_step(
+                cur, donor, self.spec, self.layout,
+                precision=self.precision, interpret=self.interpret)
+        from .ops import pallas_3d
+        return pallas_3d.stencil3d_step(
+            cur, donor, self.spec, self.layout,
+            precision=self.precision, interpret=self.interpret)
+
+    def _run_internal(self, state, steps: int):
+        if steps == 0:
+            return state
+        zeros = jnp.zeros_like(state)
+        # Step 1 consumes the user-halo'd initial state; its spare is a
+        # fresh zero buffer so the output's guard ring is zero.
+        new = self._step_internal(state, zeros)
+        if steps == 1:
+            return new
+        # Steps 2..T: ping-pong. Both carried buffers have zero rings, so
+        # donating the older one as the output keeps rings zero forever.
+        def body(_, carry):
+            cur, spare = carry
+            return (self._step_internal(cur, spare), cur)
+
+        final, _ = jax.lax.fori_loop(
+            1, steps, body, (new, jnp.zeros_like(state)))
+        return final
+
+    # -- public API -------------------------------------------------------
+    def to_internal(self, padded):
+        if self.backend == "xla":
+            return jnp.asarray(padded, dtype=self.dtype)
+        return self.layout.to_internal(padded, dtype=self.dtype)
+
+    def from_internal(self, state):
+        if self.backend == "xla":
+            return state
+        return self.layout.from_internal(state)
+
+    def run_internal(self, state, steps: int):
+        """Jitted multi-step run on internal state (state is donated)."""
+        return self._run_jit(state, steps=steps)
+
+    def run(self, padded, steps: int):
+        """Reference-semantics multi-step run on a user padded array."""
+        state = self.to_internal(padded)
+        return self.from_internal(self.run_internal(state, steps))
+
+
+def run(padded, spec: StencilSpec, steps: int, **kw):
+    """One-shot convenience API (see .claude/skills/verify/SKILL.md)."""
+    interior = tuple(
+        s - 2 * h for s, h in zip(np.shape(padded), spec.halo)
+    )
+    eng = StencilEngine.for_shape(spec.name, interior, **kw)
+    return eng.run(padded, steps)

@@ -1,0 +1,182 @@
+"""Internal TPU grid layout.
+
+The user-facing state is the reference-compatible padded array
+(interior + halo, e.g. ``(m+8, n+8)`` for 2-D -- ``src/2d/main.cu:217-218``).
+Internally we re-embed it into an MXU/VPU-aligned buffer so that every
+*output tile write* is aligned to (8 sublanes x 128 lanes):
+
+    rows:  [ guard 8 | interior rows (padded to tile multiple) | guard 8 ]
+    cols:  [ guard 128 | interior cols (padded to tile multiple) | guard 128 ]
+
+The user halo lives in the innermost cells of the guard bands (width =
+spec.halo); everything else in the guard is zero and *stays* zero: kernels
+write only interior-aligned tiles, and the step function reuses a
+zero-ringed donor buffer for the output, so halo cells decay to zero after
+the first step exactly like the reference's zero-initialized ping-pong
+device buffers (``src/2d/gpu.cu:396-400``; SURVEY.md section 4).
+
+Interior cells beyond the true interior (tile round-up) are masked to zero
+by the kernels so they never leak into real cells on later steps.
+
+1-D uses a flattened 2-D view: the padded 1-D array is stored row-major in
+a ``(rows, 128)`` buffer where flat index = row*128 + lane, with a one-row
+guard top and bottom; the user halo (4 cells) occupies the last lanes of
+the guard row.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+LANE = 128
+SUBLANE = 8
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@dataclasses.dataclass(frozen=True)
+class Layout2D:
+    interior: Tuple[int, int]  # (m, n)
+    halo: Tuple[int, int]
+    tile: Tuple[int, int]  # (TM, TN): TM % 8 == 0, TN % 128 == 0
+
+    @property
+    def grid(self) -> Tuple[int, int]:
+        m, n = self.interior
+        return (_cdiv(m, self.tile[0]), _cdiv(n, self.tile[1]))
+
+    @property
+    def origin(self) -> Tuple[int, int]:
+        """Internal coordinates of interior cell (0, 0)."""
+        return (SUBLANE, LANE)
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        gi, gj = self.grid
+        return (SUBLANE + gi * self.tile[0] + SUBLANE,
+                LANE + gj * self.tile[1] + LANE)
+
+    def validate(self):
+        hm, hn = self.halo
+        assert self.tile[0] % SUBLANE == 0 and self.tile[1] % LANE == 0
+        assert hm <= SUBLANE and hn <= LANE, "halo must fit in the guard"
+
+    def to_internal(self, padded, dtype=jnp.float32):
+        """Embed a user padded array (m+2*hm, n+2*hn) into the internal
+        buffer (user halo goes into the guard ring)."""
+        m, n = self.interior
+        hm, hn = self.halo
+        buf = jnp.zeros(self.shape, dtype=dtype)
+        r0, c0 = self.origin
+        return buf.at[r0 - hm: r0 + m + hm, c0 - hn: c0 + n + hn].set(
+            jnp.asarray(padded, dtype=dtype)
+        )
+
+    def from_internal(self, buf):
+        """Extract the user padded array from the internal buffer."""
+        m, n = self.interior
+        hm, hn = self.halo
+        r0, c0 = self.origin
+        return buf[r0 - hm: r0 + m + hm, c0 - hn: c0 + n + hn]
+
+
+@dataclasses.dataclass(frozen=True)
+class Layout1D:
+    interior: int  # n
+    halo: int
+    tile_rows: int  # rows of 128 lanes per block
+
+    @property
+    def grid(self) -> Tuple[int]:
+        return (_cdiv(self.interior, self.tile_rows * LANE),)
+
+    @property
+    def origin(self) -> int:
+        """Flat internal index of interior element 0 (row SUBLANE, lane 0,
+        so per-tile DMA offsets stay (8, 128)-aligned)."""
+        return SUBLANE * LANE
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        (g,) = self.grid
+        return (SUBLANE + g * self.tile_rows + SUBLANE, LANE)
+
+    def validate(self):
+        assert self.halo <= LANE
+        assert self.tile_rows % SUBLANE == 0
+
+    def to_internal(self, padded, dtype=jnp.float32):
+        n, h = self.interior, self.halo
+        buf = jnp.zeros(self.shape[0] * LANE, dtype=dtype)
+        buf = buf.at[self.origin - h: self.origin + n + h].set(
+            jnp.asarray(padded, dtype=dtype)
+        )
+        return buf.reshape(self.shape)
+
+    def from_internal(self, buf):
+        n, h = self.interior, self.halo
+        flat = buf.reshape(-1)
+        return flat[self.origin - h: self.origin + n + h]
+
+
+@dataclasses.dataclass(frozen=True)
+class Layout3D:
+    interior: Tuple[int, int, int]  # (h, m, n)
+    halo: Tuple[int, int, int]      # (1, 2, 4) for the reference shapes
+    tile: Tuple[int, int]           # (TM, TN) in-plane tile
+
+    @property
+    def grid(self) -> Tuple[int, int]:
+        _, m, n = self.interior
+        return (_cdiv(m, self.tile[0]), _cdiv(n, self.tile[1]))
+
+    @property
+    def origin(self) -> Tuple[int, int, int]:
+        return (self.halo[0], SUBLANE, LANE)
+
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        h = self.interior[0]
+        gi, gj = self.grid
+        return (h + 2 * self.halo[0],
+                SUBLANE + gi * self.tile[0] + SUBLANE,
+                LANE + gj * self.tile[1] + LANE)
+
+    def validate(self):
+        assert self.tile[0] % SUBLANE == 0 and self.tile[1] % LANE == 0
+        assert self.halo[1] <= SUBLANE and self.halo[2] <= LANE
+
+    def to_internal(self, padded, dtype=jnp.float32):
+        h, m, n = self.interior
+        hz, hm, hn = self.halo
+        buf = jnp.zeros(self.shape, dtype=dtype)
+        z0, r0, c0 = self.origin
+        return buf.at[:, r0 - hm: r0 + m + hm, c0 - hn: c0 + n + hn].set(
+            jnp.asarray(padded, dtype=dtype)
+        )
+
+    def from_internal(self, buf):
+        h, m, n = self.interior
+        hz, hm, hn = self.halo
+        z0, r0, c0 = self.origin
+        return buf[:, r0 - hm: r0 + m + hm, c0 - hn: c0 + n + hn]
+
+
+def default_tile_2d(m: int, n: int) -> Tuple[int, int]:
+    """Pick a VMEM-friendly tile: big enough to amortize halo overhead,
+    small enough to leave room for double buffering."""
+    tn = 512 if n >= 512 else LANE * max(1, _cdiv(n, LANE))
+    tm = 256 if m >= 256 else SUBLANE * max(1, _cdiv(m, SUBLANE))
+    return (tm, tn)
+
+
+def default_tile_3d(m: int, n: int) -> Tuple[int, int]:
+    tn = 256 if n >= 256 else LANE * max(1, _cdiv(n, LANE))
+    tm = 128 if m >= 128 else SUBLANE * max(1, _cdiv(m, SUBLANE))
+    return (tm, tn)

@@ -1,0 +1,117 @@
+"""1-D low-rank stencil Pallas kernel.
+
+TPU-native re-design of the reference's 1-D tensor-core engine
+(``/root/reference/src/1d/gpu_1r.cu:21-87``): the padded 1-D array is
+viewed as rows of 128 lanes (the reference used 8-wide DMMA segments;
+the MXU's native lane width is 128), and one timestep of the 9-tap
+convolution over a whole row-block becomes a single banded-matrix matmul
+
+    out(TR, 128) = X_halo(TR, 136) @ B(136, 128),   B[c+4-r+k, c] = taps[k]
+
+where ``X_halo`` row r is the flat window [row_start - 4, row_start + 132)
+assembled from three lane-aligned slices of the staged block (the 4-cell
+overlap replaces the reference's dual-accumulator band-overlap reuse,
+``src/1d/gpu_1r.cu:66-78``).  The banded matrix generalizes the
+reference's 16x8 constant-memory parameter matrix (``gpu_1r.cu:94-99``)
+to MXU width.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.factorize import banded_matrix
+from ..models.shapes import StencilSpec
+from .layout import LANE, SUBLANE, Layout1D
+
+
+def _window_band_1d(taps, dtype) -> np.ndarray:
+    """(136, 128) banded matrix: out[c] = sum_k taps[k] * win[c + 4 - r + k]
+    for a 136-wide window holding flat cells [out0 - 4, out0 + 132)."""
+    t = np.asarray(taps, dtype=np.float64)
+    r = (t.size - 1) // 2
+    assert r <= 4
+    core = banded_matrix(t, LANE, dtype=np.float64)  # (128 + 2r, 128)
+    B = np.zeros((LANE + 8, LANE))                   # (136, 128)
+    B[4 - r: 4 - r + core.shape[0], :] = core
+    return B.astype(dtype)
+
+
+def _stencil1d_kernel(
+    in_hbm, donor_hbm, band_ref, out_hbm, win, out_tile, sem_in, sem_out,
+    *, layout: Layout1D, n: int,
+):
+    TR = layout.tile_rows
+    ti = pl.program_id(0)
+
+    copy_in = pltpu.make_async_copy(
+        in_hbm.at[pl.ds(ti * TR, TR + 2 * SUBLANE), :], win, sem_in
+    )
+    copy_in.start()
+    copy_in.wait()
+
+    W = win[:]
+    # X_halo[r] = flat [(8 + ti*TR + r)*128 - 4, +136): three aligned slices
+    left = W[SUBLANE - 1: SUBLANE - 1 + TR, LANE - 4:]
+    mid = W[SUBLANE: SUBLANE + TR, :]
+    right = W[SUBLANE + 1: SUBLANE + 1 + TR, :4]
+    xh = jnp.concatenate([left, mid, right], axis=1)  # (TR, 136)
+
+    acc = jnp.dot(xh, band_ref[:], preferred_element_type=jnp.float32)
+
+    # zero cells beyond the true interior (flat index >= n)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE), 0) + ti * TR
+    gc = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE), 1)
+    flat = gr * LANE + gc
+    acc = jnp.where(flat < n, acc, 0.0)
+
+    out_tile[:] = acc.astype(out_tile.dtype)
+    copy_out = pltpu.make_async_copy(
+        out_tile, out_hbm.at[pl.ds(SUBLANE + ti * TR, TR), :], sem_out
+    )
+    copy_out.start()
+    copy_out.wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "layout", "precision", "interpret")
+)
+def stencil1d_step(
+    cur: jax.Array,
+    donor: jax.Array,
+    spec: StencilSpec,
+    layout: Layout1D,
+    precision=jax.lax.Precision.HIGHEST,  # noqa: ARG001 (fp32 band is exact)
+    interpret: bool = False,
+) -> jax.Array:
+    layout.validate()
+    TR = layout.tile_rows
+    assert len(spec.terms) == 1 and spec.residue == ()
+    (taps,) = spec.terms[0].taps
+    band = jnp.asarray(_window_band_1d(taps, np.dtype(cur.dtype)))
+
+    kernel = functools.partial(
+        _stencil1d_kernel, layout=layout, n=layout.interior
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=layout.grid,
+        out_shape=jax.ShapeDtypeStruct(cur.shape, cur.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((TR + 2 * SUBLANE, LANE), cur.dtype),
+            pltpu.VMEM((TR, LANE), cur.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(cur, donor, band)
