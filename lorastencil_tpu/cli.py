@@ -1,0 +1,124 @@
+"""Command-line driver, mirroring the reference binaries' contract:
+
+    lorastencil_1d shape n times                (src/1d/main.cu:26-31)
+    lorastencil_2d shape m n times              (src/2d/main.cu:29-35)
+    lorastencil_3d shape h m n times            (src/3d/main.cu:25-31)
+
+Here unified as:
+
+    python -m lorastencil_tpu.cli <shape> <sizes...> <steps> [options]
+
+with the reference's fill modes (random / index / ones -- compile-time
+ #defines there, flags here: ``src/2d/main.cu:232-254``) and its
+correctness check (``--check``: fp64 ground-truth comparison at 1e-7-style
+tolerance, the runtime equivalent of the reference's CHECK_ERROR build,
+``src/2d/main.cu:282-328``) -- except we check k steps, not just one.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from . import engine
+from .models.shapes import ALL_SHAPES, get_shape
+from .utils import metrics, reference
+
+
+def make_input(spec, interior, fill: str, seed: int = 0) -> np.ndarray:
+    shape = spec.padded_shape(interior)
+    if fill == "random":
+        return reference.random_padded(spec, interior, seed=seed)
+    grid = np.zeros(shape, dtype=np.float64)
+    it = reference.interior_slices(spec, shape)
+    if fill == "index":
+        grid[it] = np.arange(int(np.prod(interior))).reshape(interior)
+    else:  # ones
+        grid[it] = 1.0
+    return grid
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="lorastencil",
+        description="TPU-native low-rank stencil computation",
+    )
+    p.add_argument("shape", choices=sorted(ALL_SHAPES))
+    p.add_argument("sizes", type=int, nargs="+",
+                   help="interior sizes (1, 2 or 3 of them) then steps")
+    p.add_argument("--fill", choices=["random", "index", "ones"],
+                   default="random")
+    p.add_argument("--check", action="store_true",
+                   help="verify against the fp64 ground truth")
+    p.add_argument("--backend", choices=["auto", "pallas", "xla"],
+                   default="auto")
+    p.add_argument("--precision", choices=["highest", "default"],
+                   default="highest")
+    p.add_argument("--tile", type=int, nargs=2, default=None)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--json", action="store_true", help="emit JSON metrics")
+    args = p.parse_args(argv)
+
+    spec = get_shape(args.shape)
+    if len(args.sizes) != spec.ndim + 1:
+        p.error(
+            f"{args.shape} needs {spec.ndim} size(s) + steps, got "
+            f"{len(args.sizes)} numbers"
+        )
+    interior = tuple(args.sizes[: spec.ndim])
+    steps = args.sizes[spec.ndim]
+
+    print(
+        f"INFO: shape = {spec.name}, sizes = {interior}, steps = {steps}",
+        flush=True,
+    )
+    grid0 = make_input(spec, interior, args.fill, args.seed)
+    eng = engine.StencilEngine.for_shape(
+        args.shape, interior, backend=args.backend,
+        precision=args.precision,
+        tile=tuple(args.tile) if args.tile else None,
+    )
+
+    secs, _ = metrics.time_run(
+        lambda: eng.run_checksum(grid0, steps), repeats=args.repeats
+    )
+    res = metrics.bench_result(
+        spec, interior, steps, secs, eng.backend, args.precision,
+        args.repeats,
+    )
+    print(res.human(), flush=True)
+    if args.json:
+        print(res.json(), flush=True)
+
+    if args.check:
+        print("\nChecking correctness ...", flush=True)
+        want = reference.run(grid0, spec, steps)
+        got = np.asarray(eng.run(grid0, steps), dtype=np.float64)
+        scale = max(1.0, float(np.abs(want).max()))
+        if not np.isfinite(scale):
+            print(
+                "FAILED: ground truth overflows fp64 -- use fewer steps "
+                "for --check (values grow by sum|coeffs| each step)"
+            )
+            return 1
+        diff = np.abs(got - want)
+        rel = float(diff.max()) / scale
+        tol = 1e-5  # fp32 compute vs the reference's fp64/1e-7
+        bad = np.argwhere(~(diff <= tol * scale))  # NaN counts as mismatch
+        for idx in bad[:10]:
+            print(
+                f"mismatch at {tuple(int(i) for i in idx)}: "
+                f"got {got[tuple(idx)]}, want {want[tuple(idx)]}"
+            )
+        if len(bad):
+            print(f"FAILED: {len(bad)} mismatches (max rel err {rel:.2e})")
+            return 1
+        print(f"Correct! (max rel err {rel:.2e})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

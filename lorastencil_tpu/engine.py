@@ -74,6 +74,24 @@ class StencilEngine:
         self._run_jit = jax.jit(
             self._run_internal, static_argnames=("steps",), donate_argnums=(0,)
         )
+        # The whole user-facing pipeline (embed -> steps -> extract) as ONE
+        # compiled program: eager ops over a tunneled TPU cost seconds to
+        # minutes each (see .claude/skills/verify/SKILL.md), so nothing
+        # device-side may run outside jit.
+        self._run_user_jit = jax.jit(
+            lambda padded, steps: self.from_internal(
+                self._run_internal(self.to_internal(padded), steps)
+            ),
+            static_argnames=("steps",),
+        )
+        # Scalar-output variant for honest benchmarking (the timing
+        # harness syncs via a device->host transfer of the result).
+        self._run_checksum_jit = jax.jit(
+            lambda padded, steps: jnp.sum(
+                self._run_internal(self.to_internal(padded), steps)
+            ),
+            static_argnames=("steps",),
+        )
 
     @classmethod
     def for_shape(cls, name: str, interior, **kw) -> "StencilEngine":
@@ -148,9 +166,15 @@ class StencilEngine:
         return self._run_jit(state, steps=steps)
 
     def run(self, padded, steps: int):
-        """Reference-semantics multi-step run on a user padded array."""
-        state = self.to_internal(padded)
-        return self.from_internal(self.run_internal(state, steps))
+        """Reference-semantics multi-step run on a user padded array.
+
+        One compiled program end to end; ``padded`` may be a NumPy array
+        (transferred once)."""
+        return self._run_user_jit(padded, steps=steps)
+
+    def run_checksum(self, padded, steps: int):
+        """Like run() but returns only a scalar checksum (for timing)."""
+        return self._run_checksum_jit(padded, steps=steps)
 
 
 def run(padded, spec: StencilSpec, steps: int, **kw):

@@ -57,13 +57,20 @@ def _stencil1d_kernel(
     copy_in.wait()
 
     W = win[:]
-    # X_halo[r] = flat [(8 + ti*TR + r)*128 - 4, +136): three aligned slices
-    left = W[SUBLANE - 1: SUBLANE - 1 + TR, LANE - 4:]
-    mid = W[SUBLANE: SUBLANE + TR, :]
-    right = W[SUBLANE + 1: SUBLANE + 1 + TR, :4]
-    xh = jnp.concatenate([left, mid, right], axis=1)  # (TR, 136)
-
-    acc = jnp.dot(xh, band_ref[:], preferred_element_type=jnp.float32)
+    # The logical operand is X_halo[r] = flat [(8+ti*TR+r)*128 - 4, +136),
+    # i.e. concat(prev-row tail, this row, next-row head).  Mosaic cannot
+    # lane-concat slices with different sublane offsets, so evaluate the
+    # banded matmul as three partial products against row-blocks of B:
+    #   out = L @ B[0:4] + M @ B[4:132] + R @ B[132:136]
+    left = W[SUBLANE - 1: SUBLANE - 1 + TR, LANE - 4:]   # (TR, 4)
+    mid = W[SUBLANE: SUBLANE + TR, :]                     # (TR, 128)
+    right = W[SUBLANE + 1: SUBLANE + 1 + TR, :4]          # (TR, 4)
+    B = band_ref[:]
+    acc = (
+        jnp.dot(left, B[:4], preferred_element_type=jnp.float32)
+        + jnp.dot(mid, B[4:4 + LANE], preferred_element_type=jnp.float32)
+        + jnp.dot(right, B[4 + LANE:], preferred_element_type=jnp.float32)
+    )
 
     # zero cells beyond the true interior (flat index >= n)
     gr = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE), 0) + ti * TR

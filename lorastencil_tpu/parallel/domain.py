@@ -1,0 +1,214 @@
+"""Multi-chip domain decomposition: shard_map + ppermute halo exchange.
+
+The reference is strictly single-GPU (SURVEY.md section 2, parallelism
+checklist); large-grid scaling is new, TPU-native capability.  The grid's
+interior is decomposed over a 1-D or 2-D device mesh; each device owns a
+local internal-layout buffer (ops/layout.py) whose guard ring doubles as
+the halo-receive buffer.  Per step:
+
+  1. neighbor exchange over ICI with ``jax.lax.ppermute`` -- a two-phase
+     (rows, then halo-extended columns) exchange so corner halos ride
+     along, exactly the nearest-neighbor ring pattern of the hardware;
+     devices on the global boundary receive ppermute's fill value (zero),
+     which IS the reference's decaying Dirichlet-0 halo semantics;
+  2. the single-device Pallas stencil step runs on the local buffer.
+
+The whole multi-step loop is one jitted shard_map program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.shapes import StencilSpec, get_shape
+from ..ops.layout import LANE, SUBLANE, Layout2D, default_tile_2d
+
+
+def make_mesh(shape: Tuple[int, ...], axis_names=("x", "y"),
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = int(np.prod(shape))
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    arr = np.array(devices[:n]).reshape(shape)
+    return Mesh(arr, axis_names[: len(shape)])
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedConfig:
+    mesh_shape: Tuple[int, int]  # (devices along rows, along cols)
+    tile: Optional[Tuple[int, int]] = None
+    precision: str = "highest"
+    interpret: Optional[bool] = None
+
+
+class ShardedStencil2D:
+    """Domain-decomposed 2-D stencil over a device mesh."""
+
+    def __init__(self, spec: StencilSpec, interior: Tuple[int, int],
+                 config: ShardedConfig, mesh: Optional[Mesh] = None):
+        assert spec.ndim == 2
+        self.spec = spec
+        self.config = config
+        gm, gn = interior
+        dx, dy = config.mesh_shape
+        assert gm % dx == 0 and gn % dy == 0, (
+            "interior must divide the mesh for now")
+        self.interior = (gm, gn)
+        self.local_interior = (gm // dx, gn // dy)
+        self.mesh = mesh if mesh is not None else make_mesh((dx, dy))
+        tile = config.tile or default_tile_2d(*self.local_interior)
+        self.layout = Layout2D(interior=self.local_interior, halo=spec.halo,
+                               tile=tile)
+        self.precision = (jax.lax.Precision.HIGHEST
+                          if config.precision == "highest"
+                          else jax.lax.Precision.DEFAULT)
+        self.interpret = (config.interpret if config.interpret is not None
+                          else jax.default_backend() != "tpu")
+        self._run_jit = jax.jit(self._run, static_argnames=("steps",))
+
+    # -- halo exchange ----------------------------------------------------
+    def _exchange(self, buf):
+        """Fill the local guard ring from neighbors (zero at the global
+        boundary).  buf: local internal buffer."""
+        spec, lay = self.spec, self.layout
+        hm, hn = spec.halo
+        m, n = lay.interior
+        r0, c0 = lay.origin
+        dx, dy = self.config.mesh_shape
+
+        def shift(x, axis_name, fwd, npairs):
+            if npairs == 1:
+                return jnp.zeros_like(x)
+            perm = [(i, i + 1) for i in range(npairs - 1)] if fwd else \
+                   [(i + 1, i) for i in range(npairs - 1)]
+            return jax.lax.ppermute(x, axis_name, perm)
+
+        # Devices on the global boundary keep their existing ring (the
+        # user-provided halo on step 1; zero afterwards), matching the
+        # single-device reference semantics exactly.
+        ix = jax.lax.axis_index("x")
+        iy = jax.lax.axis_index("y")
+
+        # phase 1: rows (axis 'x').  Send my top interior strip to the
+        # north neighbor (it becomes their bottom ring) and vice versa.
+        top = buf[r0: r0 + hm, :]
+        bot = buf[r0 + m - hm: r0 + m, :]
+        from_north = shift(bot, "x", True, dx)    # north's bottom strip
+        from_south = shift(top, "x", False, dx)   # south's top strip
+        buf = buf.at[r0 - hm: r0, :].set(
+            jnp.where(ix > 0, from_north, buf[r0 - hm: r0, :]))
+        buf = buf.at[r0 + m: r0 + m + hm, :].set(
+            jnp.where(ix < dx - 1, from_south, buf[r0 + m: r0 + m + hm, :]))
+
+        # phase 2: cols (axis 'y'), strips include the just-filled ring
+        # rows so corners propagate.
+        left = buf[:, c0: c0 + hn]
+        right = buf[:, c0 + n - hn: c0 + n]
+        from_west = shift(right, "y", True, dy)
+        from_east = shift(left, "y", False, dy)
+        buf = buf.at[:, c0 - hn: c0].set(
+            jnp.where(iy > 0, from_west, buf[:, c0 - hn: c0]))
+        buf = buf.at[:, c0 + n: c0 + n + hn].set(
+            jnp.where(iy < dy - 1, from_east, buf[:, c0 + n: c0 + n + hn]))
+        return buf
+
+    # -- per-device step ----------------------------------------------------
+    def _local_step(self, cur, donor):
+        from ..ops import pallas_2d
+
+        cur = self._exchange(cur)
+        return pallas_2d.stencil2d_step(
+            cur, donor, self.spec, self.layout,
+            precision=self.precision, interpret=self.interpret,
+        )
+
+    def _run(self, state, steps: int):
+        """state: sharded stack of local buffers, shape
+        (dx * Mp_loc, dy * Np_loc), sharded P('x', 'y')."""
+        from jax.experimental.shard_map import shard_map
+
+        def body_fn(local):
+            if steps == 0:
+                return local
+            new = self._local_step(local, jnp.zeros_like(local))
+            if steps == 1:
+                return new
+
+            def body(_, carry):
+                cur, spare = carry
+                return (self._local_step(cur, spare), cur)
+
+            final, _ = jax.lax.fori_loop(
+                1, steps, body, (new, jnp.zeros_like(local)))
+            return final
+
+        fn = shard_map(
+            body_fn, mesh=self.mesh,
+            in_specs=P("x", "y"), out_specs=P("x", "y"),
+            check_rep=False,
+        )
+        return fn(state)
+
+    # -- user API -----------------------------------------------------------
+    def to_sharded(self, padded):
+        """User global padded array -> sharded stack of local internal
+        buffers (traceable; call inside jit for real runs)."""
+        spec, lay = self.spec, self.layout
+        hm, hn = spec.halo
+        gm, gn = self.interior
+        lm, ln = self.local_interior
+        dx, dy = self.config.mesh_shape
+        Mp, Np = lay.shape
+        r0, c0 = lay.origin
+        padded = jnp.asarray(padded, jnp.float32)
+        out = jnp.zeros((dx * Mp, dy * Np), jnp.float32)
+        # each local buffer gets its interior + (for edge devices) the
+        # adjacent user halo; interior-device rings are filled by the
+        # first exchange anyway, and the *user*-provided inter-device halo
+        # values are exactly the neighbor interiors, so embedding
+        # interior+halo per device reproduces step-1 semantics.
+        for i in range(dx):
+            for j in range(dy):
+                src = padded[i * lm: i * lm + lm + 2 * hm,
+                             j * ln: j * ln + ln + 2 * hn]
+                out = out.at[
+                    i * Mp + r0 - hm: i * Mp + r0 + lm + hm,
+                    j * Np + c0 - hn: j * Np + c0 + ln + hn,
+                ].set(src)
+        return jax.device_put(
+            out, NamedSharding(self.mesh, P("x", "y")))
+
+    def from_sharded(self, state):
+        """Sharded local buffers -> user global padded array."""
+        spec, lay = self.spec, self.layout
+        hm, hn = spec.halo
+        lm, ln = self.local_interior
+        dx, dy = self.config.mesh_shape
+        Mp, Np = lay.shape
+        r0, c0 = lay.origin
+        gm, gn = self.interior
+        out = jnp.zeros((gm + 2 * hm, gn + 2 * hn), state.dtype)
+        for i in range(dx):
+            for j in range(dy):
+                block = state[i * Mp + r0: i * Mp + r0 + lm,
+                              j * Np + c0: j * Np + c0 + ln]
+                out = out.at[hm + i * lm: hm + (i + 1) * lm,
+                             hn + j * ln: hn + (j + 1) * ln].set(block)
+        return out
+
+    def run(self, padded, steps: int):
+        state = self.to_sharded(padded)
+        out = self._run_jit(state, steps=steps)
+        return self.from_sharded(out)
+
+
+def sharded_engine(name: str, interior, mesh_shape, **kw) -> ShardedStencil2D:
+    return ShardedStencil2D(get_shape(name), tuple(interior),
+                            ShardedConfig(mesh_shape=tuple(mesh_shape), **kw))

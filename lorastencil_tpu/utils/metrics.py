@@ -1,0 +1,93 @@
+"""Benchmark timing and the GStencil/s metric contract.
+
+Matches the reference's emitted metrics (SURVEY.md section 6): wall-clock
+``Time = N [ms]`` over the whole timestep loop plus ``GStencil/s`` where
+cell-updates are multiplied by the shape's temporal-fusion equivalence
+factor (x3 for 1d1r, x2 for 1d2r, x3 for star2d1r/box2d*, x1 otherwise --
+e.g. ``/root/reference/src/1d/gpu_1r.cu:131-132``, ``src/2d/gpu.cu:553``).
+Also emits a machine-readable JSON record.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..models.shapes import StencilSpec
+
+
+@dataclasses.dataclass
+class BenchResult:
+    shape: str
+    interior: tuple
+    steps: int
+    time_ms: float
+    gstencil_per_s: float   # fused-equivalent cell updates / s / 1e9
+    gcells_per_s: float     # raw cell updates / s / 1e9
+    fuse_factor: int
+    backend: str
+    precision: str
+    repeats: int
+
+    def human(self) -> str:
+        return (
+            f"LoRAStencil-TPU({self.shape}):\n"
+            f"Time = {self.time_ms:.3f} [ms]\n"
+            f"GStencil/s = {self.gstencil_per_s:f}"
+        )
+
+    def json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+
+def time_run(run_fn, *args, repeats: int = 3, warmup: int = 1):
+    """Time a jitted device function: warmup (compile) runs, then best-of
+    ``repeats`` wall times.
+
+    Synchronization is a real device->host transfer of the result, not
+    just ``block_until_ready`` -- on tunneled/async backends the latter
+    can return before the computation ran (observed on axon).  For honest
+    timing, ``run_fn`` should return a SCALAR (e.g. a checksum); large
+    outputs make the transfer part of the measured time."""
+    out = None
+    for _ in range(max(1, warmup)):
+        out = run_fn(*args)
+        _sync(out)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = run_fn(*args)
+        _sync(out)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def _sync(x):
+    for leaf in (x if isinstance(x, (tuple, list)) else (x,)):
+        if hasattr(leaf, "block_until_ready"):
+            leaf.block_until_ready()
+        np.asarray(leaf)  # hard sync: forces the transfer
+
+
+def bench_result(
+    spec: StencilSpec, interior, steps: int, seconds: float,
+    backend: str, precision: str, repeats: int,
+) -> BenchResult:
+    cells = int(np.prod(interior))
+    raw = cells * steps / seconds / 1e9
+    return BenchResult(
+        shape=spec.name,
+        interior=tuple(interior),
+        steps=steps,
+        time_ms=seconds * 1e3,
+        gstencil_per_s=raw * spec.fuse_factor,
+        gcells_per_s=raw,
+        fuse_factor=spec.fuse_factor,
+        backend=backend,
+        precision=precision,
+        repeats=repeats,
+    )

@@ -1,0 +1,40 @@
+"""Sharded domain-decomposition tests on the 8-virtual-device CPU mesh:
+halo exchange over ppermute must reproduce single-device reference
+semantics exactly, including corners and the global-boundary decay."""
+
+import numpy as np
+import pytest
+
+from lorastencil_tpu.models import shapes
+from lorastencil_tpu.parallel import domain
+from lorastencil_tpu.utils import reference
+
+
+@pytest.mark.parametrize("name", ["star2d1r", "box2d3r", "star2d3r"])
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (8, 1), (1, 8)])
+def test_sharded_matches_reference(name, mesh_shape):
+    spec = shapes.get_shape(name)
+    interior = (8 * mesh_shape[0], 128 * mesh_shape[1])
+    g0 = reference.random_padded(spec, interior, seed=21)
+    sh = domain.sharded_engine(name, interior, mesh_shape, tile=(8, 128))
+    got = np.asarray(sh.run(g0, 3), np.float64)
+    want = reference.run(g0, spec, 3)
+    err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert err < 1e-6, err
+
+
+def test_sharded_multistep_corner_propagation():
+    # after k steps, information crosses device corners; 2x2 mesh
+    spec = shapes.get_shape("box2d3r")  # full 7x7 support exercises corners
+    interior = (32, 256)
+    g0 = reference.random_padded(spec, interior, seed=5)
+    sh = domain.sharded_engine("box2d3r", interior, (2, 2), tile=(16, 128))
+    got = np.asarray(sh.run(g0, 4), np.float64)
+    want = reference.run(g0, spec, 4)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
