@@ -49,6 +49,11 @@ class EngineConfig:
     backend: str = "auto"  # 'pallas' | 'xla' | 'auto'
     tile: Optional[Tuple[int, int]] = None
     interpret: Optional[bool] = None  # force Pallas interpret mode
+    # 'mxu': banded MXU GEMMs (the LoRAStencil formulation);
+    # 'vpu': exact-fp32 shift-add convs (measured faster on v5e).
+    algorithm: str = "vpu"
+    # timesteps fused per HBM round trip (2-D only for now; needs 'vpu')
+    fused_steps: int = 1
 
 
 class StencilEngine:
@@ -101,23 +106,33 @@ class StencilEngine:
 
     # -- layout ----------------------------------------------------------
     def _build_layout(self):
+        from .ops.layout import LANE, SUBLANE
+
         spec, interior = self.spec, self.interior
         if spec.ndim == 1:
             return Layout1D(interior=interior[0], halo=spec.halo[0],
                             tile_rows=64)
         if spec.ndim == 2:
             tile = self.config.tile or default_tile_2d(*interior)
-            return Layout2D(interior=interior, halo=spec.halo, tile=tile)
+            k = self.config.fused_steps
+            need = max(spec.halo[0], k * spec.radius)
+            guard_r = SUBLANE * (-(-need // SUBLANE))
+            return Layout2D(interior=interior, halo=spec.halo, tile=tile,
+                            guard=(guard_r, LANE))
         tile = self.config.tile or default_tile_3d(*interior[1:])
         return Layout3D(interior=interior, halo=spec.halo, tile=tile)
 
-    # -- single step on the internal layout ------------------------------
-    def _step_internal(self, cur, donor):
+    # -- single pass (fused_k timesteps) on the internal layout -----------
+    def _step_internal(self, cur, donor, fused_k: int = 1):
         if self.backend == "xla":
             del donor
-            return xla_ref.separable_step(cur, self.spec)
+            out = cur
+            for _ in range(fused_k):
+                out = xla_ref.separable_step(out, self.spec)
+            return out
         if self.spec.ndim == 1:
             from .ops import pallas_1d
+            assert fused_k == 1
             return pallas_1d.stencil1d_step(
                 cur, donor, self.spec, self.layout,
                 precision=self.precision, interpret=self.interpret)
@@ -125,30 +140,47 @@ class StencilEngine:
             from .ops import pallas_2d
             return pallas_2d.stencil2d_step(
                 cur, donor, self.spec, self.layout,
-                precision=self.precision, interpret=self.interpret)
+                precision=self.precision, interpret=self.interpret,
+                algorithm=self.config.algorithm, fused_steps=fused_k)
         from .ops import pallas_3d
+        assert fused_k == 1
         return pallas_3d.stencil3d_step(
             cur, donor, self.spec, self.layout,
             precision=self.precision, interpret=self.interpret)
 
+    def _fused_k(self) -> int:
+        if self.spec.ndim != 2 or self.backend == "xla":
+            return 1
+        return max(1, self.config.fused_steps)
+
     def _run_internal(self, state, steps: int):
         if steps == 0:
             return state
-        zeros = jnp.zeros_like(state)
-        # Step 1 consumes the user-halo'd initial state; its spare is a
-        # fresh zero buffer so the output's guard ring is zero.
-        new = self._step_internal(state, zeros)
-        if steps == 1:
-            return new
-        # Steps 2..T: ping-pong. Both carried buffers have zero rings, so
-        # donating the older one as the output keeps rings zero forever.
-        def body(_, carry):
-            cur, spare = carry
-            return (self._step_internal(cur, spare), cur)
+        k = self._fused_k()
+        passes, rem = divmod(steps, k)
 
-        final, _ = jax.lax.fori_loop(
-            1, steps, body, (new, jnp.zeros_like(state)))
-        return final
+        def loop(state, n_passes, kk, first_spare):
+            if n_passes == 0:
+                return state, first_spare
+            new = self._step_internal(state, first_spare, kk)
+            if n_passes == 1:
+                return new, state
+
+            def body(_, carry):
+                cur, spare = carry
+                return (self._step_internal(cur, spare, kk), cur)
+
+            return jax.lax.fori_loop(
+                1, n_passes, body, (new, jnp.zeros_like(state)))
+
+        # Full fused passes, then a remainder pass of rem (< k) steps.
+        # The first pass's spare is a fresh zero buffer so the output's
+        # guard ring is zero; afterwards both ping-pong buffers have zero
+        # rings (the initial state's ring is never reused as a donor).
+        state, spare = loop(state, passes, k, jnp.zeros_like(state))
+        if rem:
+            state, _ = loop(state, 1, rem, jnp.zeros_like(state))
+        return state
 
     # -- public API -------------------------------------------------------
     def to_internal(self, padded):

@@ -45,6 +45,9 @@ class Layout2D:
     interior: Tuple[int, int]  # (m, n)
     halo: Tuple[int, int]
     tile: Tuple[int, int]  # (TM, TN): TM % 8 == 0, TN % 128 == 0
+    # guard band = kernel DMA window halo; rows may exceed SUBLANE when
+    # multiple timesteps are fused per HBM round trip (halo k*radius).
+    guard: Tuple[int, int] = (SUBLANE, LANE)
 
     @property
     def grid(self) -> Tuple[int, int]:
@@ -54,18 +57,21 @@ class Layout2D:
     @property
     def origin(self) -> Tuple[int, int]:
         """Internal coordinates of interior cell (0, 0)."""
-        return (SUBLANE, LANE)
+        return self.guard
 
     @property
     def shape(self) -> Tuple[int, int]:
         gi, gj = self.grid
-        return (SUBLANE + gi * self.tile[0] + SUBLANE,
-                LANE + gj * self.tile[1] + LANE)
+        gr, gc = self.guard
+        return (gr + gi * self.tile[0] + gr,
+                gc + gj * self.tile[1] + gc)
 
     def validate(self):
         hm, hn = self.halo
+        gr, gc = self.guard
         assert self.tile[0] % SUBLANE == 0 and self.tile[1] % LANE == 0
-        assert hm <= SUBLANE and hn <= LANE, "halo must fit in the guard"
+        assert gr % SUBLANE == 0 and gc % LANE == 0
+        assert hm <= gr and hn <= gc, "halo must fit in the guard"
 
     def to_internal(self, padded, dtype=jnp.float32):
         """Embed a user padded array (m+2*hm, n+2*hn) into the internal

@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.shapes import StencilSpec
-from .band_gemm import plane_conv, term_band_mats
+from .band_gemm import apply_spec_vpu, plane_conv, term_band_mats
 from .layout import LANE, SUBLANE, Layout2D
 
 
@@ -54,82 +54,138 @@ def _stencil2d_kernel(
     mats_meta,
     compute_dtype,
     precision,
+    algorithm,
+    fused_steps,
 ):
     n_mats = sum(int(has_a) + int(has_b) for has_a, _, has_b, _ in mats_meta)
     mat_refs = mat_refs_and_out[:n_mats]
     out_hbm = mat_refs_and_out[n_mats]
-    win = mat_refs_and_out[n_mats + 1]
-    out_tile = mat_refs_and_out[n_mats + 2]
-    sem_in = mat_refs_and_out[n_mats + 3]
-    sem_out = mat_refs_and_out[n_mats + 4]
+    win = mat_refs_and_out[n_mats + 1]      # (2, TM+2HR, TN+2HC) dbl-buffered
+    out_tile = mat_refs_and_out[n_mats + 2]  # (2, TM, TN) dbl-buffered
+    sem_in = mat_refs_and_out[n_mats + 3]    # (2,)
+    sem_out = mat_refs_and_out[n_mats + 4]   # (2,)
 
     TM, TN = layout.tile
-    r = spec.radius
     m, n = layout.interior
     r0, c0 = layout.origin
-    # DMA-alignment window halo (>= radius; (8, 128)-aligned)
-    HR, HC = SUBLANE, LANE
+    # DMA-alignment window halo (>= fused_steps*radius; (8, 128)-aligned)
+    HR, HC = layout.guard
 
+    gi, gj = layout.grid
+    total = gi * gj
     ti = pl.program_id(0)
     tj = pl.program_id(1)
+    idx = ti * gj + tj  # TPU grid order: last dim innermost
+    slot = jax.lax.rem(idx, 2)
+    nslot = jax.lax.rem(idx + 1, 2)
 
-    # 1. stage the halo'd window
-    copy_in = pltpu.make_async_copy(
-        in_hbm.at[
-            pl.ds(r0 + ti * TM - HR, TM + 2 * HR),
-            pl.ds(c0 + tj * TN - HC, TN + 2 * HC),
-        ],
-        win,
-        sem_in,
-    )
-    copy_in.start()
-    copy_in.wait()
+    def in_dma(t_i, t_j, s):
+        return pltpu.make_async_copy(
+            in_hbm.at[
+                pl.ds(r0 + t_i * TM - HR, TM + 2 * HR),
+                pl.ds(c0 + t_j * TN - HC, TN + 2 * HC),
+            ],
+            win.at[s],
+            sem_in.at[s],
+        )
 
-    X = win[:]
-    acc = jnp.zeros((TM, TN), dtype=jnp.float32)
+    def out_dma(t_i, t_j, s):
+        return pltpu.make_async_copy(
+            out_tile.at[s],
+            out_hbm.at[pl.ds(r0 + t_i * TM, TM), pl.ds(c0 + t_j * TN, TN)],
+            sem_out.at[s],
+        )
 
-    # 2. separable terms as chunked banded GEMMs
-    mat_idx = 0
-    for t, term in enumerate(spec.terms):
-        has_A, rr, has_B, rc = mats_meta[t]
-        A = B = None
-        if has_A:
-            A = mat_refs[mat_idx][:]
-            mat_idx += 1
-        if has_B:
-            B = mat_refs[mat_idx][:]
-            mat_idx += 1
-        acc = acc + plane_conv(X, A, B, rr, rc, HR, HC, TM, TN,
-                               compute_dtype, precision)
+    # software pipeline: prefetch the next tile's window during compute,
+    # drain the previous tile's output write lazily (the TPU analog of the
+    # reference's cp.async double buffering, src/2d/gpu.cu:37-50).
+    @pl.when(idx == 0)
+    def _prologue():
+        in_dma(ti, tj, slot).start()
 
-    # 3. sparse residue: statically shifted window slices on the VPU
-    for (dr, dc), w in spec.residue:
-        acc = acc + w * X[
-            HR + dr: HR + dr + TM, HC + dc: HC + dc + TN
-        ].astype(jnp.float32)
+    nidx = idx + 1
+    nti = jax.lax.div(nidx, gj)
+    ntj = jax.lax.rem(nidx, gj)
 
-    # 4. zero cells beyond the true interior (tile round-up guard)
-    if m % TM != 0 or n % TN != 0:
-        gr = jax.lax.broadcasted_iota(jnp.int32, (TM, TN), 0) + ti * TM
-        gc = jax.lax.broadcasted_iota(jnp.int32, (TM, TN), 1) + tj * TN
-        acc = jnp.where((gr < m) & (gc < n), acc, 0.0)
+    @pl.when(nidx < total)
+    def _prefetch():
+        in_dma(nti, ntj, nslot).start()
 
-    out_tile[:] = acc.astype(out_tile.dtype)
+    in_dma(ti, tj, slot).wait()
 
-    # 5. write the tile
-    copy_out = pltpu.make_async_copy(
-        out_tile,
-        out_hbm.at[pl.ds(r0 + ti * TM, TM), pl.ds(c0 + tj * TN, TN)],
-        sem_out,
-    )
-    copy_out.start()
-    copy_out.wait()
+    X = win[pl.ds(slot, 1)][0]
+    r = spec.radius
+
+    def mask_to_interior(val, er, ec):
+        """Zero cells outside the true global interior (reference halo
+        decay + tile round-up guard), on an extent-(er, ec) array."""
+        R, C = TM + 2 * er, TN + 2 * ec
+        gr = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) + ti * TM - er
+        gc = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1) + tj * TN - ec
+        return jnp.where((gr >= 0) & (gr < m) & (gc >= 0) & (gc < n),
+                         val, 0.0)
+
+    if algorithm == "vpu" or fused_steps > 1:
+        # k fused timesteps per HBM round trip: shrink the compute extent
+        # by the radius per substep, masking intermediates to the global
+        # interior so the reference's halo-decay semantics hold exactly.
+        cur = X
+        e_in = (HR, HC)
+        for s in range(fused_steps):
+            left = fused_steps - 1 - s
+            e_out = (left * r, left * r)
+            cur = apply_spec_vpu(cur, spec, e_in, e_out, TM, TN)
+            cur = mask_to_interior(cur, *e_out)
+            e_in = e_out
+        acc = cur
+    else:
+        acc = jnp.zeros((TM, TN), dtype=jnp.float32)
+        # separable terms as chunked banded GEMMs on the MXU
+        mat_idx = 0
+        for t, term in enumerate(spec.terms):
+            has_A, rr, has_B, rc = mats_meta[t]
+            A = B = None
+            if has_A:
+                A = mat_refs[mat_idx][:]
+                mat_idx += 1
+            if has_B:
+                B = mat_refs[mat_idx][:]
+                mat_idx += 1
+            acc = acc + plane_conv(X, A, B, rr, rc, HR, HC, TM, TN,
+                                   compute_dtype, precision)
+        # sparse residue: statically shifted window slices on the VPU
+        for (dr, dc), w in spec.residue:
+            acc = acc + w * X[
+                HR + dr: HR + dr + TM, HC + dc: HC + dc + TN
+            ].astype(jnp.float32)
+        acc = mask_to_interior(acc, 0, 0)
+
+    # before reusing this out slot, drain the write started 2 tiles ago
+    @pl.when(idx >= 2)
+    def _drain_prev():
+        pti = jax.lax.div(idx - 2, gj)
+        ptj = jax.lax.rem(idx - 2, gj)
+        out_dma(pti, ptj, slot).wait()
+
+    out_tile[pl.ds(slot, 1)] = acc.astype(out_tile.dtype)[None]
+    out_dma(ti, tj, slot).start()
+
+    # epilogue: drain the last two writes
+    @pl.when(idx == total - 1)
+    def _drain_tail():
+        out_dma(ti, tj, slot).wait()
+
+    @pl.when((idx == total - 1) & (total >= 2))
+    def _drain_tail2():
+        pti = jax.lax.div(idx - 1, gj)
+        ptj = jax.lax.rem(idx - 1, gj)
+        out_dma(pti, ptj, nslot).wait()
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "layout", "compute_dtype", "precision",
-                     "interpret"),
+                     "interpret", "algorithm", "fused_steps"),
 )
 def stencil2d_step(
     cur: jax.Array,
@@ -139,28 +195,37 @@ def stencil2d_step(
     compute_dtype=jnp.float32,
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
+    algorithm: str = "mxu",
+    fused_steps: int = 1,
 ) -> jax.Array:
-    """One stencil step on the internal layout.
+    """``fused_steps`` timesteps on the internal layout in one kernel.
 
     ``donor`` is consumed (donated) as the output buffer; its guard ring
     must already be zero and is preserved (the kernel writes interior
-    tiles only).
+    tiles only).  ``algorithm`` picks banded MXU GEMMs ('mxu') or exact
+    fp32 VPU shift-adds ('vpu'); fused_steps > 1 requires 'vpu' and
+    ``layout.guard[0] >= fused_steps * radius``.
     """
     layout.validate()
     TM, TN = layout.tile
+    if fused_steps > 1:
+        assert algorithm == "vpu", "temporal fusion needs algorithm='vpu'"
+    assert layout.guard[0] >= fused_steps * spec.radius
+    assert layout.guard[1] >= fused_steps * spec.radius
     np_dtype = np.dtype(cur.dtype)
     mats_meta = []
     mat_args = []
-    for term in spec.terms:
-        A, B = term_band_mats(term, np_dtype)
-        row_taps, col_taps = term.taps
-        rr = (len(row_taps) - 1) // 2 if row_taps is not None else 0
-        rc = (len(col_taps) - 1) // 2 if col_taps is not None else 0
-        mats_meta.append((A is not None, rr, B is not None, rc))
-        if A is not None:
-            mat_args.append(jnp.asarray(A))
-        if B is not None:
-            mat_args.append(jnp.asarray(B))
+    if algorithm == "mxu":
+        for term in spec.terms:
+            A, B = term_band_mats(term, np_dtype)
+            row_taps, col_taps = term.taps
+            rr = (len(row_taps) - 1) // 2 if row_taps is not None else 0
+            rc = (len(col_taps) - 1) // 2 if col_taps is not None else 0
+            mats_meta.append((A is not None, rr, B is not None, rc))
+            if A is not None:
+                mat_args.append(jnp.asarray(A))
+            if B is not None:
+                mat_args.append(jnp.asarray(B))
     mats_meta = tuple(mats_meta)
 
     kernel = functools.partial(
@@ -170,8 +235,11 @@ def stencil2d_step(
         mats_meta=mats_meta,
         compute_dtype=compute_dtype,
         precision=precision,
+        algorithm=algorithm,
+        fused_steps=fused_steps,
     )
     grid = layout.grid
+    HR, HC = layout.guard
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -180,10 +248,10 @@ def stencil2d_step(
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(mat_args),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((TM + 2 * SUBLANE, TN + 2 * LANE), cur.dtype),  # win
-            pltpu.VMEM((TM, TN), cur.dtype),                    # out tile
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, TM + 2 * HR, TN + 2 * HC), cur.dtype),
+            pltpu.VMEM((2, TM, TN), cur.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         input_output_aliases={1: 0},
         interpret=interpret,
