@@ -52,8 +52,9 @@ class EngineConfig:
     # 'mxu': banded MXU GEMMs (the LoRAStencil formulation);
     # 'vpu': exact-fp32 shift-add convs (measured faster on v5e).
     algorithm: str = "vpu"
-    # timesteps fused per HBM round trip (2-D only for now; needs 'vpu')
-    fused_steps: int = 1
+    # timesteps fused per HBM round trip (2-D only for now; needs 'vpu').
+    # 4 measured best at large grids on v5e (fp32-exact, guard 16 rows).
+    fused_steps: int = 4
 
 
 class StencilEngine:
@@ -103,6 +104,33 @@ class StencilEngine:
         cfg_kw = {k: v for k, v in kw.items()
                   if k in EngineConfig.__dataclass_fields__}
         return cls(get_shape(name), interior, EngineConfig(**cfg_kw))
+
+    @classmethod
+    def for_coeffs(cls, coeffs, interior, name: str = "custom",
+                   halo=None, fuse_factor: int = 1, max_rank: int = 4,
+                   **kw) -> "StencilEngine":
+        """Engine for an arbitrary dense 2-D coefficient matrix: the
+        low-rank decomposition (pivot peel -> SVD fallback + sparse
+        residue, models/factorize.py) runs automatically -- the
+        generalization of the reference's hand-picked factorizations to
+        user stencils."""
+        from .models import factorize
+        from .models.shapes import SeparableTerm, StencilSpec
+
+        S = np.asarray(coeffs, dtype=np.float64)
+        assert S.ndim == 2 and S.shape[0] == S.shape[1] and S.shape[0] % 2
+        radius = (S.shape[0] - 1) // 2
+        terms, residue = factorize.decompose_2d(S, max_rank=max_rank)
+        spec = StencilSpec(
+            name=name, ndim=2, radius=radius,
+            halo=tuple(halo) if halo is not None else (radius, radius),
+            terms=tuple(SeparableTerm(taps=(tuple(u), tuple(v)))
+                        for u, v in terms),
+            residue=residue, fuse_factor=fuse_factor,
+        )
+        cfg_kw = {k: v for k, v in kw.items()
+                  if k in EngineConfig.__dataclass_fields__}
+        return cls(spec, interior, EngineConfig(**cfg_kw))
 
     # -- layout ----------------------------------------------------------
     def _build_layout(self):

@@ -45,7 +45,7 @@ def _window_band_1d(taps, dtype) -> np.ndarray:
 
 def _stencil1d_kernel(
     in_hbm, donor_hbm, band_ref, out_hbm, win, out_tile, sem_in, sem_out,
-    *, layout: Layout1D, n: int,
+    *, layout: Layout1D, n: int, _taps,
 ):
     TR = layout.tile_rows
     ti = pl.program_id(0)
@@ -56,21 +56,35 @@ def _stencil1d_kernel(
     copy_in.start()
     copy_in.wait()
 
+    del band_ref  # kept as an input for the (inexact) MXU variant
     W = win[:]
-    # The logical operand is X_halo[r] = flat [(8+ti*TR+r)*128 - 4, +136),
-    # i.e. concat(prev-row tail, this row, next-row head).  Mosaic cannot
-    # lane-concat slices with different sublane offsets, so evaluate the
-    # banded matmul as three partial products against row-blocks of B:
-    #   out = L @ B[0:4] + M @ B[4:132] + R @ B[132:136]
-    left = W[SUBLANE - 1: SUBLANE - 1 + TR, LANE - 4:]   # (TR, 4)
-    mid = W[SUBLANE: SUBLANE + TR, :]                     # (TR, 128)
-    right = W[SUBLANE + 1: SUBLANE + 1 + TR, :4]          # (TR, 4)
-    B = band_ref[:]
-    acc = (
-        jnp.dot(left, B[:4], preferred_element_type=jnp.float32)
-        + jnp.dot(mid, B[4:4 + LANE], preferred_element_type=jnp.float32)
-        + jnp.dot(right, B[4 + LANE:], preferred_element_type=jnp.float32)
-    )
+    # Exact fp32 on the VPU: flat shift by d = lane roll of this row,
+    # with the wrapped lanes taken from the adjacent row's roll (the
+    # flat array wraps every 128 lanes).  An MXU banded matmul would be
+    # one op but runs at bf16 pass precision (measured 1.6e-3 rel err).
+    taps = _taps  # closed over, static
+    r = (len(taps) - 1) // 2
+    mid = W[SUBLANE: SUBLANE + TR, :]
+    up = W[SUBLANE + 1: SUBLANE + 1 + TR, :]
+    dn = W[SUBLANE - 1: SUBLANE - 1 + TR, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE), 1)
+    acc = jnp.zeros((TR, LANE), jnp.float32)
+    if taps[r] != 0.0:
+        acc = acc + taps[r] * mid
+    for d in range(1, r + 1):
+        wp = taps[r + d]
+        if wp != 0.0:
+            # left-roll by d == circular roll by LANE - d (roll takes
+            # non-negative shifts only)
+            sh = jnp.where(lane < LANE - d,
+                           pltpu.roll(mid, LANE - d, 1),
+                           pltpu.roll(up, LANE - d, 1))
+            acc = acc + wp * sh
+        wm = taps[r - d]
+        if wm != 0.0:
+            sh = jnp.where(lane >= d,
+                           pltpu.roll(mid, d, 1), pltpu.roll(dn, d, 1))
+            acc = acc + wm * sh
 
     # zero cells beyond the true interior (flat index >= n)
     gr = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE), 0) + ti * TR
@@ -104,7 +118,8 @@ def stencil1d_step(
     band = jnp.asarray(_window_band_1d(taps, np.dtype(cur.dtype)))
 
     kernel = functools.partial(
-        _stencil1d_kernel, layout=layout, n=layout.interior
+        _stencil1d_kernel, layout=layout, n=layout.interior,
+        _taps=tuple(float(t) for t in taps),
     )
     return pl.pallas_call(
         kernel,

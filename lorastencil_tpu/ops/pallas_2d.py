@@ -62,8 +62,9 @@ def _stencil2d_kernel(
     out_hbm = mat_refs_and_out[n_mats]
     win = mat_refs_and_out[n_mats + 1]      # (2, TM+2HR, TN+2HC) dbl-buffered
     out_tile = mat_refs_and_out[n_mats + 2]  # (2, TM, TN) dbl-buffered
-    sem_in = mat_refs_and_out[n_mats + 3]    # (2,)
-    sem_out = mat_refs_and_out[n_mats + 4]   # (2,)
+    work = mat_refs_and_out[n_mats + 3]      # (2, ...) fused-substep staging
+    sem_in = mat_refs_and_out[n_mats + 4]    # (2,)
+    sem_out = mat_refs_and_out[n_mats + 5]   # (2,)
 
     TM, TN = layout.tile
     m, n = layout.interior
@@ -76,8 +77,11 @@ def _stencil2d_kernel(
     ti = pl.program_id(0)
     tj = pl.program_id(1)
     idx = ti * gj + tj  # TPU grid order: last dim innermost
-    slot = jax.lax.rem(idx, 2)
-    nslot = jax.lax.rem(idx + 1, 2)
+    # double-buffer only when a single step's DMA dominates; fused
+    # kernels amortize DMA and need the VMEM for compute extents.
+    depth = 2 if fused_steps == 1 else 1
+    slot = jax.lax.rem(idx, 2) if depth == 2 else 0
+    nslot = jax.lax.rem(idx + 1, 2) if depth == 2 else 0
 
     def in_dma(t_i, t_j, s):
         return pltpu.make_async_copy(
@@ -99,17 +103,20 @@ def _stencil2d_kernel(
     # software pipeline: prefetch the next tile's window during compute,
     # drain the previous tile's output write lazily (the TPU analog of the
     # reference's cp.async double buffering, src/2d/gpu.cu:37-50).
-    @pl.when(idx == 0)
-    def _prologue():
+    if depth == 2:
+        @pl.when(idx == 0)
+        def _prologue():
+            in_dma(ti, tj, slot).start()
+
+        nidx = idx + 1
+        nti = jax.lax.div(nidx, gj)
+        ntj = jax.lax.rem(nidx, gj)
+
+        @pl.when(nidx < total)
+        def _prefetch():
+            in_dma(nti, ntj, nslot).start()
+    else:
         in_dma(ti, tj, slot).start()
-
-    nidx = idx + 1
-    nti = jax.lax.div(nidx, gj)
-    ntj = jax.lax.rem(nidx, gj)
-
-    @pl.when(nidx < total)
-    def _prefetch():
-        in_dma(nti, ntj, nslot).start()
 
     in_dma(ti, tj, slot).wait()
 
@@ -118,24 +125,36 @@ def _stencil2d_kernel(
 
     def mask_to_interior(val, er, ec):
         """Zero cells outside the true global interior (reference halo
-        decay + tile round-up guard), on an extent-(er, ec) array."""
+        decay + tile round-up guard), on an extent-(er, ec) array.
+        Separable (R,1)x(1,C) float masks: two broadcast multiplies,
+        no full-size integer temporaries (VMEM)."""
         R, C = TM + 2 * er, TN + 2 * ec
-        gr = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) + ti * TM - er
-        gc = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1) + tj * TN - ec
-        return jnp.where((gr >= 0) & (gr < m) & (gc >= 0) & (gc < n),
-                         val, 0.0)
+        gr = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) + ti * TM - er
+        gc = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1) + tj * TN - ec
+        rm = ((gr >= 0) & (gr < m)).astype(val.dtype)
+        cm = ((gc >= 0) & (gc < n)).astype(val.dtype)
+        return val * rm * cm
 
     if algorithm == "vpu" or fused_steps > 1:
         # k fused timesteps per HBM round trip: shrink the compute extent
         # by the radius per substep, masking intermediates to the global
         # interior so the reference's halo-decay semantics hold exactly.
+        # Each substep materializes into ping-pong VMEM scratch so Mosaic
+        # does not keep every unrolled substep's temporaries live at once
+        # (that blows the 16M scoped-vmem budget for k >= 4).
         cur = X
         e_in = (HR, HC)
         for s in range(fused_steps):
             left = fused_steps - 1 - s
             e_out = (left * r, left * r)
-            cur = apply_spec_vpu(cur, spec, e_in, e_out, TM, TN)
-            cur = mask_to_interior(cur, *e_out)
+            val = apply_spec_vpu(cur, spec, e_in, e_out, TM, TN)
+            val = mask_to_interior(val, *e_out)
+            if s < fused_steps - 1:
+                R, C = TM + 2 * e_out[0], TN + 2 * e_out[1]
+                work[s % 2, :R, :C] = val
+                cur = work[s % 2, :R, :C]
+            else:
+                cur = val
             e_in = e_out
         acc = cur
     else:
@@ -160,26 +179,32 @@ def _stencil2d_kernel(
             ].astype(jnp.float32)
         acc = mask_to_interior(acc, 0, 0)
 
-    # before reusing this out slot, drain the write started 2 tiles ago
-    @pl.when(idx >= 2)
-    def _drain_prev():
-        pti = jax.lax.div(idx - 2, gj)
-        ptj = jax.lax.rem(idx - 2, gj)
-        out_dma(pti, ptj, slot).wait()
+    if depth == 2:
+        # before reusing this out slot, drain the write started 2 tiles ago
+        @pl.when(idx >= 2)
+        def _drain_prev():
+            pti = jax.lax.div(idx - 2, gj)
+            ptj = jax.lax.rem(idx - 2, gj)
+            out_dma(pti, ptj, slot).wait()
 
-    out_tile[pl.ds(slot, 1)] = acc.astype(out_tile.dtype)[None]
-    out_dma(ti, tj, slot).start()
+        out_tile[pl.ds(slot, 1)] = acc.astype(out_tile.dtype)[None]
+        out_dma(ti, tj, slot).start()
 
-    # epilogue: drain the last two writes
-    @pl.when(idx == total - 1)
-    def _drain_tail():
-        out_dma(ti, tj, slot).wait()
+        # epilogue: drain the last two writes
+        @pl.when(idx == total - 1)
+        def _drain_tail():
+            out_dma(ti, tj, slot).wait()
 
-    @pl.when((idx == total - 1) & (total >= 2))
-    def _drain_tail2():
-        pti = jax.lax.div(idx - 1, gj)
-        ptj = jax.lax.rem(idx - 1, gj)
-        out_dma(pti, ptj, nslot).wait()
+        @pl.when((idx == total - 1) & (total >= 2))
+        def _drain_tail2():
+            pti = jax.lax.div(idx - 1, gj)
+            ptj = jax.lax.rem(idx - 1, gj)
+            out_dma(pti, ptj, nslot).wait()
+    else:
+        out_tile[pl.ds(slot, 1)] = acc.astype(out_tile.dtype)[None]
+        o = out_dma(ti, tj, slot)
+        o.start()
+        o.wait()
 
 
 @functools.partial(
@@ -248,8 +273,15 @@ def stencil2d_step(
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(mat_args),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, TM + 2 * HR, TN + 2 * HC), cur.dtype),
-            pltpu.VMEM((2, TM, TN), cur.dtype),
+            pltpu.VMEM((2 if fused_steps == 1 else 1,
+                        TM + 2 * HR, TN + 2 * HC), cur.dtype),
+            pltpu.VMEM((2 if fused_steps == 1 else 1, TM, TN), cur.dtype),
+            pltpu.VMEM(
+                (2, TM + 2 * (fused_steps - 1) * spec.radius,
+                 TN + 2 * (fused_steps - 1) * spec.radius)
+                if fused_steps > 1 else (1, SUBLANE, LANE),
+                jnp.float32,
+            ),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

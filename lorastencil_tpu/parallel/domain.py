@@ -209,6 +209,150 @@ class ShardedStencil2D:
         return self.from_sharded(out)
 
 
-def sharded_engine(name: str, interior, mesh_shape, **kw) -> ShardedStencil2D:
-    return ShardedStencil2D(get_shape(name), tuple(interior),
-                            ShardedConfig(mesh_shape=tuple(mesh_shape), **kw))
+class ShardedStencil3D:
+    """Domain-decomposed 3-D stencil: the (row, col) plane axes shard over
+    a 2-D mesh (the in-kernel z sweep stays local per device -- the same
+    2.5-D blocking as the single-chip kernel), with the two-phase ppermute
+    halo exchange applied plane-wise."""
+
+    def __init__(self, spec: StencilSpec, interior, config: ShardedConfig,
+                 mesh: Optional[Mesh] = None):
+        assert spec.ndim == 3
+        from ..ops.layout import Layout3D, default_tile_3d
+
+        self.spec = spec
+        self.config = config
+        h, gm, gn = interior
+        dx, dy = config.mesh_shape
+        assert gm % dx == 0 and gn % dy == 0
+        self.interior = tuple(interior)
+        self.local_interior = (h, gm // dx, gn // dy)
+        self.mesh = mesh if mesh is not None else make_mesh((dx, dy))
+        tile = config.tile or default_tile_3d(gm // dx, gn // dy)
+        self.layout = Layout3D(interior=self.local_interior, halo=spec.halo,
+                               tile=tile)
+        self.precision = (jax.lax.Precision.HIGHEST
+                          if config.precision == "highest"
+                          else jax.lax.Precision.DEFAULT)
+        self.interpret = (config.interpret if config.interpret is not None
+                          else jax.default_backend() != "tpu")
+        self._run_jit = jax.jit(self._run, static_argnames=("steps",))
+
+    def _exchange(self, buf):
+        spec, lay = self.spec, self.layout
+        _, hm, hn = spec.halo
+        _, m, n = lay.interior
+        _, r0, c0 = lay.origin
+        dx, dy = self.config.mesh_shape
+
+        def shift(x, axis_name, fwd, npairs):
+            if npairs == 1:
+                return jnp.zeros_like(x)
+            perm = [(i, i + 1) for i in range(npairs - 1)] if fwd else \
+                   [(i + 1, i) for i in range(npairs - 1)]
+            return jax.lax.ppermute(x, axis_name, perm)
+
+        ix = jax.lax.axis_index("x")
+        iy = jax.lax.axis_index("y")
+
+        top = buf[:, r0: r0 + hm, :]
+        bot = buf[:, r0 + m - hm: r0 + m, :]
+        from_north = shift(bot, "x", True, dx)
+        from_south = shift(top, "x", False, dx)
+        buf = buf.at[:, r0 - hm: r0, :].set(
+            jnp.where(ix > 0, from_north, buf[:, r0 - hm: r0, :]))
+        buf = buf.at[:, r0 + m: r0 + m + hm, :].set(
+            jnp.where(ix < dx - 1, from_south,
+                      buf[:, r0 + m: r0 + m + hm, :]))
+
+        left = buf[:, :, c0: c0 + hn]
+        right = buf[:, :, c0 + n - hn: c0 + n]
+        from_west = shift(right, "y", True, dy)
+        from_east = shift(left, "y", False, dy)
+        buf = buf.at[:, :, c0 - hn: c0].set(
+            jnp.where(iy > 0, from_west, buf[:, :, c0 - hn: c0]))
+        buf = buf.at[:, :, c0 + n: c0 + n + hn].set(
+            jnp.where(iy < dy - 1, from_east,
+                      buf[:, :, c0 + n: c0 + n + hn]))
+        return buf
+
+    def _local_step(self, cur, donor):
+        from ..ops import pallas_3d
+
+        cur = self._exchange(cur)
+        return pallas_3d.stencil3d_step(
+            cur, donor, self.spec, self.layout,
+            precision=self.precision, interpret=self.interpret)
+
+    def _run(self, state, steps: int):
+        from jax.experimental.shard_map import shard_map
+
+        def body_fn(local):
+            if steps == 0:
+                return local
+            new = self._local_step(local, jnp.zeros_like(local))
+            if steps == 1:
+                return new
+
+            def body(_, carry):
+                cur, spare = carry
+                return (self._local_step(cur, spare), cur)
+
+            final, _ = jax.lax.fori_loop(
+                1, steps, body, (new, jnp.zeros_like(local)))
+            return final
+
+        fn = shard_map(body_fn, mesh=self.mesh,
+                       in_specs=P(None, "x", "y"),
+                       out_specs=P(None, "x", "y"), check_rep=False)
+        return fn(state)
+
+    def to_sharded(self, padded):
+        spec, lay = self.spec, self.layout
+        hz, hm, hn = spec.halo
+        h, lm, ln = self.local_interior
+        dx, dy = self.config.mesh_shape
+        Hp, Mp, Np = lay.shape
+        z0, r0, c0 = lay.origin
+        padded = jnp.asarray(padded, jnp.float32)
+        out = jnp.zeros((Hp, dx * Mp, dy * Np), jnp.float32)
+        for i in range(dx):
+            for j in range(dy):
+                src = padded[:, i * lm: i * lm + lm + 2 * hm,
+                             j * ln: j * ln + ln + 2 * hn]
+                out = out.at[
+                    :,
+                    i * Mp + r0 - hm: i * Mp + r0 + lm + hm,
+                    j * Np + c0 - hn: j * Np + c0 + ln + hn,
+                ].set(src)
+        return jax.device_put(out, NamedSharding(self.mesh, P(None, "x", "y")))
+
+    def from_sharded(self, state):
+        spec, lay = self.spec, self.layout
+        hz, hm, hn = spec.halo
+        h, lm, ln = self.local_interior
+        dx, dy = self.config.mesh_shape
+        Hp, Mp, Np = lay.shape
+        z0, r0, c0 = lay.origin
+        gm, gn = dx * lm, dy * ln
+        out = jnp.zeros((h + 2 * hz, gm + 2 * hm, gn + 2 * hn), state.dtype)
+        for i in range(dx):
+            for j in range(dy):
+                block = state[:, i * Mp + r0: i * Mp + r0 + lm,
+                              j * Np + c0: j * Np + c0 + ln]
+                out = out.at[:, hm + i * lm: hm + (i + 1) * lm,
+                             hn + j * ln: hn + (j + 1) * ln].set(block)
+        return out
+
+    def run(self, padded, steps: int):
+        state = self.to_sharded(padded)
+        out = self._run_jit(state, steps=steps)
+        return self.from_sharded(out)
+
+
+def sharded_engine(name: str, interior, mesh_shape, **kw):
+    spec = get_shape(name)
+    cfg = ShardedConfig(mesh_shape=tuple(mesh_shape), **kw)
+    if spec.ndim == 3:
+        return ShardedStencil3D(spec, tuple(interior), cfg)
+    return ShardedStencil2D(spec, tuple(interior), cfg)

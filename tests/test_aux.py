@@ -1,0 +1,83 @@
+"""Aux subsystems: custom coefficient engine, checkpoint/resume,
+roofline reporting."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lorastencil_tpu import engine
+from lorastencil_tpu.models import shapes
+from lorastencil_tpu.utils import checkpoint, profiling, reference
+
+
+def _custom_spec_reference(S, grid, steps, halo):
+    """fp64 ground truth for an arbitrary coefficient matrix."""
+    import dataclasses
+
+    from lorastencil_tpu.models.shapes import SeparableTerm, StencilSpec
+
+    r = (S.shape[0] - 1) // 2
+    spec = StencilSpec(
+        name="ref", ndim=2, radius=r, halo=halo,
+        terms=(), residue=tuple(
+            (tuple(int(i) - r for i in idx), float(S[tuple(idx)]))
+            for idx in np.argwhere(np.abs(S) > 0)
+        ),
+        fuse_factor=1,
+    )
+    return reference.run(grid, spec, steps)
+
+
+def test_custom_coeffs_engine():
+    rng = np.random.default_rng(0)
+    u, v = rng.normal(size=5), rng.normal(size=5)
+    S = np.outer(u, u) + 0.25 * np.outer(v, v)
+    S[0, 4] += 1.0
+    S[4, 0] += 1.0
+    eng = engine.StencilEngine.for_coeffs(S, (40, 200), halo=(4, 4))
+    shape = eng.spec.padded_shape((40, 200))
+    g0 = np.random.default_rng(1).uniform(0, 1, size=shape)
+    got = np.asarray(eng.run(jnp.asarray(g0, jnp.float32), 2), np.float64)
+    want = _custom_spec_reference(S, g0, 2, (4, 4))
+    assert np.abs(got - want).max() / max(1.0, np.abs(want).max()) < 1e-5
+
+
+def test_custom_coeffs_fused():
+    S = shapes.get_shape("box2d3r").dense_coeffs()
+    eng = engine.StencilEngine.for_coeffs(S, (40, 200), halo=(4, 4),
+                                          fused_steps=2)
+    g0 = reference.random_padded(shapes.get_shape("box2d3r"), (40, 200),
+                                 seed=2)
+    got = np.asarray(eng.run(jnp.asarray(g0, jnp.float32), 3), np.float64)
+    want = reference.run(g0, shapes.get_shape("box2d3r"), 3)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
+
+
+def test_checkpoint_resume(tmp_path):
+    spec = shapes.get_shape("star2d1r")
+    g0 = reference.random_padded(spec, (24, 128), seed=7)
+    eng = engine.StencilEngine.for_shape("star2d1r", (24, 128))
+    path = str(tmp_path / "ck.npz")
+
+    full = checkpoint.run_with_checkpoints(eng, g0, steps=6, every=2,
+                                           path=path)
+    snap = checkpoint.load(path)
+    assert snap.step == 6
+
+    # simulate crash after 4 steps: rewrite checkpoint at step 4, resume
+    part = checkpoint.run_with_checkpoints(eng, g0, steps=4, every=2,
+                                           path=path, resume=False)
+    resumed = checkpoint.run_with_checkpoints(eng, g0, steps=6, every=2,
+                                              path=path)
+    np.testing.assert_allclose(resumed, full, rtol=1e-6, atol=1e-3)
+
+    want = reference.run(g0, spec, 6)
+    err = np.abs(full.astype(np.float64) - want).max() / np.abs(want).max()
+    assert err < 1e-5
+
+
+def test_roofline_report():
+    spec = shapes.get_shape("star2d1r")
+    r = profiling.stencil_roofline(spec, (256, 1024), fused_steps=4)
+    assert r.bw_bound_gcells > 0 and r.compute_bound_gcells > 0
+    assert "bound" in r.human()

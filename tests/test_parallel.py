@@ -38,3 +38,15 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("name", ["star3d1r", "box3d1r"])
+def test_sharded_3d_matches_reference(name):
+    spec = shapes.get_shape(name)
+    interior = (5, 16, 256)
+    g0 = reference.random_padded(spec, interior, seed=31)
+    sh = domain.sharded_engine(name, interior, (2, 2), tile=(8, 128))
+    got = np.asarray(sh.run(g0, 3), np.float64)
+    want = reference.run(g0, spec, 3)
+    err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert err < 1e-6, err
