@@ -138,8 +138,9 @@ class StencilEngine:
 
         spec, interior = self.spec, self.interior
         if spec.ndim == 1:
-            return Layout1D(interior=interior[0], halo=spec.halo[0],
-                            tile_rows=64)
+            n1 = interior[0]
+            rows = max(SUBLANE, min(512, SUBLANE * (-(-n1 // (SUBLANE * LANE)))))
+            return Layout1D(interior=n1, halo=spec.halo[0], tile_rows=rows)
         if spec.ndim == 2:
             tile = self.config.tile or default_tile_2d(*interior)
             k = self.config.fused_steps
@@ -174,7 +175,8 @@ class StencilEngine:
         assert fused_k == 1
         return pallas_3d.stencil3d_step(
             cur, donor, self.spec, self.layout,
-            precision=self.precision, interpret=self.interpret)
+            precision=self.precision, interpret=self.interpret,
+            algorithm=self.config.algorithm)
 
     def _fused_k(self) -> int:
         if self.spec.ndim != 2 or self.backend == "xla":

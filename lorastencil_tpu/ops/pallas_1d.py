@@ -48,16 +48,37 @@ def _stencil1d_kernel(
     *, layout: Layout1D, n: int, _taps,
 ):
     TR = layout.tile_rows
+    (g,) = layout.grid
     ti = pl.program_id(0)
+    slot = jax.lax.rem(ti, 2)
+    nslot = jax.lax.rem(ti + 1, 2)
 
-    copy_in = pltpu.make_async_copy(
-        in_hbm.at[pl.ds(ti * TR, TR + 2 * SUBLANE), :], win, sem_in
-    )
-    copy_in.start()
-    copy_in.wait()
+    def in_dma(t_i, s):
+        return pltpu.make_async_copy(
+            in_hbm.at[pl.ds(t_i * TR, TR + 2 * SUBLANE), :],
+            win.at[s], sem_in.at[s],
+        )
+
+    def out_dma(t_i, s):
+        return pltpu.make_async_copy(
+            out_tile.at[s],
+            out_hbm.at[pl.ds(SUBLANE + t_i * TR, TR), :],
+            sem_out.at[s],
+        )
+
+    # double-buffered prefetch (same protocol as the 2-D kernel)
+    @pl.when(ti == 0)
+    def _():
+        in_dma(ti, slot).start()
+
+    @pl.when(ti + 1 < g)
+    def _():
+        in_dma(ti + 1, nslot).start()
+
+    in_dma(ti, slot).wait()
 
     del band_ref  # kept as an input for the (inexact) MXU variant
-    W = win[:]
+    W = win[pl.ds(slot, 1)][0]
     # Exact fp32 on the VPU: flat shift by d = lane roll of this row,
     # with the wrapped lanes taken from the adjacent row's roll (the
     # flat array wraps every 128 lanes).  An MXU banded matmul would be
@@ -92,12 +113,20 @@ def _stencil1d_kernel(
     flat = gr * LANE + gc
     acc = jnp.where(flat < n, acc, 0.0)
 
-    out_tile[:] = acc.astype(out_tile.dtype)
-    copy_out = pltpu.make_async_copy(
-        out_tile, out_hbm.at[pl.ds(SUBLANE + ti * TR, TR), :], sem_out
-    )
-    copy_out.start()
-    copy_out.wait()
+    @pl.when(ti >= 2)
+    def _():
+        out_dma(ti - 2, slot).wait()
+
+    out_tile[pl.ds(slot, 1)] = acc.astype(out_tile.dtype)[None]
+    out_dma(ti, slot).start()
+
+    @pl.when(ti == g - 1)
+    def _():
+        out_dma(ti, slot).wait()
+
+    @pl.when((ti == g - 1) & (g >= 2))
+    def _():
+        out_dma(ti - 1, nslot).wait()
 
 
 @functools.partial(
@@ -129,10 +158,10 @@ def stencil1d_step(
         + [pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((TR + 2 * SUBLANE, LANE), cur.dtype),
-            pltpu.VMEM((TR, LANE), cur.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, TR + 2 * SUBLANE, LANE), cur.dtype),
+            pltpu.VMEM((2, TR, LANE), cur.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         input_output_aliases={1: 0},
         interpret=interpret,

@@ -3,26 +3,31 @@
 TPU-native re-design of the reference's 3-D engines
 (``/root/reference/src/3d/gpu_star.cu:22-133``, ``gpu_box.cu:21-140``):
 each grid step owns one (TM, TN) in-plane tile *for all z* and sweeps the
-z axis inside the kernel with a 3-deep rotating window buffer (the
-reference's rotating shared-memory plane pipeline), so each input plane is
-read from HBM exactly once per timestep.
+z axis inside the kernel with a rotating window buffer (the reference's
+rotating shared-memory plane pipeline), so each input plane is read from
+HBM exactly once per timestep.
 
-Per z iteration (computing output plane z, reading planes z-1, z, z+1):
-  * async-DMA the window of plane z+1 into rotation slot (z+1) % 3;
-  * terms whose z-taps span multiple planes and have a real in-plane conv
-    (box3d1r's [1,1,1]x[1,1,1]x[1,2,1]) evaluate the plane conv ONCE per
-    input plane into a per-term rotating conv buffer (the analog of the
-    reference's rotbuf + scratch reuse, ``gpu_box.cu:126-139``);
-  * terms with identity plane ops (star3d1r's z +/- 1 copies,
-    ``gpu_star.cu:44-54``) read window slices directly;
-  * z-centered terms (star3d1r's in-plane cross) are evaluated on the
-    center window only.
+Pipeline per z iteration (computing output plane z from planes z-1..z+1):
+  * a 4-slot rotating window buffer: plane z+2's DMA was started two
+    iterations ago; plane z+3's DMA starts before waiting on z+2, so the
+    next plane streams in during compute (the reference's cp.async
+    double-buffering, ``gpu_box.cu:21-40``, TPU-style);
+  * terms whose z-taps span planes and have a real in-plane conv
+    (box3d1r) evaluate the plane conv ONCE per input plane into a
+    per-term rotating conv buffer (the reference's rotbuf + scratch
+    reuse, ``gpu_box.cu:126-139``);
+  * identity-plane terms (star3d1r's z+-1 copies, ``gpu_star.cu:44-54``)
+    read window slices; z-centered terms evaluate on the center window;
+  * output plane writes double-buffer (drain one plane behind).
 
-Banded-GEMM plane convs are shared with the 2-D kernel (band_gemm.py).
+In-plane convolutions run on the VPU as exact-fp32 shifted multiply-adds
+(``algorithm='vpu'``, default -- bf16 MXU passes cost accuracy) or as
+banded MXU GEMMs (``algorithm='mxu'``, band_gemm.py).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -32,17 +37,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.shapes import StencilSpec
-from .band_gemm import plane_conv, term_band_mats
+from .band_gemm import apply_spec_vpu, plane_conv, term_band_mats
 from .layout import LANE, SUBLANE, Layout3D
+
+WIN_SLOTS = 4  # 3 live planes + 1 streaming in
+
+
+@dataclasses.dataclass(frozen=True)
+class _Plane2D:
+    """Adapter exposing one 3-D term's in-plane taps as a 2-axis spec for
+    apply_spec_vpu (terms + residue fields only)."""
+    terms: tuple
+    residue: tuple = ()
 
 
 def _classify_terms(spec: StencilSpec):
-    """Split terms into (buffered_conv, identity_z, center_plane) groups.
-
-    buffered: z-taps span planes AND a real in-plane conv -> rotate convs
-    identity_z: z-taps span planes, identity plane op -> window slices
-    center: z-taps is a delta -> plane op on the center window only
-    """
     buffered, identity_z, center = [], [], []
     for i, t in enumerate(spec.terms):
         assert len(t.taps) == 3
@@ -60,27 +69,27 @@ def _classify_terms(spec: StencilSpec):
 def _stencil3d_kernel(
     in_hbm, donor_hbm, *rest,
     spec: StencilSpec, layout: Layout3D, mats_meta,
-    compute_dtype, precision,
+    compute_dtype, precision, algorithm,
 ):
     n_mats = sum(int(a) + int(b) for a, _, b, _ in mats_meta)
     mat_refs = rest[:n_mats]
     out_hbm = rest[n_mats]
-    win = rest[n_mats + 1]       # (3, TM + 16, TN + 256)
-    convbuf = rest[n_mats + 2]   # (n_buffered, 3, TM, TN) or (1,1,8,128) dummy
-    out_tile = rest[n_mats + 3]
-    sem_in = rest[n_mats + 4]    # (3,) DMA sems
-    sem_out = rest[n_mats + 5]
+    win = rest[n_mats + 1]       # (WIN_SLOTS, TM + 16, TN + 256)
+    convbuf = rest[n_mats + 2]   # (n_buffered, 3, TM, TN)
+    out_tile = rest[n_mats + 3]  # (2, TM, TN)
+    sem_in = rest[n_mats + 4]    # (WIN_SLOTS,)
+    sem_out = rest[n_mats + 5]   # (2,)
 
     TM, TN = layout.tile
     H = layout.interior[0]
     m, n = layout.interior[1], layout.interior[2]
     z0, r0, c0 = layout.origin
     HR, HC = SUBLANE, LANE
+    Hp = H + 2 * layout.halo[0]
     ti = pl.program_id(0)
     tj = pl.program_id(1)
 
     buffered_idx, identity_idx, center_idx = _classify_terms(spec)
-    # map each term to its (A, B, rr, rc) mats in order of spec.terms
     term_mats = {}
     mi = 0
     for t_idx, (has_a, rr, has_b, rc) in enumerate(mats_meta):
@@ -93,7 +102,9 @@ def _stencil3d_kernel(
             mi += 1
         term_mats[t_idx] = (A, B, rr, rc)
 
-    def start_plane_dma(zp, slot):
+    UNROLL = 12  # lcm(window ring 4, conv ring 3): slots static per phase
+
+    def plane_dma(zp, slot):
         return pltpu.make_async_copy(
             in_hbm.at[
                 zp,
@@ -104,95 +115,123 @@ def _stencil3d_kernel(
             sem_in.at[slot],
         )
 
+    def out_dma(z, s):
+        return pltpu.make_async_copy(
+            out_tile.at[s],
+            out_hbm.at[z0 + z, pl.ds(r0 + ti * TM, TM),
+                       pl.ds(c0 + tj * TN, TN)],
+            sem_out.at[s],
+        )
+
     def read_win(slot):
+        # static slot -> a view; dynamic slot -> a VMEM copy (avoid!)
+        if isinstance(slot, int):
+            return win[slot]
         return win[pl.ds(slot, 1)][0]
 
     def conv_term(t_idx, X):
+        if algorithm == "vpu":
+            term = spec.terms[t_idx]
+            from ..models.shapes import SeparableTerm
+            plane_term = SeparableTerm(taps=(term.taps[1], term.taps[2]))
+            return apply_spec_vpu(X, _Plane2D(terms=(plane_term,)),
+                                  (HR, HC), (0, 0), TM, TN)
         A, B, rr, rc = term_mats[t_idx]
         return plane_conv(X, A, B, rr, rc, HR, HC, TM, TN,
                           compute_dtype, precision)
 
-    # ---- prologue: planes 0 and 1 --------------------------------------
-    d0 = start_plane_dma(0, 0)
-    d1 = start_plane_dma(1, 1)
-    d0.start()
-    d1.start()
-    d0.wait()
-    d1.wait()
+    # interior mask: separable row/col float vectors (cheap, exact)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (TM, 1), 0) + ti * TM
+    gc = jax.lax.broadcasted_iota(jnp.int32, (1, TN), 1) + tj * TN
+    rm = (gr < m).astype(jnp.float32)
+    cm = (gc < n).astype(jnp.float32)
+
+    # ---- prologue: stream planes 0..2 (clamped), conv 0 and 1 ----------
+    dmas = [plane_dma(min(zp, Hp - 1), zp % WIN_SLOTS) for zp in range(3)]
+    for d in dmas:
+        d.start()
+    dmas[0].wait()
+    dmas[1].wait()
     for b, t_idx in enumerate(buffered_idx):
         convbuf[b, 0] = conv_term(t_idx, read_win(0))
         convbuf[b, 1] = conv_term(t_idx, read_win(1))
 
-    if (m % TM != 0) or (n % TN != 0):
-        gr = jax.lax.broadcasted_iota(jnp.int32, (TM, TN), 0) + ti * TM
-        gc = jax.lax.broadcasted_iota(jnp.int32, (TM, TN), 1) + tj * TN
-        interior_mask = (gr < m) & (gc < n)
-    else:
-        interior_mask = None
+    # ---- z sweep, unrolled by 12 so every ring index is static ---------
+    def sub_iter(z, phase):
+        """One output plane; `phase` = static z % UNROLL, so window (mod
+        4), conv (mod 3) and out (mod 2) ring slots are compile-time
+        constants and scratch reads are views, not VMEM copies."""
+        zp2 = z + 2
+        slot2 = (phase + 2) % WIN_SLOTS
+        nslot = (phase + 3) % WIN_SLOTS
 
-    # ---- z sweep --------------------------------------------------------
-    def body(z, _):
-        zp2 = z + 2                      # abs input plane arriving now
-        slot2 = jax.lax.rem(zp2, 3)
-        dma = start_plane_dma(zp2, slot2)
-        dma.start()
-        dma.wait()
+        @pl.when(z + 3 < Hp)
+        def _():
+            plane_dma(z + 3, nslot).start()
+
+        plane_dma(zp2, slot2).wait()
         for b, t_idx in enumerate(buffered_idx):
-            convbuf[b, pl.ds(slot2, 1)] = conv_term(
-                t_idx, read_win(slot2)
-            )[None]
+            convbuf[b, (phase + 2) % 3] = conv_term(t_idx, read_win(slot2))
 
         acc = jnp.zeros((TM, TN), jnp.float32)
-        zc = z + 1                       # abs center plane of the output
+        zc_phase = phase + 1              # center input plane phase
         for t_idx in center_idx:
-            acc = acc + conv_term(t_idx, read_win(jax.lax.rem(zc, 3)))
+            acc = acc + conv_term(t_idx, read_win(zc_phase % WIN_SLOTS))
         for b, t_idx in enumerate(buffered_idx):
             tz = spec.terms[t_idx].taps[0]
             for dz in (-1, 0, 1):
                 w = float(tz[1 + dz])
                 if w != 0.0:
-                    slot = jax.lax.rem(zc + dz, 3)
-                    acc = acc + w * convbuf[b, pl.ds(slot, 1)][0]
+                    acc = acc + w * convbuf[b, (zc_phase + dz) % 3]
         for t_idx in identity_idx:
             tz = spec.terms[t_idx].taps[0]
             for dz in (-1, 0, 1):
                 w = float(tz[1 + dz])
                 if w != 0.0:
-                    slot = jax.lax.rem(zc + dz, 3)
-                    Xs = read_win(slot)
+                    Xs = read_win((zc_phase + dz) % WIN_SLOTS)
                     acc = acc + w * Xs[HR: HR + TM, HC: HC + TN].astype(
-                        jnp.float32
-                    )
+                        jnp.float32)
         for (dz, dr, dc), w in spec.residue:
-            slot = jax.lax.rem(zc + dz, 3)
-            Xs = read_win(slot)
+            Xs = read_win((zc_phase + dz) % WIN_SLOTS)
             acc = acc + w * Xs[
                 HR + dr: HR + dr + TM, HC + dc: HC + dc + TN
             ].astype(jnp.float32)
 
-        if interior_mask is not None:
-            acc = jnp.where(interior_mask, acc, 0.0)
-        out_tile[:] = acc.astype(out_tile.dtype)
-        copy_out = pltpu.make_async_copy(
-            out_tile,
-            out_hbm.at[
-                z0 + z,
-                pl.ds(r0 + ti * TM, TM),
-                pl.ds(c0 + tj * TN, TN),
-            ],
-            sem_out,
-        )
-        copy_out.start()
-        copy_out.wait()
+        acc = acc * rm * cm
+        oslot = phase % 2
+
+        @pl.when(z >= 2)
+        def _():
+            out_dma(z - 2, oslot).wait()
+
+        out_tile[oslot] = acc.astype(out_tile.dtype)
+        out_dma(z, oslot).start()
+
+        @pl.when(z == H - 1)
+        def _():
+            out_dma(z, oslot).wait()
+
+        @pl.when((z == H - 1) & (H >= 2))
+        def _():
+            out_dma(z - 1, (phase + 1) % 2).wait()
+
+    def block(bi, _):
+        z0b = bi * UNROLL
+        for phase in range(UNROLL):
+            z = z0b + phase
+
+            @pl.when(z < H)
+            def _():
+                sub_iter(z, phase)
         return 0
 
-    jax.lax.fori_loop(0, H, body, 0)
+    jax.lax.fori_loop(0, pl.cdiv(H, UNROLL), block, 0)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "layout", "compute_dtype", "precision",
-                     "interpret"),
+                     "interpret", "algorithm"),
 )
 def stencil3d_step(
     cur: jax.Array,
@@ -202,15 +241,17 @@ def stencil3d_step(
     compute_dtype=jnp.float32,
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
+    algorithm: str = "vpu",
 ) -> jax.Array:
     layout.validate()
     TM, TN = layout.tile
-    np_dtype = np.dtype(cur.dtype)
 
+    np_dtype = np.dtype(cur.dtype)
     mats_meta = []
     mat_args = []
     for term in spec.terms:
-        A, B = term_band_mats(term, np_dtype)
+        A, B = (None, None) if algorithm == "vpu" else \
+            term_band_mats(term, np_dtype)
         rr = (len(term.taps[1]) - 1) // 2 if term.taps[1] is not None else 0
         rc = (len(term.taps[2]) - 1) // 2 if term.taps[2] is not None else 0
         mats_meta.append((A is not None, rr, B is not None, rc))
@@ -227,6 +268,7 @@ def stencil3d_step(
         _stencil3d_kernel,
         spec=spec, layout=layout, mats_meta=mats_meta,
         compute_dtype=compute_dtype, precision=precision,
+        algorithm=algorithm,
     )
     return pl.pallas_call(
         kernel,
@@ -236,11 +278,12 @@ def stencil3d_step(
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(mat_args),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((3, TM + 2 * SUBLANE, TN + 2 * LANE), cur.dtype),
+            pltpu.VMEM((WIN_SLOTS, TM + 2 * SUBLANE, TN + 2 * LANE),
+                       cur.dtype),
             pltpu.VMEM((n_buf, 3, TM, TN), jnp.float32),
-            pltpu.VMEM((TM, TN), cur.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, TM, TN), cur.dtype),
+            pltpu.SemaphoreType.DMA((WIN_SLOTS,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         input_output_aliases={1: 0},
         interpret=interpret,
