@@ -1,28 +1,25 @@
-"""3-D low-rank stencil Pallas kernel (2.5-D blocking).
+"""3-D low-rank stencil Pallas kernel (2.5-D slab blocking).
 
 TPU-native re-design of the reference's 3-D engines
 (``/root/reference/src/3d/gpu_star.cu:22-133``, ``gpu_box.cu:21-140``):
-each grid step owns one (TM, TN) in-plane tile *for all z* and sweeps the
-z axis inside the kernel with a rotating window buffer (the reference's
-rotating shared-memory plane pipeline), so each input plane is read from
-HBM exactly once per timestep.
+each grid step owns one (TM, TN) in-plane tile for all z and sweeps the z
+axis in SLABS of several planes per DMA (the reference streams one plane
+per ``cp.async`` round, ``gpu_box.cu:21-40``; on TPU, per-transfer latency
+makes multi-plane slabs the right granularity).  Per slab iteration:
 
-Pipeline per z iteration (computing output plane z from planes z-1..z+1):
-  * a 4-slot rotating window buffer: plane z+2's DMA was started two
-    iterations ago; plane z+3's DMA starts before waiting on z+2, so the
-    next plane streams in during compute (the reference's cp.async
-    double-buffering, ``gpu_box.cu:21-40``, TPU-style);
-  * terms whose z-taps span planes and have a real in-plane conv
-    (box3d1r) evaluate the plane conv ONCE per input plane into a
-    per-term rotating conv buffer (the reference's rotbuf + scratch
-    reuse, ``gpu_box.cu:126-139``);
+  * the next slab's (SLAB+2)-plane window streams in during compute
+    (double-buffered; slab indices unrolled by 2 so every buffer index is
+    a compile-time constant -- dynamic VMEM indices materialize copies);
+  * terms whose z-taps span planes with a real in-plane conv (box3d1r)
+    evaluate each input plane's conv ONCE into a slab conv buffer (the
+    analog of the reference's rotating rotbuf + scratch,
+    ``gpu_box.cu:126-139``);
   * identity-plane terms (star3d1r's z+-1 copies, ``gpu_star.cu:44-54``)
-    read window slices; z-centered terms evaluate on the center window;
-  * output plane writes double-buffer (drain one plane behind).
+    read window slices; z-centered terms evaluate on the center plane;
+  * the SLAB output planes write back in one DMA, double-buffered.
 
 In-plane convolutions run on the VPU as exact-fp32 shifted multiply-adds
-(``algorithm='vpu'``, default -- bf16 MXU passes cost accuracy) or as
-banded MXU GEMMs (``algorithm='mxu'``, band_gemm.py).
+(``algorithm='vpu'``, default) or as banded MXU GEMMs (``'mxu'``).
 """
 
 from __future__ import annotations
@@ -36,17 +33,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..models.shapes import StencilSpec
+from ..models.shapes import SeparableTerm, StencilSpec
 from .band_gemm import apply_spec_vpu, plane_conv, term_band_mats
 from .layout import LANE, SUBLANE, Layout3D
-
-WIN_SLOTS = 4  # 3 live planes + 1 streaming in
 
 
 @dataclasses.dataclass(frozen=True)
 class _Plane2D:
-    """Adapter exposing one 3-D term's in-plane taps as a 2-axis spec for
-    apply_spec_vpu (terms + residue fields only)."""
+    """One 3-D term's in-plane taps as a 2-axis spec for apply_spec_vpu."""
     terms: tuple
     residue: tuple = ()
 
@@ -66,28 +60,46 @@ def _classify_terms(spec: StencilSpec):
     return buffered, identity_z, center
 
 
+def pick_slab(H: int, TM: int, TN: int, dtype_bytes: int = 4,
+              budget: int = 12 * 2**20) -> int:
+    """Largest slab in {8,4,2,1} dividing H whose buffers fit VMEM."""
+    wr, wc = TM + 2 * SUBLANE, TN + 2 * LANE
+    for s in (8, 4, 2, 1):
+        if H % s != 0:
+            continue
+        need = dtype_bytes * (
+            2 * (s + 2) * wr * wc        # double-buffered window slabs
+            + (s + 2) * TM * TN          # conv slab (per buffered term)
+            + 2 * s * TM * TN            # double-buffered output slabs
+        )
+        if need <= budget:
+            return s
+    return 1
+
+
 def _stencil3d_kernel(
     in_hbm, donor_hbm, *rest,
     spec: StencilSpec, layout: Layout3D, mats_meta,
-    compute_dtype, precision, algorithm,
+    compute_dtype, precision, algorithm, slab: int,
 ):
     n_mats = sum(int(a) + int(b) for a, _, b, _ in mats_meta)
     mat_refs = rest[:n_mats]
     out_hbm = rest[n_mats]
-    win = rest[n_mats + 1]       # (WIN_SLOTS, TM + 16, TN + 256)
-    convbuf = rest[n_mats + 2]   # (n_buffered, 3, TM, TN)
-    out_tile = rest[n_mats + 3]  # (2, TM, TN)
-    sem_in = rest[n_mats + 4]    # (WIN_SLOTS,)
+    win = rest[n_mats + 1]       # (2, SLAB+2, TM+16, TN+256)
+    convbuf = rest[n_mats + 2]   # (n_buffered, SLAB+2, TM, TN)
+    out_sl = rest[n_mats + 3]    # (2, SLAB, TM, TN)
+    sem_in = rest[n_mats + 4]    # (2,)
     sem_out = rest[n_mats + 5]   # (2,)
 
     TM, TN = layout.tile
     H = layout.interior[0]
     m, n = layout.interior[1], layout.interior[2]
     z0, r0, c0 = layout.origin
+    assert z0 == 1, "3-D kernel assumes z halo 1 (radius-1 shapes)"
     HR, HC = SUBLANE, LANE
-    Hp = H + 2 * layout.halo[0]
     ti = pl.program_id(0)
     tj = pl.program_id(1)
+    nslabs = H // slab
 
     buffered_idx, identity_idx, center_idx = _classify_terms(spec)
     term_mats = {}
@@ -102,37 +114,32 @@ def _stencil3d_kernel(
             mi += 1
         term_mats[t_idx] = (A, B, rr, rc)
 
-    UNROLL = 12  # lcm(window ring 4, conv ring 3): slots static per phase
-
-    def plane_dma(zp, slot):
+    def slab_dma(si, s):
+        # input planes [si*slab, si*slab + slab + 2) (z halo 1 each side)
         return pltpu.make_async_copy(
             in_hbm.at[
-                zp,
+                pl.ds(si * slab, slab + 2),
                 pl.ds(r0 + ti * TM - HR, TM + 2 * HR),
                 pl.ds(c0 + tj * TN - HC, TN + 2 * HC),
             ],
-            win.at[slot],
-            sem_in.at[slot],
+            win.at[s],
+            sem_in.at[s],
         )
 
-    def out_dma(z, s):
+    def out_dma(si, s):
         return pltpu.make_async_copy(
-            out_tile.at[s],
-            out_hbm.at[z0 + z, pl.ds(r0 + ti * TM, TM),
-                       pl.ds(c0 + tj * TN, TN)],
+            out_sl.at[s],
+            out_hbm.at[
+                pl.ds(z0 + si * slab, slab),
+                pl.ds(r0 + ti * TM, TM),
+                pl.ds(c0 + tj * TN, TN),
+            ],
             sem_out.at[s],
         )
 
-    def read_win(slot):
-        # static slot -> a view; dynamic slot -> a VMEM copy (avoid!)
-        if isinstance(slot, int):
-            return win[slot]
-        return win[pl.ds(slot, 1)][0]
-
-    def conv_term(t_idx, X):
+    def conv_plane(t_idx, X):
         if algorithm == "vpu":
             term = spec.terms[t_idx]
-            from ..models.shapes import SeparableTerm
             plane_term = SeparableTerm(taps=(term.taps[1], term.taps[2]))
             return apply_spec_vpu(X, _Plane2D(terms=(plane_term,)),
                                   (HR, HC), (0, 0), TM, TN)
@@ -140,92 +147,72 @@ def _stencil3d_kernel(
         return plane_conv(X, A, B, rr, rc, HR, HC, TM, TN,
                           compute_dtype, precision)
 
-    # interior mask: separable row/col float vectors (cheap, exact)
     gr = jax.lax.broadcasted_iota(jnp.int32, (TM, 1), 0) + ti * TM
     gc = jax.lax.broadcasted_iota(jnp.int32, (1, TN), 1) + tj * TN
     rm = (gr < m).astype(jnp.float32)
     cm = (gc < n).astype(jnp.float32)
 
-    # ---- prologue: stream planes 0..2 (clamped), conv 0 and 1 ----------
-    dmas = [plane_dma(min(zp, Hp - 1), zp % WIN_SLOTS) for zp in range(3)]
-    for d in dmas:
-        d.start()
-    dmas[0].wait()
-    dmas[1].wait()
-    for b, t_idx in enumerate(buffered_idx):
-        convbuf[b, 0] = conv_term(t_idx, read_win(0))
-        convbuf[b, 1] = conv_term(t_idx, read_win(1))
+    slab_dma(0, 0).start()
 
-    # ---- z sweep, unrolled by 12 so every ring index is static ---------
-    def sub_iter(z, phase):
-        """One output plane; `phase` = static z % UNROLL, so window (mod
-        4), conv (mod 3) and out (mod 2) ring slots are compile-time
-        constants and scratch reads are views, not VMEM copies."""
-        zp2 = z + 2
-        slot2 = (phase + 2) % WIN_SLOTS
-        nslot = (phase + 3) % WIN_SLOTS
-
-        @pl.when(z + 3 < Hp)
+    def sub_iter(si, sslot):
+        @pl.when(si + 1 < nslabs)
         def _():
-            plane_dma(z + 3, nslot).start()
+            slab_dma(si + 1, 1 - sslot).start()
 
-        plane_dma(zp2, slot2).wait()
+        slab_dma(si, sslot).wait()
+        W = win[sslot]  # static view: (slab+2, TM+2HR, TN+2HC)
         for b, t_idx in enumerate(buffered_idx):
-            convbuf[b, (phase + 2) % 3] = conv_term(t_idx, read_win(slot2))
+            for j in range(slab + 2):
+                convbuf[b, j] = conv_plane(t_idx, W[j])
 
-        acc = jnp.zeros((TM, TN), jnp.float32)
-        zc_phase = phase + 1              # center input plane phase
-        for t_idx in center_idx:
-            acc = acc + conv_term(t_idx, read_win(zc_phase % WIN_SLOTS))
-        for b, t_idx in enumerate(buffered_idx):
-            tz = spec.terms[t_idx].taps[0]
-            for dz in (-1, 0, 1):
-                w = float(tz[1 + dz])
-                if w != 0.0:
-                    acc = acc + w * convbuf[b, (zc_phase + dz) % 3]
-        for t_idx in identity_idx:
-            tz = spec.terms[t_idx].taps[0]
-            for dz in (-1, 0, 1):
-                w = float(tz[1 + dz])
-                if w != 0.0:
-                    Xs = read_win((zc_phase + dz) % WIN_SLOTS)
-                    acc = acc + w * Xs[HR: HR + TM, HC: HC + TN].astype(
-                        jnp.float32)
-        for (dz, dr, dc), w in spec.residue:
-            Xs = read_win((zc_phase + dz) % WIN_SLOTS)
-            acc = acc + w * Xs[
-                HR + dr: HR + dr + TM, HC + dc: HC + dc + TN
-            ].astype(jnp.float32)
-
-        acc = acc * rm * cm
-        oslot = phase % 2
-
-        @pl.when(z >= 2)
+        @pl.when(si >= 2)
         def _():
-            out_dma(z - 2, oslot).wait()
+            out_dma(si - 2, sslot).wait()
 
-        out_tile[oslot] = acc.astype(out_tile.dtype)
-        out_dma(z, oslot).start()
+        for j in range(slab):
+            acc = jnp.zeros((TM, TN), jnp.float32)
+            for t_idx in center_idx:
+                acc = acc + conv_plane(t_idx, W[j + 1])
+            for b, t_idx in enumerate(buffered_idx):
+                tz = spec.terms[t_idx].taps[0]
+                for dz in (-1, 0, 1):
+                    w = float(tz[1 + dz])
+                    if w != 0.0:
+                        acc = acc + w * convbuf[b, j + 1 + dz]
+            for t_idx in identity_idx:
+                tz = spec.terms[t_idx].taps[0]
+                for dz in (-1, 0, 1):
+                    w = float(tz[1 + dz])
+                    if w != 0.0:
+                        acc = acc + w * W[j + 1 + dz][
+                            HR: HR + TM, HC: HC + TN].astype(jnp.float32)
+            for (dz, dr, dc), w in spec.residue:
+                acc = acc + w * W[j + 1 + dz][
+                    HR + dr: HR + dr + TM, HC + dc: HC + dc + TN
+                ].astype(jnp.float32)
+            out_sl[sslot, j] = (acc * rm * cm).astype(out_sl.dtype)
 
-        @pl.when(z == H - 1)
+        out_dma(si, sslot).start()
+
+        @pl.when(si == nslabs - 1)
         def _():
-            out_dma(z, oslot).wait()
+            out_dma(si, sslot).wait()
 
-        @pl.when((z == H - 1) & (H >= 2))
+        @pl.when((si == nslabs - 1) & (nslabs >= 2))
         def _():
-            out_dma(z - 1, (phase + 1) % 2).wait()
+            out_dma(si - 1, 1 - sslot).wait()
 
-    def block(bi, _):
-        z0b = bi * UNROLL
-        for phase in range(UNROLL):
-            z = z0b + phase
+    def pair(bi, _):
+        si0 = bi * 2
+        sub_iter(si0, 0)
 
-            @pl.when(z < H)
-            def _():
-                sub_iter(z, phase)
+        @pl.when(si0 + 1 < nslabs)
+        def _():
+            sub_iter(si0 + 1, 1)
+
         return 0
 
-    jax.lax.fori_loop(0, pl.cdiv(H, UNROLL), block, 0)
+    jax.lax.fori_loop(0, pl.cdiv(nslabs, 2), pair, 0)
 
 
 @functools.partial(
@@ -245,6 +232,8 @@ def stencil3d_step(
 ) -> jax.Array:
     layout.validate()
     TM, TN = layout.tile
+    H = layout.interior[0]
+    slab = pick_slab(H, TM, TN, np.dtype(cur.dtype).itemsize)
 
     np_dtype = np.dtype(cur.dtype)
     mats_meta = []
@@ -268,7 +257,7 @@ def stencil3d_step(
         _stencil3d_kernel,
         spec=spec, layout=layout, mats_meta=mats_meta,
         compute_dtype=compute_dtype, precision=precision,
-        algorithm=algorithm,
+        algorithm=algorithm, slab=slab,
     )
     return pl.pallas_call(
         kernel,
@@ -278,11 +267,11 @@ def stencil3d_step(
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(mat_args),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((WIN_SLOTS, TM + 2 * SUBLANE, TN + 2 * LANE),
+            pltpu.VMEM((2, slab + 2, TM + 2 * SUBLANE, TN + 2 * LANE),
                        cur.dtype),
-            pltpu.VMEM((n_buf, 3, TM, TN), jnp.float32),
-            pltpu.VMEM((2, TM, TN), cur.dtype),
-            pltpu.SemaphoreType.DMA((WIN_SLOTS,)),
+            pltpu.VMEM((n_buf, slab + 2, TM, TN), jnp.float32),
+            pltpu.VMEM((2, slab, TM, TN), cur.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         input_output_aliases={1: 0},
