@@ -58,6 +58,27 @@ def pivot_peel(
     return PeelResult(terms=tuple(terms), residual=R)
 
 
+def greedy_peel(S: np.ndarray, max_rank: int = 6,
+                tol: float = 1e-12) -> PeelResult:
+    """Rank-1 peel at the largest-magnitude pivot, repeatedly.
+
+    For sparse integer-valued residue matrices (e.g. star2d1r's 8-point
+    residue) this yields a small set of separable terms with simple
+    rational taps -- ideal for exact bf16-split MXU evaluation."""
+    R = np.asarray(S, dtype=np.float64).copy()
+    terms = []
+    for _ in range(max_rank):
+        idx = np.unravel_index(np.argmax(np.abs(R)), R.shape)
+        p = R[idx]
+        if abs(p) <= tol:
+            break
+        u = R[:, idx[1]].copy() / p
+        v = R[idx[0], :].copy()
+        R = R - np.outer(u, v)
+        terms.append((u, v))
+    return PeelResult(terms=tuple(terms), residual=R)
+
+
 def svd_decompose(S: np.ndarray, max_rank: int, tol: float = 1e-10) -> PeelResult:
     """Rank-truncated SVD of ``S``: terms (u_t, v_t) with residual."""
     S = np.asarray(S, dtype=np.float64)

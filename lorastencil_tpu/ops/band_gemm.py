@@ -16,7 +16,8 @@ import numpy as np
 from ..models.factorize import banded_matrix
 from .layout import LANE
 
-__all__ = ["term_band_mats", "plane_conv", "apply_spec_vpu", "mm"]
+__all__ = ["term_band_mats", "plane_conv", "apply_spec_vpu",
+           "apply_terms_mxu_split", "mm"]
 
 
 def term_band_mats(term, dtype):
@@ -65,6 +66,106 @@ def plane_conv(X, A, B, rr, rc, HR, HC, TM, TN, compute_dtype, precision):
     else:
         Z = Y[HR: HR + TM, :]
     return Z.astype(jnp.float32)
+
+
+def _col_chunks(C):
+    """Chunk an output-column extent into <=128-wide pieces."""
+    out = []
+    c = 0
+    while c < C:
+        s = min(LANE, C - c)
+        out.append((c, s))
+        c += s
+    return out
+
+
+def split_bf16(x):
+    """Exact hi/lo bf16 split of an fp32 array: x == hi + lo in fp32."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_split(ah, al, bh, bl, left=False):
+    """fp32-accurate product of split operands on the MXU.
+
+    a = ah + al (bf16 split of fp32), b = bh [+ bl].  Each bf16 x bf16
+    product is exact in the fp32 accumulator; dropping al x bl (when bl
+    exists) is below fp32 epsilon.  2 matmuls for bf16-exact taps, 3
+    otherwise -- vs 6 passes for Mosaic's HIGHEST, and exact where
+    HIGHEST is not."""
+    def d(a, b):
+        return (jnp.dot(b, a, preferred_element_type=jnp.float32) if left
+                else jnp.dot(a, b, preferred_element_type=jnp.float32))
+
+    out = d(ah, bh) + d(al, bh)
+    if bl is not None:
+        out = out + d(ah, bl)
+    return out
+
+
+def apply_terms_mxu_split(Xh, Xl, mats, e_in, e_out, TM, TN):
+    """One full 2-D stencil application as split-fp32 banded MXU matmuls.
+
+    ``Xh``/``Xl``: bf16 hi/lo split of the fp32 window (split_bf16).
+    ``mats``: per separable term (Ah, Al, Bh, Bl, rr, rc); A*/B* are bf16
+    banded matrices (lo parts None when taps are bf16-exact; identity
+    axes have Ah/Bh None).  Extents as in apply_spec_vpu.  Returns
+    float32 (TM + 2*er_out, TN + 2*ec_out).
+    """
+    er_i, ec_i = e_in
+    er_o, ec_o = e_out
+    R = TM + 2 * er_o
+    C = TN + 2 * ec_o
+    off_r = er_i - er_o
+    off_c = ec_i - ec_o
+    acc = None
+
+    for (Ah, Al, Bh, Bl, rr, rc) in mats:
+        if Bh is not None:
+            # column conv over rows [off_r - rr, off_r - rr + R + 2rr)
+            rlo = off_r - rr
+            rhi = rlo + R + 2 * rr
+            parts = []
+            for (c0, s) in _col_chunks(C):
+                Bc = Bh if s == LANE else Bh[: s + 2 * rc, :s]
+                Bcl = None if Bl is None else (
+                    Bl if s == LANE else Bl[: s + 2 * rc, :s])
+                xh = Xh[rlo:rhi, off_c + c0 - rc: off_c + c0 + rc + s]
+                xl = Xl[rlo:rhi, off_c + c0 - rc: off_c + c0 + rc + s]
+                parts.append(_dot_split(xh, xl, Bc, Bcl))
+            Y = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+            if Ah is not None:
+                Yh, Yl = split_bf16(Y)
+                zparts = []
+                for (r0c, s) in _col_chunks(R):
+                    Ar = Ah if s == LANE else Ah[:s, : s + 2 * rr]
+                    Arl = None if Al is None else (
+                        Al if s == LANE else Al[:s, : s + 2 * rr])
+                    yh = Yh[r0c: r0c + s + 2 * rr, :]
+                    yl = Yl[r0c: r0c + s + 2 * rr, :]
+                    zparts.append(_dot_split(yh, yl, Ar, Arl, left=True))
+                Z = (jnp.concatenate(zparts, axis=0)
+                     if len(zparts) > 1 else zparts[0])
+            else:
+                Z = Y[rr: rr + R, :] if rr else Y
+        else:
+            # row-only conv straight off the window split
+            parts = []
+            for (r0c, s) in _col_chunks(R):
+                Ar = Ah if s == LANE else Ah[:s, : s + 2 * rr]
+                Arl = None if Al is None else (
+                    Al if s == LANE else Al[:s, : s + 2 * rr])
+                xh = Xh[off_r + r0c - rr: off_r + r0c + rr + s,
+                        off_c: off_c + C]
+                xl = Xl[off_r + r0c - rr: off_r + r0c + rr + s,
+                        off_c: off_c + C]
+                parts.append(_dot_split(xh, xl, Ar, Arl, left=True))
+            Z = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        acc = Z if acc is None else acc + Z
+    if acc is None:
+        acc = jnp.zeros((R, C), jnp.float32)
+    return acc
 
 
 def apply_spec_vpu(X, spec2d, e_in, e_out, TM, TN):

@@ -38,8 +38,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..models.shapes import StencilSpec
-from .band_gemm import apply_spec_vpu, plane_conv, term_band_mats
+from ..models.shapes import SeparableTerm, StencilSpec
+from .band_gemm import (apply_spec_vpu, apply_terms_mxu_split, plane_conv,
+                        split_bf16, term_band_mats)
 from .layout import LANE, SUBLANE, Layout2D
 
 
@@ -52,12 +53,14 @@ def _stencil2d_kernel(
     spec: StencilSpec,
     layout: Layout2D,
     mats_meta,
+    mats_meta_lo,
     compute_dtype,
     precision,
     algorithm,
     fused_steps,
 ):
     n_mats = sum(int(has_a) + int(has_b) for has_a, _, has_b, _ in mats_meta)
+    n_mats += sum(int(a) + int(b) for a, b in mats_meta_lo)
     mat_refs = mat_refs_and_out[:n_mats]
     out_hbm = mat_refs_and_out[n_mats]
     win = mat_refs_and_out[n_mats + 1]      # (2, TM+2HR, TN+2HC) dbl-buffered
@@ -135,19 +138,42 @@ def _stencil2d_kernel(
         cm = ((gc >= 0) & (gc < n)).astype(val.dtype)
         return val * rm * cm
 
-    if algorithm == "vpu" or fused_steps > 1:
+    if algorithm in ("vpu", "mxu_split") or fused_steps > 1:
         # k fused timesteps per HBM round trip: shrink the compute extent
         # by the radius per substep, masking intermediates to the global
         # interior so the reference's halo-decay semantics hold exactly.
         # Each substep materializes into ping-pong VMEM scratch so Mosaic
         # does not keep every unrolled substep's temporaries live at once
         # (that blows the 16M scoped-vmem budget for k >= 4).
+        if algorithm == "mxu_split":
+            split_mats = []
+            mi = 0
+            for (has_a, rr, has_b, rc) in mats_meta:
+                Ah = Al = Bh = Bl = None
+                if has_a:
+                    Ah = mat_refs[mi][:]
+                    mi += 1
+                    if mats_meta_lo[len(split_mats)][0]:
+                        Al = mat_refs[mi][:]
+                        mi += 1
+                if has_b:
+                    Bh = mat_refs[mi][:]
+                    mi += 1
+                    if mats_meta_lo[len(split_mats)][1]:
+                        Bl = mat_refs[mi][:]
+                        mi += 1
+                split_mats.append((Ah, Al, Bh, Bl, rr, rc))
         cur = X
         e_in = (HR, HC)
         for s in range(fused_steps):
             left = fused_steps - 1 - s
             e_out = (left * r, left * r)
-            val = apply_spec_vpu(cur, spec, e_in, e_out, TM, TN)
+            if algorithm == "mxu_split":
+                xh, xl = split_bf16(cur)
+                val = apply_terms_mxu_split(xh, xl, split_mats, e_in, e_out,
+                                            TM, TN)
+            else:
+                val = apply_spec_vpu(cur, spec, e_in, e_out, TM, TN)
             val = mask_to_interior(val, *e_out)
             if s < fused_steps - 1:
                 R, C = TM + 2 * e_out[0], TN + 2 * e_out[1]
@@ -233,12 +259,18 @@ def stencil2d_step(
     """
     layout.validate()
     TM, TN = layout.tile
+    if algorithm not in ("vpu", "mxu", "mxu_split"):
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}; expected 'vpu', 'mxu' or "
+            f"'mxu_split'")
     if fused_steps > 1:
-        assert algorithm == "vpu", "temporal fusion needs algorithm='vpu'"
+        assert algorithm in ("vpu", "mxu_split"), (
+            "temporal fusion needs algorithm='vpu' or 'mxu_split'")
     assert layout.guard[0] >= fused_steps * spec.radius
     assert layout.guard[1] >= fused_steps * spec.radius
     np_dtype = np.dtype(cur.dtype)
     mats_meta = []
+    mats_meta_lo = []
     mat_args = []
     if algorithm == "mxu":
         for term in spec.terms:
@@ -251,13 +283,61 @@ def stencil2d_step(
                 mat_args.append(jnp.asarray(A))
             if B is not None:
                 mat_args.append(jnp.asarray(B))
+    elif algorithm == "mxu_split":
+        from ..models import factorize
+
+        eff_terms = list(spec.terms)
+        if spec.residue:
+            # convert the sparse residue into separable terms (greedy
+            # max-pivot peel); star2d1r's 8-point residue is rank 3.
+            full = 2 * spec.radius + 1
+            Rm = np.zeros((full, full))
+            for off, w in spec.residue:
+                Rm[spec.radius + off[0], spec.radius + off[1]] += w
+            pr = factorize.greedy_peel(Rm, max_rank=6)
+            if np.abs(pr.residual).max() > 1e-12:
+                raise ValueError(
+                    "residue not separable within rank 6; use "
+                    "algorithm='vpu'")
+
+            def norm_taps(t):
+                # centered delta == identity axis: skip its matmul
+                t = np.asarray(t, np.float64)
+                d = np.zeros_like(t)
+                d[t.size // 2] = 1.0
+                return None if np.array_equal(t, d) else tuple(t)
+
+            eff_terms += [
+                SeparableTerm(taps=(norm_taps(u), norm_taps(v)))
+                for u, v in pr.terms
+            ]
+        for term in eff_terms:
+            A, B = term_band_mats(term, np.float64)
+            row_taps, col_taps = term.taps
+            rr = (len(row_taps) - 1) // 2 if row_taps is not None else 0
+            rc = (len(col_taps) - 1) // 2 if col_taps is not None else 0
+            mats_meta.append((A is not None, rr, B is not None, rc))
+            lo_flags = [False, False]
+            for i, M in enumerate((A, B)):
+                if M is None:
+                    continue
+                Mh = M.astype(np.float32).astype(jnp.bfloat16)
+                Ml = (M.astype(np.float32)
+                      - np.asarray(Mh, np.float32)).astype(jnp.bfloat16)
+                mat_args.append(jnp.asarray(Mh))
+                if np.any(np.asarray(Ml, np.float32) != 0.0):
+                    mat_args.append(jnp.asarray(Ml))
+                    lo_flags[i] = True
+            mats_meta_lo.append(tuple(lo_flags))
     mats_meta = tuple(mats_meta)
+    mats_meta_lo = tuple(mats_meta_lo)
 
     kernel = functools.partial(
         _stencil2d_kernel,
         spec=spec,
         layout=layout,
         mats_meta=mats_meta,
+        mats_meta_lo=mats_meta_lo,
         compute_dtype=compute_dtype,
         precision=precision,
         algorithm=algorithm,

@@ -64,3 +64,18 @@ def test_layout_roundtrip():
     w = np.arange(8 * 24 * 158, dtype=np.float32).reshape(8, 24, 158)
     np.testing.assert_array_equal(
         np.asarray(l3.from_internal(l3.to_internal(w))), w)
+
+
+@pytest.mark.parametrize("name", ["star2d1r", "box2d3r", "star2d3r"])
+@pytest.mark.parametrize("k", [1, 4])
+def test_engine_mxu_split(name, k):
+    """Split-fp32 MXU path: ~1e-5 accurate (16 of 24 mantissa bits),
+    residues converted to separable terms by the greedy peel."""
+    spec = shapes.get_shape(name)
+    g0 = reference.random_padded(spec, (40, 200), seed=9)
+    eng = engine.StencilEngine.for_shape(name, (40, 200),
+                                         algorithm="mxu_split",
+                                         fused_steps=k)
+    got = np.asarray(eng.run(jnp.asarray(g0, jnp.float32), 5), np.float64)
+    want = reference.run(g0, spec, 5)
+    assert np.abs(got - want).max() / np.abs(want).max() < 2e-5
