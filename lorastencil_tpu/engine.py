@@ -161,10 +161,10 @@ class StencilEngine:
             return out
         if self.spec.ndim == 1:
             from .ops import pallas_1d
-            assert fused_k == 1
             return pallas_1d.stencil1d_step(
                 cur, donor, self.spec, self.layout,
-                precision=self.precision, interpret=self.interpret)
+                precision=self.precision, interpret=self.interpret,
+                fused_steps=fused_k)
         if self.spec.ndim == 2:
             from .ops import pallas_2d
             return pallas_2d.stencil2d_step(
@@ -179,9 +179,13 @@ class StencilEngine:
             algorithm=self.config.algorithm)
 
     def _fused_k(self) -> int:
-        if self.spec.ndim != 2 or self.backend == "xla":
+        if self.spec.ndim == 3 or self.backend == "xla":
             return 1
-        return max(1, self.config.fused_steps)
+        k = max(1, self.config.fused_steps)
+        if self.spec.ndim == 1:
+            from .ops.layout import SUBLANE
+            return min(k, SUBLANE)
+        return k
 
     def _run_internal(self, state, steps: int):
         if steps == 0:

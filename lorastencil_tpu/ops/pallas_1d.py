@@ -45,7 +45,7 @@ def _window_band_1d(taps, dtype) -> np.ndarray:
 
 def _stencil1d_kernel(
     in_hbm, donor_hbm, band_ref, out_hbm, win, out_tile, sem_in, sem_out,
-    *, layout: Layout1D, n: int, _taps,
+    *, layout: Layout1D, n: int, _taps, fused_steps: int,
 ):
     TR = layout.tile_rows
     (g,) = layout.grid
@@ -78,40 +78,50 @@ def _stencil1d_kernel(
     in_dma(ti, slot).wait()
 
     del band_ref  # kept as an input for the (inexact) MXU variant
-    W = win[pl.ds(slot, 1)][0]
-    # Exact fp32 on the VPU: flat shift by d = lane roll of this row,
-    # with the wrapped lanes taken from the adjacent row's roll (the
-    # flat array wraps every 128 lanes).  An MXU banded matmul would be
-    # one op but runs at bf16 pass precision (measured 1.6e-3 rel err).
     taps = _taps  # closed over, static
     r = (len(taps) - 1) // 2
-    mid = W[SUBLANE: SUBLANE + TR, :]
-    up = W[SUBLANE + 1: SUBLANE + 1 + TR, :]
-    dn = W[SUBLANE - 1: SUBLANE - 1 + TR, :]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE), 1)
-    acc = jnp.zeros((TR, LANE), jnp.float32)
-    if taps[r] != 0.0:
-        acc = acc + taps[r] * mid
-    for d in range(1, r + 1):
-        wp = taps[r + d]
-        if wp != 0.0:
-            # left-roll by d == circular roll by LANE - d (roll takes
-            # non-negative shifts only)
-            sh = jnp.where(lane < LANE - d,
-                           pltpu.roll(mid, LANE - d, 1),
-                           pltpu.roll(up, LANE - d, 1))
-            acc = acc + wp * sh
-        wm = taps[r - d]
-        if wm != 0.0:
-            sh = jnp.where(lane >= d,
-                           pltpu.roll(mid, d, 1), pltpu.roll(dn, d, 1))
-            acc = acc + wm * sh
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TR + 2 * SUBLANE, LANE), 1)
 
-    # zero cells beyond the true interior (flat index >= n)
-    gr = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE), 0) + ti * TR
-    gc = jax.lax.broadcasted_iota(jnp.int32, (TR, LANE), 1)
-    flat = gr * LANE + gc
-    acc = jnp.where(flat < n, acc, 0.0)
+    def conv_full(W):
+        """One exact-fp32 VPU step over the FULL (TR+16, 128) window:
+        flat shift by d = lane roll of each row, wrapped lanes from the
+        adjacent row's roll (the flat array wraps every 128 lanes).
+        The outermost rows read garbage (no halo beyond the window);
+        with k fused substeps the garbage creeps 4k flat cells inward,
+        well inside the 8-row (1024-cell) window halo."""
+        R = W.shape[0]
+        up = pltpu.roll(W, R - 1, 0)   # up[i] = W[i+1] (last row wraps)
+        dn = pltpu.roll(W, 1, 0)       # dn[i] = W[i-1] (first row wraps)
+        acc = jnp.zeros(W.shape, jnp.float32)
+        if taps[r] != 0.0:
+            acc = acc + taps[r] * W
+        for d in range(1, r + 1):
+            wp = taps[r + d]
+            if wp != 0.0:
+                # left-roll by d == circular roll by LANE - d (roll
+                # takes non-negative shifts only)
+                sh = jnp.where(lane < LANE - d,
+                               pltpu.roll(W, LANE - d, 1),
+                               pltpu.roll(up, LANE - d, 1))
+                acc = acc + wp * sh
+            wm = taps[r - d]
+            if wm != 0.0:
+                sh = jnp.where(lane >= d,
+                               pltpu.roll(W, d, 1), pltpu.roll(dn, d, 1))
+                acc = acc + wm * sh
+        return acc
+
+    # interior mask over the full window extent (reference halo decay:
+    # every substep zeroes cells outside flat [0, n))
+    grw = (jax.lax.broadcasted_iota(jnp.int32, (TR + 2 * SUBLANE, LANE), 0)
+           + ti * TR - SUBLANE)
+    flatw = grw * LANE + lane
+    wmask = ((flatw >= 0) & (flatw < n)).astype(jnp.float32)
+
+    cur = win[pl.ds(slot, 1)][0]
+    for _ in range(fused_steps):
+        cur = conv_full(cur) * wmask
+    acc = cur[SUBLANE: SUBLANE + TR, :]
 
     @pl.when(ti >= 2)
     def _():
@@ -130,25 +140,30 @@ def _stencil1d_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spec", "layout", "precision", "interpret")
+    jax.jit, static_argnames=("spec", "layout", "precision", "interpret",
+                              "fused_steps")
 )
 def stencil1d_step(
     cur: jax.Array,
     donor: jax.Array,
     spec: StencilSpec,
     layout: Layout1D,
-    precision=jax.lax.Precision.HIGHEST,  # noqa: ARG001 (fp32 band is exact)
+    precision=jax.lax.Precision.HIGHEST,  # noqa: ARG001 (VPU path is exact)
     interpret: bool = False,
+    fused_steps: int = 1,
 ) -> jax.Array:
     layout.validate()
     TR = layout.tile_rows
     assert len(spec.terms) == 1 and spec.residue == ()
+    # garbage from the windowless edge creeps one row per fused substep;
+    # the window halo is SUBLANE rows on each side.
+    assert 1 <= fused_steps <= SUBLANE
     (taps,) = spec.terms[0].taps
     band = jnp.asarray(_window_band_1d(taps, np.dtype(cur.dtype)))
 
     kernel = functools.partial(
         _stencil1d_kernel, layout=layout, n=layout.interior,
-        _taps=tuple(float(t) for t in taps),
+        _taps=tuple(float(t) for t in taps), fused_steps=fused_steps,
     )
     return pl.pallas_call(
         kernel,
