@@ -23,7 +23,6 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -113,7 +113,6 @@ def dense_step_2d(grid: np.ndarray, S: np.ndarray, halo) -> np.ndarray:
     utils/reference.dense_step."""
     lib = load()
     if lib is None:
-        from ..models.shapes import get_shape  # pragma: no cover
         raise RuntimeError("native library not built")
     grid = np.ascontiguousarray(grid, dtype=np.float64)
     S = np.ascontiguousarray(S, dtype=np.float64)

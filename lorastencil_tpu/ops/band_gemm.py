@@ -9,9 +9,7 @@ banded DMMA parameter matrices (``/root/reference/src/2d/gpu.cu:353-387``).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..models.factorize import banded_matrix
 from .layout import LANE

@@ -19,9 +19,9 @@ Interior cells beyond the true interior (tile round-up) are masked to zero
 by the kernels so they never leak into real cells on later steps.
 
 1-D uses a flattened 2-D view: the padded 1-D array is stored row-major in
-a ``(rows, 128)`` buffer where flat index = row*128 + lane, with a one-row
-guard top and bottom; the user halo (4 cells) occupies the last lanes of
-the guard row.
+a ``(rows, 128)`` buffer where flat index = row*128 + lane, with an
+8-row guard top and bottom (so per-tile DMA offsets stay sublane-aligned);
+the user halo (4 cells) occupies the last lanes of the guard.
 """
 
 from __future__ import annotations
@@ -30,7 +30,6 @@ import dataclasses
 from typing import Tuple
 
 import jax.numpy as jnp
-import numpy as np
 
 LANE = 128
 SUBLANE = 8

@@ -30,7 +30,6 @@ reference's zero-initialized ping-pong buffers (``src/2d/gpu.cu:396-400``).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ The whole multi-step loop is one jitted shard_map program.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -28,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.shapes import StencilSpec, get_shape
-from ..ops.layout import LANE, SUBLANE, Layout2D, default_tile_2d
+from ..ops.layout import Layout2D, default_tile_2d
 
 
 def make_mesh(shape: Tuple[int, ...], axis_names=("x", "y"),

@@ -13,8 +13,6 @@ from __future__ import annotations
 import contextlib
 import dataclasses
 
-import numpy as np
-
 from ..models.shapes import StencilSpec
 
 
