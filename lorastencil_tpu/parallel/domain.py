@@ -349,9 +349,124 @@ class ShardedStencil3D:
         return self.from_sharded(out)
 
 
+class ShardedStencil1D:
+    """Domain-decomposed 1-D stencil over a 1-D mesh: each device owns a
+    contiguous flat block; per step the 4-cell edge strips ppermute to the
+    neighbors' guard cells (the user halo positions), then the single-chip
+    kernel runs locally."""
+
+    def __init__(self, spec: StencilSpec, interior: int,
+                 config: ShardedConfig, mesh: Optional[Mesh] = None):
+        assert spec.ndim == 1
+        from ..ops.layout import LANE, Layout1D
+
+        self.spec = spec
+        self.config = config
+        (dx,) = config.mesh_shape[:1]
+        assert interior % dx == 0 and (interior // dx) % LANE == 0, (
+            "local block must be lane-aligned")
+        self.interior = interior
+        self.local_interior = interior // dx
+        self.dx = dx
+        self.mesh = mesh if mesh is not None else make_mesh((dx,), ("x",))
+        rows = max(8, min(512, 8 * (-(-self.local_interior // (8 * 128)))))
+        self.layout = Layout1D(interior=self.local_interior,
+                               halo=spec.halo[0], tile_rows=rows)
+        self.interpret = (config.interpret if config.interpret is not None
+                          else jax.default_backend() != "tpu")
+        self._run_jit = jax.jit(self._run, static_argnames=("steps",))
+
+    def _exchange(self, buf):
+        h = self.spec.halo[0]
+        n = self.local_interior
+        o = self.layout.origin
+        dx = self.dx
+        flat = buf.reshape(-1)
+        ix = jax.lax.axis_index("x")
+
+        def shift(x, fwd):
+            if dx == 1:
+                return jnp.zeros_like(x)
+            perm = [(i, i + 1) for i in range(dx - 1)] if fwd else \
+                   [(i + 1, i) for i in range(dx - 1)]
+            return jax.lax.ppermute(x, "x", perm)
+
+        head = flat[o: o + h]
+        tail = flat[o + n - h: o + n]
+        from_left = shift(tail, True)
+        from_right = shift(head, False)
+        flat = flat.at[o - h: o].set(
+            jnp.where(ix > 0, from_left, flat[o - h: o]))
+        flat = flat.at[o + n: o + n + h].set(
+            jnp.where(ix < dx - 1, from_right, flat[o + n: o + n + h]))
+        return flat.reshape(buf.shape)
+
+    def _local_step(self, cur, donor):
+        from ..ops import pallas_1d
+
+        cur = self._exchange(cur)
+        return pallas_1d.stencil1d_step(
+            cur, donor, self.spec, self.layout, interpret=self.interpret)
+
+    def _run(self, state, steps: int):
+        from jax.experimental.shard_map import shard_map
+
+        def body_fn(local):
+            if steps == 0:
+                return local
+            new = self._local_step(local, jnp.zeros_like(local))
+            if steps == 1:
+                return new
+
+            def body(_, carry):
+                cur, spare = carry
+                return (self._local_step(cur, spare), cur)
+
+            final, _ = jax.lax.fori_loop(
+                1, steps, body, (new, jnp.zeros_like(local)))
+            return final
+
+        fn = shard_map(body_fn, mesh=self.mesh,
+                       in_specs=P("x", None), out_specs=P("x", None),
+                       check_rep=False)
+        return fn(state)
+
+    def to_sharded(self, padded):
+        h = self.spec.halo[0]
+        n = self.local_interior
+        o = self.layout.origin
+        R, L = self.layout.shape
+        padded = jnp.asarray(padded, jnp.float32)
+        out = jnp.zeros((self.dx * R * L,), jnp.float32)
+        for i in range(self.dx):
+            src = padded[i * n: i * n + n + 2 * h]
+            out = out.at[i * R * L + o - h: i * R * L + o + n + h].set(src)
+        return jax.device_put(
+            out.reshape(self.dx * R, L),
+            NamedSharding(self.mesh, P("x", None)))
+
+    def from_sharded(self, state):
+        h = self.spec.halo[0]
+        n = self.local_interior
+        o = self.layout.origin
+        R, L = self.layout.shape
+        flat = state.reshape(-1)
+        out = jnp.zeros((self.interior + 2 * h,), state.dtype)
+        for i in range(self.dx):
+            out = out.at[h + i * n: h + (i + 1) * n].set(
+                flat[i * R * L + o: i * R * L + o + n])
+        return out
+
+    def run(self, padded, steps: int):
+        state = self.to_sharded(padded)
+        return self.from_sharded(self._run_jit(state, steps=steps))
+
+
 def sharded_engine(name: str, interior, mesh_shape, **kw):
     spec = get_shape(name)
     cfg = ShardedConfig(mesh_shape=tuple(mesh_shape), **kw)
     if spec.ndim == 3:
         return ShardedStencil3D(spec, tuple(interior), cfg)
+    if spec.ndim == 1:
+        return ShardedStencil1D(spec, int(np.atleast_1d(interior)[0]), cfg)
     return ShardedStencil2D(spec, tuple(interior), cfg)

@@ -50,3 +50,15 @@ def test_sharded_3d_matches_reference(name):
     want = reference.run(g0, spec, 3)
     err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
     assert err < 1e-6, err
+
+
+@pytest.mark.parametrize("name", ["1d1r", "1d2r"])
+def test_sharded_1d_matches_reference(name):
+    spec = shapes.get_shape(name)
+    interior = 8 * 128 * 4  # 4096, lane-aligned per device
+    g0 = reference.random_padded(spec, (interior,), seed=17)
+    sh = domain.sharded_engine(name, interior, (8,))
+    got = np.asarray(sh.run(g0, 3), np.float64)
+    want = reference.run(g0, spec, 3)
+    err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert err < 1e-6, err
