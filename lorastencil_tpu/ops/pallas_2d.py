@@ -57,16 +57,22 @@ def _stencil2d_kernel(
     precision,
     algorithm,
     fused_steps,
+    has_bounds,
 ):
     n_mats = sum(int(has_a) + int(has_b) for has_a, _, has_b, _ in mats_meta)
     n_mats += sum(int(a) + int(b) for a, b in mats_meta_lo)
-    mat_refs = mat_refs_and_out[:n_mats]
-    out_hbm = mat_refs_and_out[n_mats]
-    win = mat_refs_and_out[n_mats + 1]      # (2, TM+2HR, TN+2HC) dbl-buffered
-    out_tile = mat_refs_and_out[n_mats + 2]  # (2, TM, TN) dbl-buffered
-    work = mat_refs_and_out[n_mats + 3]      # (2, ...) fused-substep staging
-    sem_in = mat_refs_and_out[n_mats + 4]    # (2,)
-    sem_out = mat_refs_and_out[n_mats + 5]   # (2,)
+    bounds_ref = None
+    rest = mat_refs_and_out
+    if has_bounds:
+        bounds_ref = rest[0]
+        rest = rest[1:]
+    mat_refs = rest[:n_mats]
+    out_hbm = rest[n_mats]
+    win = rest[n_mats + 1]      # (2, TM+2HR, TN+2HC) dbl-buffered
+    out_tile = rest[n_mats + 2]  # (2, TM, TN) dbl-buffered
+    work = rest[n_mats + 3]      # (2, ...) fused-substep staging
+    sem_in = rest[n_mats + 4]    # (2,)
+    sem_out = rest[n_mats + 5]   # (2,)
 
     TM, TN = layout.tile
     m, n = layout.interior
@@ -125,6 +131,15 @@ def _stencil2d_kernel(
     X = win[pl.ds(slot, 1)][0]
     r = spec.radius
 
+    if has_bounds:
+        # dynamic global-interior bounds in local coordinates (sharded
+        # fused runs: interior devices must NOT mask ring-region
+        # intermediates that hold exchanged neighbor data)
+        b_rlo, b_rhi = bounds_ref[0], bounds_ref[1]
+        b_clo, b_chi = bounds_ref[2], bounds_ref[3]
+    else:
+        b_rlo, b_rhi, b_clo, b_chi = 0, m, 0, n
+
     def mask_to_interior(val, er, ec):
         """Zero cells outside the true global interior (reference halo
         decay + tile round-up guard), on an extent-(er, ec) array.
@@ -133,8 +148,8 @@ def _stencil2d_kernel(
         R, C = TM + 2 * er, TN + 2 * ec
         gr = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) + ti * TM - er
         gc = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1) + tj * TN - ec
-        rm = ((gr >= 0) & (gr < m)).astype(val.dtype)
-        cm = ((gc >= 0) & (gc < n)).astype(val.dtype)
+        rm = ((gr >= b_rlo) & (gr < b_rhi)).astype(val.dtype)
+        cm = ((gc >= b_clo) & (gc < b_chi)).astype(val.dtype)
         return val * rm * cm
 
     if algorithm in ("vpu", "mxu_split") or fused_steps > 1:
@@ -247,6 +262,7 @@ def stencil2d_step(
     interpret: bool = False,
     algorithm: str = "mxu",
     fused_steps: int = 1,
+    bounds: "jax.Array | None" = None,
 ) -> jax.Array:
     """``fused_steps`` timesteps on the internal layout in one kernel.
 
@@ -341,14 +357,19 @@ def stencil2d_step(
         precision=precision,
         algorithm=algorithm,
         fused_steps=fused_steps,
+        has_bounds=bounds is not None,
     )
     grid = layout.grid
     HR, HC = layout.guard
+    bounds_args = [] if bounds is None else [jnp.asarray(bounds, jnp.int32)]
+    bounds_specs = [] if bounds is None else [
+        pl.BlockSpec(memory_space=pltpu.SMEM)]
     return pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=jax.ShapeDtypeStruct(cur.shape, cur.dtype),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
+        + bounds_specs
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(mat_args),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -366,4 +387,4 @@ def stencil2d_step(
         ],
         input_output_aliases={1: 0},
         interpret=interpret,
-    )(cur, donor, *mat_args)
+    )(cur, donor, *bounds_args, *mat_args)

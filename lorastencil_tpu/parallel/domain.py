@@ -45,6 +45,10 @@ class ShardedConfig:
     tile: Optional[Tuple[int, int]] = None
     precision: str = "highest"
     interpret: Optional[bool] = None
+    algorithm: str = "vpu"
+    # timesteps fused per halo exchange (2-D): one ppermute round per k
+    # steps with k*radius-deep halos -- k fewer collectives per step.
+    fused_steps: int = 1
 
 
 class ShardedStencil2D:
@@ -63,8 +67,22 @@ class ShardedStencil2D:
         self.local_interior = (gm // dx, gn // dy)
         self.mesh = mesh if mesh is not None else make_mesh((dx, dy))
         tile = config.tile or default_tile_2d(*self.local_interior)
+        from ..ops.layout import LANE, SUBLANE
+
+        k = max(1, config.fused_steps)
+        self.fused_steps = k
+        # exchange depth per pass: k*radius cells feed the fused substeps
+        self.depth = max(max(spec.halo), k * spec.radius)
+        guard_r = SUBLANE * (-(-self.depth // SUBLANE))
+        assert self.depth <= LANE
+        if k > 1:
+            # fused sharded runs forbid tile round-up (fake-interior cells
+            # would alias the exchanged guard ring)
+            lm, ln = self.local_interior
+            assert lm % tile[0] == 0 and ln % tile[1] == 0, (
+                "fused sharded runs need tile-aligned local blocks")
         self.layout = Layout2D(interior=self.local_interior, halo=spec.halo,
-                               tile=tile)
+                               tile=tile, guard=(guard_r, LANE))
         self.precision = (jax.lax.Precision.HIGHEST
                           if config.precision == "highest"
                           else jax.lax.Precision.DEFAULT)
@@ -75,9 +93,10 @@ class ShardedStencil2D:
     # -- halo exchange ----------------------------------------------------
     def _exchange(self, buf):
         """Fill the local guard ring from neighbors (zero at the global
-        boundary).  buf: local internal buffer."""
+        boundary) to ``self.depth`` cells -- deep enough for a whole
+        fused pass.  buf: local internal buffer."""
         spec, lay = self.spec, self.layout
-        hm, hn = spec.halo
+        hm = hn = self.depth
         m, n = lay.interior
         r0, c0 = lay.origin
         dx, dy = self.config.mesh_shape
@@ -119,13 +138,24 @@ class ShardedStencil2D:
         return buf
 
     # -- per-device step ----------------------------------------------------
-    def _local_step(self, cur, donor):
+    def _local_step(self, cur, donor, fused_k):
         from ..ops import pallas_2d
 
         cur = self._exchange(cur)
+        lm, ln = self.local_interior
+        gm, gn = self.interior
+        ix = jax.lax.axis_index("x")
+        iy = jax.lax.axis_index("y")
+        # global-interior bounds in local coordinates: interior devices
+        # must not mask ring intermediates holding exchanged data
+        bounds = jnp.stack([
+            -ix * lm, gm - ix * lm, -iy * ln, gn - iy * ln,
+        ]).astype(jnp.int32)
         return pallas_2d.stencil2d_step(
             cur, donor, self.spec, self.layout,
             precision=self.precision, interpret=self.interpret,
+            algorithm=self.config.algorithm, fused_steps=fused_k,
+            bounds=bounds,
         )
 
     def _run(self, state, steps: int):
@@ -133,20 +163,29 @@ class ShardedStencil2D:
         (dx * Mp_loc, dy * Np_loc), sharded P('x', 'y')."""
         from jax.experimental.shard_map import shard_map
 
+        k = self.fused_steps
+
         def body_fn(local):
-            if steps == 0:
-                return local
-            new = self._local_step(local, jnp.zeros_like(local))
-            if steps == 1:
-                return new
+            def loop(state, n_passes, kk, first_spare):
+                if n_passes == 0:
+                    return state
+                new = self._local_step(state, first_spare, kk)
+                if n_passes == 1:
+                    return new
 
-            def body(_, carry):
-                cur, spare = carry
-                return (self._local_step(cur, spare), cur)
+                def body(_, carry):
+                    cur, spare = carry
+                    return (self._local_step(cur, spare, kk), cur)
 
-            final, _ = jax.lax.fori_loop(
-                1, steps, body, (new, jnp.zeros_like(local)))
-            return final
+                final, _ = jax.lax.fori_loop(
+                    1, n_passes, body, (new, jnp.zeros_like(state)))
+                return final
+
+            passes, rem = divmod(steps, k)
+            out = loop(local, passes, k, jnp.zeros_like(local))
+            if rem:
+                out = loop(out, 1, rem, jnp.zeros_like(local))
+            return out
 
         fn = shard_map(
             body_fn, mesh=self.mesh,

@@ -62,3 +62,18 @@ def test_sharded_1d_matches_reference(name):
     want = reference.run(g0, spec, 3)
     err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
     assert err < 1e-6, err
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_sharded_fused_matches_reference(k):
+    """One halo exchange per k fused steps (k*radius-deep halos)."""
+    spec = shapes.get_shape("star2d1r")
+    interior = (32, 512)
+    g0 = reference.random_padded(spec, interior, seed=23)
+    sh = domain.sharded_engine("star2d1r", interior, (2, 2),
+                               tile=(16, 256), fused_steps=k)
+    for steps in (k, 2 * k + 1):  # full passes and a remainder
+        got = np.asarray(sh.run(g0, steps), np.float64)
+        want = reference.run(g0, spec, steps)
+        err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+        assert err < 1e-6, (k, steps, err)
