@@ -31,7 +31,7 @@ def main() -> int:
     if on_tpu:
         m = n = 8192
         steps, base_steps = 256, 16
-        cfg = dict(algorithm="vpu", fused_steps=6, tile=(128, 1024))
+        cfg = dict(algorithm="vpu", fused_steps=6, tile=(192, 1024))
     else:  # local smoke config
         m, n = 256, 512
         steps, base_steps = 8, 4
