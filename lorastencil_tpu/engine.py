@@ -14,10 +14,14 @@ Design notes (TPU-first):
     launches (``src/2d/gpu.cu:410-412``).
   * State lives in the aligned internal layout (ops/layout.py); the
     reference-compatible padded array only appears at the boundary.
-  * ``backend='pallas'`` uses the MXU banded-GEMM kernels; ``'xla'`` uses
-    the pure-XLA separable step (always available, and the measured
-    baseline for bench).  ``'auto'`` picks pallas on TPU, interpret-mode
-    pallas elsewhere.
+  * ``backend='pallas'`` (default) uses the Pallas kernels; ``'xla'``
+    uses the pure-XLA separable step (always available, and the measured
+    baseline for bench).  On non-TPU backends Pallas runs in interpret
+    mode automatically.
+  * ``algorithm`` picks the compute path inside the kernels: 'vpu'
+    (exact fp32 shift-adds, default), 'mxu_split' (split-fp32 banded
+    MXU matmuls, ~6e-6/step), 'mxu' (banded MXU matmuls at a Mosaic
+    precision: DEFAULT ~1e-3/step, HIGHEST ~1.5e-5/step).
 """
 
 from __future__ import annotations
@@ -42,17 +46,19 @@ def _on_tpu() -> bool:
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
     dtype: str = "float32"
-    # matmul precision for the MXU banded GEMMs:
-    #   "highest" = fp32-accurate (bf16x6 passes), "default" = fast bf16
+    # Mosaic matmul precision for algorithm='mxu':
+    #   "highest" (bf16 multi-pass, ~1.5e-5/step) or "default" (~1e-3)
     precision: str = "highest"
     backend: str = "auto"  # 'pallas' | 'xla' | 'auto'
     tile: Optional[Tuple[int, int]] = None
     interpret: Optional[bool] = None  # force Pallas interpret mode
-    # 'mxu': banded MXU GEMMs (the LoRAStencil formulation);
-    # 'vpu': exact-fp32 shift-add convs (measured faster on v5e).
+    # 'vpu': exact-fp32 shift-add convs (default; measured fastest AND
+    # exact on v5e); 'mxu_split': split-fp32 banded MXU GEMMs;
+    # 'mxu': banded MXU GEMMs at `precision` (the direct LoRAStencil
+    # formulation).
     algorithm: str = "vpu"
-    # timesteps fused per HBM round trip (2-D only for now; needs 'vpu').
-    # 4 measured best at large grids on v5e (fp32-exact, guard 16 rows).
+    # timesteps fused per HBM round trip (1-D and 2-D; 3-D fuses the z
+    # sweep instead). 4-6 measured best at large 2-D grids on v5e.
     fused_steps: int = 4
 
 

@@ -2,18 +2,17 @@
 
 TPU-native re-design of the reference's 1-D tensor-core engine
 (``/root/reference/src/1d/gpu_1r.cu:21-87``): the padded 1-D array is
-viewed as rows of 128 lanes (the reference used 8-wide DMMA segments;
-the MXU's native lane width is 128), and one timestep of the 9-tap
-convolution over a whole row-block becomes a single banded-matrix matmul
-
-    out(TR, 128) = X_halo(TR, 136) @ B(136, 128),   B[c+4-r+k, c] = taps[k]
-
-where ``X_halo`` row r is the flat window [row_start - 4, row_start + 132)
-assembled from three lane-aligned slices of the staged block (the 4-cell
-overlap replaces the reference's dual-accumulator band-overlap reuse,
-``src/1d/gpu_1r.cu:66-78``).  The banded matrix generalizes the
-reference's 16x8 constant-memory parameter matrix (``gpu_1r.cu:94-99``)
-to MXU width.
+viewed as rows of 128 lanes (the reference used 8-wide DMMA segments; the
+TPU's native lane width is 128).  The flat convolution is evaluated as
+exact-fp32 VPU lane rolls, where a flat shift by d is a roll of each row
+with the wrapped lanes taken from the adjacent row's roll -- the 128-lane
+wrap replaces the reference's dual-accumulator band-overlap fragment
+reuse (``src/1d/gpu_1r.cu:66-78``); an MXU banded matmul (the direct
+analog of the reference's 16x8 constant parameter matrix,
+``gpu_1r.cu:94-99``) was measured at bf16 pass precision (1.6e-3 rel err
+on device) and dropped.  ``fused_steps`` applies up to 8 timesteps per
+HBM round trip (edge garbage creeps one row per substep, inside the
+8-row window halo), double-buffered like the 2-D kernel.
 """
 
 from __future__ import annotations
@@ -22,29 +21,15 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..models.factorize import banded_matrix
 from ..models.shapes import StencilSpec
 from .layout import LANE, SUBLANE, Layout1D
 
 
-def _window_band_1d(taps, dtype) -> np.ndarray:
-    """(136, 128) banded matrix: out[c] = sum_k taps[k] * win[c + 4 - r + k]
-    for a 136-wide window holding flat cells [out0 - 4, out0 + 132)."""
-    t = np.asarray(taps, dtype=np.float64)
-    r = (t.size - 1) // 2
-    assert r <= 4
-    core = banded_matrix(t, LANE, dtype=np.float64)  # (128 + 2r, 128)
-    B = np.zeros((LANE + 8, LANE))                   # (136, 128)
-    B[4 - r: 4 - r + core.shape[0], :] = core
-    return B.astype(dtype)
-
-
 def _stencil1d_kernel(
-    in_hbm, donor_hbm, band_ref, out_hbm, win, out_tile, sem_in, sem_out,
+    in_hbm, donor_hbm, out_hbm, win, out_tile, sem_in, sem_out,
     *, layout: Layout1D, n: int, _taps, fused_steps: int,
 ):
     TR = layout.tile_rows
@@ -77,7 +62,6 @@ def _stencil1d_kernel(
 
     in_dma(ti, slot).wait()
 
-    del band_ref  # kept as an input for the (inexact) MXU variant
     taps = _taps  # closed over, static
     r = (len(taps) - 1) // 2
     lane = jax.lax.broadcasted_iota(jnp.int32, (TR + 2 * SUBLANE, LANE), 1)
@@ -87,7 +71,7 @@ def _stencil1d_kernel(
         flat shift by d = lane roll of each row, wrapped lanes from the
         adjacent row's roll (the flat array wraps every 128 lanes).
         The outermost rows read garbage (no halo beyond the window);
-        with k fused substeps the garbage creeps 4k flat cells inward,
+        with k fused substeps the garbage creeps k rows inward,
         well inside the 8-row (1024-cell) window halo."""
         R = W.shape[0]
         up = pltpu.roll(W, R - 1, 0)   # up[i] = W[i+1] (last row wraps)
@@ -159,7 +143,6 @@ def stencil1d_step(
     # the window halo is SUBLANE rows on each side.
     assert 1 <= fused_steps <= SUBLANE
     (taps,) = spec.terms[0].taps
-    band = jnp.asarray(_window_band_1d(taps, np.dtype(cur.dtype)))
 
     kernel = functools.partial(
         _stencil1d_kernel, layout=layout, n=layout.interior,
@@ -169,8 +152,7 @@ def stencil1d_step(
         kernel,
         grid=layout.grid,
         out_shape=jax.ShapeDtypeStruct(cur.shape, cur.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, TR + 2 * SUBLANE, LANE), cur.dtype),
@@ -180,4 +162,4 @@ def stencil1d_step(
         ],
         input_output_aliases={1: 0},
         interpret=interpret,
-    )(cur, donor, band)
+    )(cur, donor)

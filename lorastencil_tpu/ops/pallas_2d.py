@@ -2,25 +2,36 @@
 
 TPU-native re-design of the reference's 2-D tensor-core engines
 (``/root/reference/src/2d/gpu.cu:31-273``): each rank-1 term of the
-coefficient matrix becomes two banded-matrix matmuls on the MXU
-(column-axis conv ``X @ B``, then row-axis conv ``A @ Y``), the sparse
-residue becomes shifted VPU adds on the halo'd window, and one-sided star
-terms skip the identity-axis matmul entirely.  There is no analog of the
-CUDA fragment-relayout / V2-permutation tricks -- chaining the two matmuls
-through VMEM values is native on TPU (SURVEY.md section 0, closing note).
+coefficient matrix is a column-axis conv then a row-axis conv, the sparse
+residue is shifted adds, and one-sided star terms skip the identity axis
+entirely.  There is no analog of the CUDA fragment-relayout /
+V2-permutation tricks -- chaining the per-axis convs through VMEM values
+is native on TPU (SURVEY.md section 0, closing note).
+
+Three compute algorithms (see PERF.md for measurements):
+
+  * 'vpu' (default): statically shifted slice multiply-adds -- exact
+    fp32, and the fastest on v5e for the reference shapes;
+  * 'mxu_split': banded MXU matmuls on the bf16 hi/lo split of the fp32
+    window (~6e-6 rel err/step), residues converted to separable terms;
+  * 'mxu': banded MXU matmuls in 128-chunks at a Mosaic precision (the
+    most literal analog of the reference's DMMA formulation).
 
 Per grid step (one (TM, TN) output tile):
 
-  1. async-DMA the halo'd input window (TM+16, TN+256) from HBM to VMEM
-     (replaces the reference's cp.async shared-memory staging,
-     ``src/2d/gpu.cu:37-50``).  TPU DMA slices must be (8, 128)-aligned in
-     offset and size, so the window halo is one sublane-tile of rows and
-     one lane-tile of columns on each side rather than the stencil radius;
-  2. for every separable term, banded GEMMs in 128-wide chunks so the
-     contraction dim stays MXU-sized (K = 128 + 2r);
-  3. add residue points as statically-shifted window slices;
-  4. mask cells beyond the true interior (tile round-up) to zero;
-  5. async-DMA the tile to the output buffer.
+  1. async-DMA the halo'd input window from HBM to VMEM, double-buffered
+     ahead of compute (replaces the reference's cp.async shared-memory
+     staging, ``src/2d/gpu.cu:37-50``).  TPU DMA slices must be
+     (8, 128)-aligned in offset and size, so the window halo is the
+     layout's guard band rather than the stencil radius;
+  2. apply ``fused_steps`` timesteps in VMEM, shrinking the compute
+     extent by the radius per substep (the reference fuses steps only in
+     the coefficient domain; in-VMEM fusion is what beats the HBM
+     roofline on TPU);
+  3. after every substep, mask cells outside the global interior to zero
+     (reference halo-decay semantics + tile round-up guard; dynamic
+     bounds when domain-decomposed);
+  4. async-DMA the tile to the output buffer, drained lazily.
 
 The output buffer is the *donated* spare buffer whose guard ring is zero,
 so halo cells decay to zero after the first step exactly like the

@@ -189,3 +189,23 @@ class TestFactorize:
         out = x @ B
         expected = [x[c] * 1 + x[c + 1] * 2 + x[c + 2] * 3 for c in range(8)]
         np.testing.assert_allclose(out, expected)
+
+
+class TestGreedyPeel:
+    def test_star2d1r_residue_is_rank3_integer(self):
+        spec = shapes.get_shape("star2d1r")
+        R = np.zeros((7, 7))
+        for off, w in spec.residue:
+            R[3 + off[0], 3 + off[1]] += w
+        res = factorize.greedy_peel(R, max_rank=6)
+        assert len(res.terms) == 3
+        np.testing.assert_allclose(res.residual, 0.0, atol=1e-12)
+        for u, v in res.terms:
+            assert np.allclose(u, np.round(u)) and np.allclose(v, np.round(v))
+
+    def test_random_low_rank(self):
+        rng = np.random.default_rng(4)
+        u, v = rng.normal(size=5), rng.normal(size=5)
+        S = np.outer(u, v)
+        res = factorize.greedy_peel(S, max_rank=2)
+        np.testing.assert_allclose(res.residual, 0.0, atol=1e-10)
