@@ -69,6 +69,10 @@ class StencilEngine:
         assert len(self.interior) == spec.ndim
         self.config = config
         self.dtype = jnp.dtype(config.dtype)
+        if self.dtype == jnp.float64 and not jax.config.read("jax_enable_x64"):
+            raise ValueError(
+                "dtype float64 needs jax_enable_x64 (JAX truncates to "
+                "float32 silently otherwise)")
         self.precision = (
             jax.lax.Precision.HIGHEST
             if config.precision == "highest"

@@ -79,3 +79,15 @@ def test_engine_mxu_split(name, k):
     got = np.asarray(eng.run(jnp.asarray(g0, jnp.float32), 5), np.float64)
     want = reference.run(g0, spec, 5)
     assert np.abs(got - want).max() / np.abs(want).max() < 2e-5
+
+
+def test_engine_float64_requires_x64():
+    """Requesting fp64 without jax_enable_x64 must fail loudly (JAX would
+    silently truncate to fp32)."""
+    import jax
+
+    if jax.config.read("jax_enable_x64"):
+        pytest.skip("x64 enabled in this process")
+    with pytest.raises(ValueError, match="x64"):
+        engine.StencilEngine.for_shape("star2d1r", (24, 128),
+                                       dtype="float64")
