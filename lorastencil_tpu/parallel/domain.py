@@ -320,7 +320,8 @@ class ShardedStencil3D:
         cur = self._exchange(cur)
         return pallas_3d.stencil3d_step(
             cur, donor, self.spec, self.layout,
-            precision=self.precision, interpret=self.interpret)
+            precision=self.precision, interpret=self.interpret,
+            algorithm=self.config.algorithm)
 
     def _run(self, state, steps: int):
         from jax.experimental.shard_map import shard_map

@@ -77,3 +77,14 @@ def test_sharded_fused_matches_reference(k):
         want = reference.run(g0, spec, steps)
         err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
         assert err < 1e-6, (k, steps, err)
+
+
+def test_sharded_mxu_split_algorithm():
+    spec = shapes.get_shape("box2d3r")
+    interior = (32, 512)
+    g0 = reference.random_padded(spec, interior, seed=41)
+    sh = domain.sharded_engine("box2d3r", interior, (2, 2), tile=(16, 256),
+                               algorithm="mxu_split", fused_steps=2)
+    got = np.asarray(sh.run(g0, 4), np.float64)
+    want = reference.run(g0, spec, 4)
+    assert np.abs(got - want).max() / np.abs(want).max() < 2e-5
