@@ -91,3 +91,19 @@ def test_engine_float64_requires_x64():
     with pytest.raises(ValueError, match="x64"):
         engine.StencilEngine.for_shape("star2d1r", (24, 128),
                                        dtype="float64")
+
+
+@pytest.mark.parametrize("name,interior", [
+    ("1d1r", (128,)),            # single lane-row
+    ("star2d1r", (8, 128)),      # single minimal tile
+    ("box2d3r", (8, 128)),
+    ("star3d1r", (1, 8, 128)),   # single plane
+    ("box3d1r", (2, 8, 128)),
+])
+def test_engine_tiny_grids(name, interior):
+    spec = shapes.get_shape(name)
+    g0 = reference.random_padded(spec, interior, seed=12)
+    eng = engine.StencilEngine.for_shape(name, interior)
+    got = np.asarray(eng.run(jnp.asarray(g0, jnp.float32), 2), np.float64)
+    want = reference.run(g0, spec, 2)
+    assert np.abs(got - want).max() / max(1.0, np.abs(want).max()) < 1e-6
