@@ -1,0 +1,87 @@
+"""Full benchmark suite over the BASELINE.md configs.
+
+Run directly (owns the device) or exec'd by tools/tpu_worker.py.  Emits a
+human table plus one JSON line per config to benchmarks/results.jsonl.
+
+    python benchmarks/suite.py [--quick]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lorastencil_tpu import engine
+from lorastencil_tpu.models import shapes
+from lorastencil_tpu.utils import metrics
+
+# (shape, interior, steps) per BASELINE.md; star2d1r also at the 8192^2
+# north-star size.
+CONFIGS = [
+    ("1d1r", (4096,), 64),
+    ("1d2r", (1_000_000,), 256),
+    ("star2d1r", (4096, 4096), 256),
+    ("box2d1r", (4096, 4096), 256),
+    ("star2d3r", (8192, 8192), 64),
+    ("box2d3r", (8192, 8192), 64),
+    ("star2d1r", (8192, 8192), 256),
+    ("star3d1r", (256, 256, 256), 64),
+    ("box3d1r", (256, 256, 256), 64),
+]
+
+QUICK = [
+    ("star2d1r", (1024, 1024), 64),
+    ("box3d1r", (32, 64, 256), 8),
+]
+
+
+def run_config(name, interior, steps, **kw):
+    eng = engine.StencilEngine.for_shape(name, interior, **kw)
+
+    @jax.jit
+    def f(key):
+        state = jax.random.uniform(key, eng.layout.shape, jnp.float32,
+                                   0.0, 0.01)
+        return jnp.sum(eng._run_internal(state, steps) * 0.0)
+
+    secs, _ = metrics.time_run(f, jax.random.PRNGKey(0), repeats=2,
+                               warmup=1)
+    return metrics.bench_result(eng.spec, interior, steps, secs,
+                                f"pallas-{eng.config.algorithm}",
+                                eng.config.precision, 2)
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    configs = QUICK if "--quick" in argv else CONFIGS
+    outpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "results.jsonl")
+    rows = []
+    with open(outpath, "a") as out:
+        for name, interior, steps in configs:
+            try:
+                res = run_config(name, interior, steps)
+                rows.append(res)
+                rec = json.loads(res.json())
+                rec["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+                rec["backend_platform"] = jax.default_backend()
+                out.write(json.dumps(rec) + "\n")
+                out.flush()
+                print(f"{name:10s} {str(interior):18s} x{steps:<4d} "
+                      f"{res.gcells_per_s:7.2f} GCells/s  "
+                      f"{res.gstencil_per_s:7.2f} GStencil/s", flush=True)
+            except Exception as e:
+                print(f"{name:10s} {str(interior):18s} FAILED: "
+                      f"{type(e).__name__}", flush=True)
+    print(f"\n{len(rows)}/{len(configs)} configs; results -> {outpath}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

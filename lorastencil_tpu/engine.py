@@ -43,6 +43,47 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def ping_pong_loop(step_fn, state, steps: int, k: int = 1):
+    """Run ``steps`` timesteps via ``step_fn(cur, donor, fused_k)`` passes.
+
+    Ping-pong with STABLE carry positions: the loop body runs two passes
+    (a->b, b->a) so loop-carried buffers never swap slots -- XLA
+    otherwise inserts a full-buffer copy per iteration to reconcile the
+    swapped aliasing (measured 17% of wall time on v5e).  The first two
+    passes run outside the loop with fresh zero donors: the initial
+    state's guard ring holds the user halo and must never be reused as
+    an output buffer.  A final remainder pass covers ``steps % k``.
+    """
+    if steps == 0:
+        return state
+    passes, rem = divmod(steps, k)
+
+    latest, other = state, None
+    done = 0
+    if passes >= 1:
+        latest, other = step_fn(state, jnp.zeros_like(state), k), \
+            jnp.zeros_like(state)
+        done = 1
+    if passes >= 2:
+        latest, other = step_fn(latest, other, k), latest
+        done = 2
+    pairs, odd = divmod(passes - done, 2)
+    if pairs:
+        def body(_, carry):
+            x, y = carry
+            y = step_fn(x, y, k)
+            x = step_fn(y, x, k)
+            return (x, y)
+
+        latest, other = jax.lax.fori_loop(0, pairs, body, (latest, other))
+    if odd:
+        latest, other = step_fn(latest, other, k), latest
+    if rem:
+        latest = step_fn(latest, other if other is not None
+                         else jnp.zeros_like(latest), rem)
+    return latest
+
+
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
     dtype: str = "float32"
@@ -197,33 +238,8 @@ class StencilEngine:
         return k
 
     def _run_internal(self, state, steps: int):
-        if steps == 0:
-            return state
-        k = self._fused_k()
-        passes, rem = divmod(steps, k)
-
-        def loop(state, n_passes, kk, first_spare):
-            if n_passes == 0:
-                return state, first_spare
-            new = self._step_internal(state, first_spare, kk)
-            if n_passes == 1:
-                return new, state
-
-            def body(_, carry):
-                cur, spare = carry
-                return (self._step_internal(cur, spare, kk), cur)
-
-            return jax.lax.fori_loop(
-                1, n_passes, body, (new, jnp.zeros_like(state)))
-
-        # Full fused passes, then a remainder pass of rem (< k) steps.
-        # The first pass's spare is a fresh zero buffer so the output's
-        # guard ring is zero; afterwards both ping-pong buffers have zero
-        # rings (the initial state's ring is never reused as a donor).
-        state, spare = loop(state, passes, k, jnp.zeros_like(state))
-        if rem:
-            state, _ = loop(state, 1, rem, jnp.zeros_like(state))
-        return state
+        return ping_pong_loop(self._step_internal, state, steps,
+                              self._fused_k())
 
     # -- public API -------------------------------------------------------
     def to_internal(self, padded):

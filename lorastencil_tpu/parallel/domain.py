@@ -163,29 +163,12 @@ class ShardedStencil2D:
         (dx * Mp_loc, dy * Np_loc), sharded P('x', 'y')."""
         from jax.experimental.shard_map import shard_map
 
+        from ..engine import ping_pong_loop
+
         k = self.fused_steps
 
         def body_fn(local):
-            def loop(state, n_passes, kk, first_spare):
-                if n_passes == 0:
-                    return state
-                new = self._local_step(state, first_spare, kk)
-                if n_passes == 1:
-                    return new
-
-                def body(_, carry):
-                    cur, spare = carry
-                    return (self._local_step(cur, spare, kk), cur)
-
-                final, _ = jax.lax.fori_loop(
-                    1, n_passes, body, (new, jnp.zeros_like(state)))
-                return final
-
-            passes, rem = divmod(steps, k)
-            out = loop(local, passes, k, jnp.zeros_like(local))
-            if rem:
-                out = loop(out, 1, rem, jnp.zeros_like(local))
-            return out
+            return ping_pong_loop(self._local_step, local, steps, k)
 
         fn = shard_map(
             body_fn, mesh=self.mesh,
@@ -326,20 +309,12 @@ class ShardedStencil3D:
     def _run(self, state, steps: int):
         from jax.experimental.shard_map import shard_map
 
+        from ..engine import ping_pong_loop
+
         def body_fn(local):
-            if steps == 0:
-                return local
-            new = self._local_step(local, jnp.zeros_like(local))
-            if steps == 1:
-                return new
-
-            def body(_, carry):
-                cur, spare = carry
-                return (self._local_step(cur, spare), cur)
-
-            final, _ = jax.lax.fori_loop(
-                1, steps, body, (new, jnp.zeros_like(local)))
-            return final
+            return ping_pong_loop(
+                lambda cur, donor, _k: self._local_step(cur, donor),
+                local, steps, 1)
 
         fn = shard_map(body_fn, mesh=self.mesh,
                        in_specs=P(None, "x", "y"),
@@ -451,20 +426,12 @@ class ShardedStencil1D:
     def _run(self, state, steps: int):
         from jax.experimental.shard_map import shard_map
 
+        from ..engine import ping_pong_loop
+
         def body_fn(local):
-            if steps == 0:
-                return local
-            new = self._local_step(local, jnp.zeros_like(local))
-            if steps == 1:
-                return new
-
-            def body(_, carry):
-                cur, spare = carry
-                return (self._local_step(cur, spare), cur)
-
-            final, _ = jax.lax.fori_loop(
-                1, steps, body, (new, jnp.zeros_like(local)))
-            return final
+            return ping_pong_loop(
+                lambda cur, donor, _k: self._local_step(cur, donor),
+                local, steps, 1)
 
         fn = shard_map(body_fn, mesh=self.mesh,
                        in_specs=P("x", None), out_specs=P("x", None),
