@@ -54,6 +54,12 @@ def main(argv=None) -> int:
                    help="verify against the fp64 ground truth")
     p.add_argument("--backend", choices=["auto", "pallas", "xla"],
                    default="auto")
+    p.add_argument("--algorithm", choices=["vpu", "mxu", "mxu_split"],
+                   default="vpu",
+                   help="compute path: exact-fp32 VPU shifts (default), "
+                        "banded MXU GEMMs, or split-fp32 MXU")
+    p.add_argument("--fused-steps", type=int, default=4,
+                   help="timesteps fused per HBM round trip (1-D/2-D)")
     p.add_argument("--precision", choices=["highest", "default"],
                    default="highest")
     p.add_argument("--tile", type=int, nargs=2, default=None)
@@ -78,7 +84,8 @@ def main(argv=None) -> int:
     grid0 = make_input(spec, interior, args.fill, args.seed)
     eng = engine.StencilEngine.for_shape(
         args.shape, interior, backend=args.backend,
-        precision=args.precision,
+        precision=args.precision, algorithm=args.algorithm,
+        fused_steps=args.fused_steps,
         tile=tuple(args.tile) if args.tile else None,
     )
 

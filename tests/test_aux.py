@@ -81,3 +81,15 @@ def test_roofline_report():
     r = profiling.stencil_roofline(spec, (256, 1024), fused_steps=4)
     assert r.bw_bound_gcells > 0 and r.compute_bound_gcells > 0
     assert "bound" in r.human()
+
+
+def test_profiler_trace_smoke(tmp_path):
+    import jax.numpy as jnp
+
+    with profiling.trace(str(tmp_path)):
+        _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    import os
+    found = []
+    for root, _, files in os.walk(tmp_path):
+        found += files
+    assert found, "trace produced no files"

@@ -67,3 +67,10 @@ def test_bench_smoke_cpu(capsys):
     rec = json.loads(line)
     assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
     assert rec["value"] > 0
+
+
+def test_cli_algorithm_flags(capsys):
+    rc = cli.main(["star2d1r", "40", "200", "3", "--check", "--repeats", "1",
+                   "--algorithm", "mxu_split", "--fused-steps", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Correct!" in out
