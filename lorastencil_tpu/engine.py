@@ -35,8 +35,8 @@ import numpy as np
 
 from .models.shapes import StencilSpec, get_shape
 from .ops import xla_ref
-from .ops.layout import (Layout1D, Layout2D, Layout3D, default_tile_2d,
-                         default_tile_3d)
+from .ops.layout import (LANE, SUBLANE, Layout1D, Layout2D, Layout3D,
+                         default_tile_2d, default_tile_3d)
 
 
 def _on_tpu() -> bool:
@@ -98,9 +98,13 @@ class EngineConfig:
     # 'mxu': banded MXU GEMMs at `precision` (the direct LoRAStencil
     # formulation).
     algorithm: str = "vpu"
-    # timesteps fused per HBM round trip (1-D and 2-D; 3-D fuses the z
-    # sweep instead). 4-6 measured best at large 2-D grids on v5e.
+    # timesteps fused per HBM round trip (1-D and 2-D).
+    # 4-6 measured best at large 2-D grids on v5e.
     fused_steps: int = 4
+    # 3-D fusion (k steps per slab sweep with z lookback); k=2 helps
+    # modestly at 256^3, deeper fusion loses to VMEM pressure -- off by
+    # default.
+    fused_steps_3d: int = 1
 
 
 class StencilEngine:
@@ -184,7 +188,6 @@ class StencilEngine:
 
     # -- layout ----------------------------------------------------------
     def _build_layout(self):
-        from .ops.layout import LANE, SUBLANE
 
         spec, interior = self.spec, self.interior
         if spec.ndim == 1:
@@ -199,7 +202,11 @@ class StencilEngine:
             return Layout2D(interior=interior, halo=spec.halo, tile=tile,
                             guard=(guard_r, LANE))
         tile = self.config.tile or default_tile_3d(*interior[1:])
-        return Layout3D(interior=interior, halo=spec.halo, tile=tile)
+        k3 = min(max(1, self.config.fused_steps_3d),
+                 SUBLANE // max(1, spec.radius))
+        zg = max(spec.halo[0], k3 * spec.radius)
+        return Layout3D(interior=interior, halo=spec.halo, tile=tile,
+                        zguard=zg)
 
     # -- single pass (fused_k timesteps) on the internal layout -----------
     def _step_internal(self, cur, donor, fused_k: int = 1):
@@ -222,19 +229,22 @@ class StencilEngine:
                 precision=self.precision, interpret=self.interpret,
                 algorithm=self.config.algorithm, fused_steps=fused_k)
         from .ops import pallas_3d
-        assert fused_k == 1
         return pallas_3d.stencil3d_step(
             cur, donor, self.spec, self.layout,
             precision=self.precision, interpret=self.interpret,
-            algorithm=self.config.algorithm)
+            algorithm=self.config.algorithm, fused_steps=fused_k)
 
     def _fused_k(self) -> int:
-        if self.spec.ndim == 3 or self.backend == "xla":
+        if self.backend == "xla":
             return 1
         k = max(1, self.config.fused_steps)
         if self.spec.ndim == 1:
-            from .ops.layout import SUBLANE
             return min(k, SUBLANE)
+        if self.spec.ndim == 3:
+            if self.config.algorithm != "vpu":
+                return 1
+            return min(max(1, self.config.fused_steps_3d),
+                       SUBLANE // max(1, self.spec.radius))
         return k
 
     def _run_internal(self, state, steps: int):

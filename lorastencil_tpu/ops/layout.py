@@ -135,6 +135,9 @@ class Layout3D:
     interior: Tuple[int, int, int]  # (h, m, n)
     halo: Tuple[int, int, int]      # (1, 2, 4) for the reference shapes
     tile: Tuple[int, int]           # (TM, TN) in-plane tile
+    # z guard planes (>= halo[0]; widened to fused_steps*radius when
+    # timesteps are fused so slab windows can read k planes back)
+    zguard: int = 1
 
     @property
     def grid(self) -> Tuple[int, int]:
@@ -143,26 +146,29 @@ class Layout3D:
 
     @property
     def origin(self) -> Tuple[int, int, int]:
-        return (self.halo[0], SUBLANE, LANE)
+        return (self.zguard, SUBLANE, LANE)
 
     @property
     def shape(self) -> Tuple[int, int, int]:
         h = self.interior[0]
         gi, gj = self.grid
-        return (h + 2 * self.halo[0],
+        return (h + 2 * self.zguard,
                 SUBLANE + gi * self.tile[0] + SUBLANE,
                 LANE + gj * self.tile[1] + LANE)
 
     def validate(self):
         assert self.tile[0] % SUBLANE == 0 and self.tile[1] % LANE == 0
         assert self.halo[1] <= SUBLANE and self.halo[2] <= LANE
+        assert self.zguard >= self.halo[0]
 
     def to_internal(self, padded, dtype=jnp.float32):
         h, m, n = self.interior
         hz, hm, hn = self.halo
         buf = jnp.zeros(self.shape, dtype=dtype)
         z0, r0, c0 = self.origin
-        return buf.at[:, r0 - hm: r0 + m + hm, c0 - hn: c0 + n + hn].set(
+        return buf.at[z0 - hz: z0 + h + hz,
+                      r0 - hm: r0 + m + hm,
+                      c0 - hn: c0 + n + hn].set(
             jnp.asarray(padded, dtype=dtype)
         )
 
@@ -170,7 +176,9 @@ class Layout3D:
         h, m, n = self.interior
         hz, hm, hn = self.halo
         z0, r0, c0 = self.origin
-        return buf[:, r0 - hm: r0 + m + hm, c0 - hn: c0 + n + hn]
+        return buf[z0 - hz: z0 + h + hz,
+                   r0 - hm: r0 + m + hm,
+                   c0 - hn: c0 + n + hn]
 
 
 def default_tile_2d(m: int, n: int) -> Tuple[int, int]:

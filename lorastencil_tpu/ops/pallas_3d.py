@@ -61,16 +61,26 @@ def _classify_terms(spec: StencilSpec):
 
 
 def pick_slab(H: int, TM: int, TN: int, dtype_bytes: int = 4,
-              budget: int = 12 * 2**20) -> int:
+              budget: int = 0, fused_steps: int = 1,
+              radius: int = 1) -> int:
     """Largest slab in {8,4,2,1} dividing H whose buffers fit VMEM."""
     wr, wc = TM + 2 * SUBLANE, TN + 2 * LANE
+    k = fused_steps
+    if not budget:
+        # deeper fusion carries bigger per-level temporaries that the
+        # static estimate below cannot see; leave more headroom
+        budget = (12 if k <= 2 else 8) * 2**20
+    pe = (k - 1) * radius
+    er = TM + 2 * (((pe + SUBLANE - 1) // SUBLANE) * SUBLANE or 0)
+    ec = TN + 2 * (LANE if pe else 0)
     for s in (8, 4, 2, 1):
         if H % s != 0:
             continue
         need = dtype_bytes * (
-            2 * (s + 2) * wr * wc        # double-buffered window slabs
-            + (s + 2) * TM * TN          # conv slab (per buffered term)
+            2 * (s + 2 * k) * wr * wc    # double-buffered window slabs
+            + (s + 2 * k) * TM * TN      # conv slab (per buffered term)
             + 2 * s * TM * TN            # double-buffered output slabs
+            + (2 * (s + 2 * k) * er * ec if k > 1 else 0)  # level buffers
         )
         if need <= budget:
             return s
@@ -80,22 +90,25 @@ def pick_slab(H: int, TM: int, TN: int, dtype_bytes: int = 4,
 def _stencil3d_kernel(
     in_hbm, donor_hbm, *rest,
     spec: StencilSpec, layout: Layout3D, mats_meta,
-    compute_dtype, precision, algorithm, slab: int,
+    compute_dtype, precision, algorithm, slab: int, fused_steps: int,
 ):
     n_mats = sum(int(a) + int(b) for a, _, b, _ in mats_meta)
     mat_refs = rest[:n_mats]
     out_hbm = rest[n_mats]
-    win = rest[n_mats + 1]       # (2, SLAB+2, TM+16, TN+256)
-    convbuf = rest[n_mats + 2]   # (n_buffered, SLAB+2, TM, TN)
+    win = rest[n_mats + 1]       # (2, SLAB+2k, TM+16, TN+256)
+    convbuf = rest[n_mats + 2]   # (n_buffered, SLAB+2k, TM+2pe', TN+2pe')
     out_sl = rest[n_mats + 3]    # (2, SLAB, TM, TN)
-    sem_in = rest[n_mats + 4]    # (2,)
-    sem_out = rest[n_mats + 5]   # (2,)
+    lvlbuf = rest[n_mats + 4]    # (2, SLAB+2k, TM+2pe', TN+2pe') (fused)
+    sem_in = rest[n_mats + 5]    # (2,)
+    sem_out = rest[n_mats + 6]   # (2,)
 
     TM, TN = layout.tile
+    K = fused_steps
+    r = spec.radius
     H = layout.interior[0]
     m, n = layout.interior[1], layout.interior[2]
     z0, r0, c0 = layout.origin
-    assert z0 == 1, "3-D kernel assumes z halo 1 (radius-1 shapes)"
+    assert z0 >= K * r, "z guard must cover the fused lookback"
     HR, HC = SUBLANE, LANE
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -115,10 +128,11 @@ def _stencil3d_kernel(
         term_mats[t_idx] = (A, B, rr, rc)
 
     def slab_dma(si, s):
-        # input planes [si*slab, si*slab + slab + 2) (z halo 1 each side)
+        # input planes [z0 + si*slab - K*r, ...): K*r z-lookback planes on
+        # each side of the slab's output planes
         return pltpu.make_async_copy(
             in_hbm.at[
-                pl.ds(si * slab, slab + 2),
+                pl.ds(z0 + si * slab - K * r, slab + 2 * K * r),
                 pl.ds(r0 + ti * TM - HR, TM + 2 * HR),
                 pl.ds(c0 + tj * TN - HC, TN + 2 * HC),
             ],
@@ -137,20 +151,56 @@ def _stencil3d_kernel(
             sem_out.at[s],
         )
 
-    def conv_plane(t_idx, X):
+    def conv_plane(t_idx, X, e_in=None, e_out=(0, 0)):
+        e_in = (HR, HC) if e_in is None else e_in
         if algorithm == "vpu":
             term = spec.terms[t_idx]
             plane_term = SeparableTerm(taps=(term.taps[1], term.taps[2]))
             return apply_spec_vpu(X, _Plane2D(terms=(plane_term,)),
-                                  (HR, HC), (0, 0), TM, TN)
+                                  e_in, e_out, TM, TN)
+        assert e_in == (HR, HC) and e_out == (0, 0)
         A, B, rr, rc = term_mats[t_idx]
         return plane_conv(X, A, B, rr, rc, HR, HC, TM, TN,
                           compute_dtype, precision)
 
-    gr = jax.lax.broadcasted_iota(jnp.int32, (TM, 1), 0) + ti * TM
-    gc = jax.lax.broadcasted_iota(jnp.int32, (1, TN), 1) + tj * TN
-    rm = (gr < m).astype(jnp.float32)
-    cm = (gc < n).astype(jnp.float32)
+    def interior_mask(er, ec):
+        """(R,1) and (1,C) float masks for an extent-(er, ec) array."""
+        R, C = TM + 2 * er, TN + 2 * ec
+        gr = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) + ti * TM - er
+        gc = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1) + tj * TN - ec
+        return ((gr >= 0) & (gr < m)).astype(jnp.float32), \
+               ((gc >= 0) & (gc < n)).astype(jnp.float32)
+
+    rm, cm = interior_mask(0, 0)
+
+    def combine_plane(src, j, e_in, e_out, get_conv):
+        """One 3-D timestep for output plane j (relative): sum the z-taps
+        of every term over planes j-1..j+1 of the previous level."""
+        R, C = TM + 2 * e_out[0], TN + 2 * e_out[1]
+        off_r = e_in[0] - e_out[0]
+        off_c = e_in[1] - e_out[1]
+        acc = jnp.zeros((R, C), jnp.float32)
+        for t_idx in center_idx:
+            acc = acc + conv_plane(t_idx, src(j + 1), e_in, e_out)
+        for b, t_idx in enumerate(buffered_idx):
+            tz = spec.terms[t_idx].taps[0]
+            for dz in (-1, 0, 1):
+                w = float(tz[1 + dz])
+                if w != 0.0:
+                    acc = acc + w * get_conv(b, j + 1 + dz)
+        for t_idx in identity_idx:
+            tz = spec.terms[t_idx].taps[0]
+            for dz in (-1, 0, 1):
+                w = float(tz[1 + dz])
+                if w != 0.0:
+                    acc = acc + w * src(j + 1 + dz)[
+                        off_r: off_r + R, off_c: off_c + C
+                    ].astype(jnp.float32)
+        for (dz, dr, dc), w in spec.residue:
+            acc = acc + w * src(j + 1 + dz)[
+                off_r + dr: off_r + dr + R, off_c + dc: off_c + dc + C
+            ].astype(jnp.float32)
+        return acc
 
     slab_dma(0, 0).start()
 
@@ -160,37 +210,57 @@ def _stencil3d_kernel(
             slab_dma(si + 1, 1 - sslot).start()
 
         slab_dma(si, sslot).wait()
-        W = win[sslot]  # static view: (slab+2, TM+2HR, TN+2HC)
-        for b, t_idx in enumerate(buffered_idx):
-            for j in range(slab + 2):
-                convbuf[b, j] = conv_plane(t_idx, W[j])
+        W = win[sslot]  # static view: (slab + 2K, TM+2HR, TN+2HC)
 
         @pl.when(si >= 2)
         def _():
             out_dma(si - 2, sslot).wait()
 
-        for j in range(slab):
-            acc = jnp.zeros((TM, TN), jnp.float32)
-            for t_idx in center_idx:
-                acc = acc + conv_plane(t_idx, W[j + 1])
+        # K fused timesteps, level by level: level L produces
+        # slab + 2*(K-L)*r planes at in-plane extent (K-L)*r, each plane
+        # masked to the global interior (z, rows, cols) so reference
+        # halo-decay semantics hold at every intermediate step.
+        src_is_window = True
+        for lvl in range(1, K + 1):
+            n_out_p = slab + 2 * (K - lvl) * r
+            e_in = (HR, HC) if lvl == 1 else \
+                ((K - lvl + 1) * r, (K - lvl + 1) * r)
+            e_out = ((K - lvl) * r, (K - lvl) * r)
+            rme, cme = (rm, cm) if e_out == (0, 0) else \
+                interior_mask(*e_out)
+            R, C = TM + 2 * e_out[0], TN + 2 * e_out[1]
+
+            if src_is_window:
+                def src(jj):
+                    return W[jj]
+            else:
+                prev = lvlbuf[(lvl - 1) % 2]
+                Rp = TM + 2 * e_in[0]
+                Cp = TN + 2 * e_in[1]
+
+                def src(jj, prev=prev, Rp=Rp, Cp=Cp):
+                    return prev[jj, :Rp, :Cp]
+
+            # each input plane's conv computed once per level
             for b, t_idx in enumerate(buffered_idx):
-                tz = spec.terms[t_idx].taps[0]
-                for dz in (-1, 0, 1):
-                    w = float(tz[1 + dz])
-                    if w != 0.0:
-                        acc = acc + w * convbuf[b, j + 1 + dz]
-            for t_idx in identity_idx:
-                tz = spec.terms[t_idx].taps[0]
-                for dz in (-1, 0, 1):
-                    w = float(tz[1 + dz])
-                    if w != 0.0:
-                        acc = acc + w * W[j + 1 + dz][
-                            HR: HR + TM, HC: HC + TN].astype(jnp.float32)
-            for (dz, dr, dc), w in spec.residue:
-                acc = acc + w * W[j + 1 + dz][
-                    HR + dr: HR + dr + TM, HC + dc: HC + dc + TN
-                ].astype(jnp.float32)
-            out_sl[sslot, j] = (acc * rm * cm).astype(out_sl.dtype)
+                for jj in range(n_out_p + 2):
+                    convbuf[b, jj, :R, :C] = conv_plane(
+                        t_idx, src(jj), e_in, e_out)
+
+            def get_conv(b, jj, R=R, C=C):
+                return convbuf[b, jj, :R, :C]
+
+            for j in range(n_out_p):
+                acc = combine_plane(src, j, e_in, e_out, get_conv)
+                # z-validity: interior plane index of this output
+                zz = si * slab - (K - lvl) * r + j
+                zok = ((zz >= 0) & (zz < H)).astype(jnp.float32)
+                acc = acc * rme * cme * zok
+                if lvl == K:
+                    out_sl[sslot, j] = acc.astype(out_sl.dtype)
+                else:
+                    lvlbuf[lvl % 2, j, :R, :C] = acc
+            src_is_window = False
 
         out_dma(si, sslot).start()
 
@@ -218,7 +288,7 @@ def _stencil3d_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "layout", "compute_dtype", "precision",
-                     "interpret", "algorithm"),
+                     "interpret", "algorithm", "fused_steps"),
 )
 def stencil3d_step(
     cur: jax.Array,
@@ -229,11 +299,17 @@ def stencil3d_step(
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
     algorithm: str = "vpu",
+    fused_steps: int = 1,
 ) -> jax.Array:
     layout.validate()
     TM, TN = layout.tile
     H = layout.interior[0]
-    slab = pick_slab(H, TM, TN, np.dtype(cur.dtype).itemsize)
+    if fused_steps > 1:
+        assert algorithm == "vpu", "3-D temporal fusion needs 'vpu'"
+    assert fused_steps * spec.radius <= SUBLANE, "fused lookback > guard"
+    assert layout.zguard >= fused_steps * spec.radius
+    slab = pick_slab(H, TM, TN, np.dtype(cur.dtype).itemsize,
+                     fused_steps=fused_steps, radius=spec.radius)
 
     np_dtype = np.dtype(cur.dtype)
     mats_meta = []
@@ -257,8 +333,11 @@ def stencil3d_step(
         _stencil3d_kernel,
         spec=spec, layout=layout, mats_meta=mats_meta,
         compute_dtype=compute_dtype, precision=precision,
-        algorithm=algorithm, slab=slab,
+        algorithm=algorithm, slab=slab, fused_steps=fused_steps,
     )
+    K = fused_steps
+    pe = (K - 1) * spec.radius  # max intermediate in-plane extent
+    nplanes = slab + 2 * K * spec.radius
     return pl.pallas_call(
         kernel,
         grid=layout.grid,
@@ -267,10 +346,13 @@ def stencil3d_step(
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(mat_args),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, slab + 2, TM + 2 * SUBLANE, TN + 2 * LANE),
+            pltpu.VMEM((2, nplanes, TM + 2 * SUBLANE, TN + 2 * LANE),
                        cur.dtype),
-            pltpu.VMEM((n_buf, slab + 2, TM, TN), jnp.float32),
+            pltpu.VMEM((n_buf, nplanes, TM + 2 * pe, TN + 2 * pe),
+                       jnp.float32),
             pltpu.VMEM((2, slab, TM, TN), cur.dtype),
+            pltpu.VMEM((2, nplanes, TM + 2 * pe, TN + 2 * pe)
+                       if K > 1 else (1, 1, SUBLANE, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -107,3 +107,20 @@ def test_engine_tiny_grids(name, interior):
     got = np.asarray(eng.run(jnp.asarray(g0, jnp.float32), 2), np.float64)
     want = reference.run(g0, spec, 2)
     assert np.abs(got - want).max() / max(1.0, np.abs(want).max()) < 1e-6
+
+
+@pytest.mark.parametrize("name", ["star3d1r", "box3d1r"])
+@pytest.mark.parametrize("k", [2, 4])
+def test_engine_3d_fused(name, k):
+    """3-D temporal fusion: k steps per slab sweep with z lookback."""
+    spec = shapes.get_shape(name)
+    interior = (6, 20, 150)
+    g0 = reference.random_padded(spec, interior, seed=9)
+    eng = engine.StencilEngine.for_shape(name, interior,
+                                         fused_steps_3d=k)
+    for steps in (k, 2 * k + 1):
+        got = np.asarray(eng.run(jnp.asarray(g0, jnp.float32), steps),
+                         np.float64)
+        want = reference.run(g0, spec, steps)
+        err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+        assert err < 1e-6, (name, k, steps, err)
