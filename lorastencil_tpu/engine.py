@@ -245,7 +245,9 @@ class StencilEngine:
                 return 1
             return min(max(1, self.config.fused_steps_3d),
                        SUBLANE // max(1, self.spec.radius))
-        return k
+        # plain 'mxu' (Mosaic-precision banded GEMMs) does not support
+        # in-kernel fusion; fall back to one step per pass
+        return 1 if self.config.algorithm == "mxu" else k
 
     def _run_internal(self, state, steps: int):
         return ping_pong_loop(self._step_internal, state, steps,
@@ -279,9 +281,14 @@ class StencilEngine:
 
 
 def run(padded, spec: StencilSpec, steps: int, **kw):
-    """One-shot convenience API (see .claude/skills/verify/SKILL.md)."""
+    """One-shot convenience API (see .claude/skills/verify/SKILL.md).
+
+    Uses the passed spec directly (works for custom specs, not just
+    registry names)."""
     interior = tuple(
         s - 2 * h for s, h in zip(np.shape(padded), spec.halo)
     )
-    eng = StencilEngine.for_shape(spec.name, interior, **kw)
+    cfg_kw = {k: v for k, v in kw.items()
+              if k in EngineConfig.__dataclass_fields__}
+    eng = StencilEngine(spec, interior, EngineConfig(**cfg_kw))
     return eng.run(padded, steps)

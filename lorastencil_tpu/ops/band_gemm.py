@@ -120,7 +120,13 @@ def apply_terms_mxu_split(Xh, Xl, mats, e_in, e_out, TM, TN):
     acc = None
 
     for (Ah, Al, Bh, Bl, rr, rc) in mats:
-        if Bh is not None:
+        if Ah is None and Bh is None:
+            # identity term (e.g. a unit center-delta residue): X itself,
+            # recomposed exactly from the split
+            Z = (Xh[off_r: off_r + R, off_c: off_c + C].astype(jnp.float32)
+                 + Xl[off_r: off_r + R, off_c: off_c + C].astype(
+                     jnp.float32))
+        elif Bh is not None:
             # column conv over rows [off_r - rr, off_r - rr + R + 2rr)
             rlo = off_r - rr
             rhi = rlo + R + 2 * rr

@@ -304,6 +304,16 @@ def stencil3d_step(
     layout.validate()
     TM, TN = layout.tile
     H = layout.interior[0]
+    if spec.radius != 1 or any(
+        t.taps[0] is not None and len(t.taps[0]) != 3 for t in spec.terms
+    ):
+        raise NotImplementedError(
+            "the 3-D kernel supports radius-1 z coupling only (z taps of "
+            "length 3); decompose wider-z stencils or extend the kernel")
+    if algorithm == "mxu_split":
+        raise NotImplementedError(
+            "mxu_split is 2-D only; use algorithm='vpu' (exact) or 'mxu' "
+            "for 3-D shapes")
     if fused_steps > 1:
         assert algorithm == "vpu", "3-D temporal fusion needs 'vpu'"
     assert fused_steps * spec.radius <= SUBLANE, "fused lookback > guard"

@@ -30,6 +30,15 @@ from ..models.shapes import StencilSpec, get_shape
 from ..ops.layout import Layout2D, default_tile_2d
 
 
+def _shift(x, axis_name: str, fwd: bool, npairs: int):
+    """Neighbor ppermute along a mesh axis (non-wrapping; devices with no
+    source receive zeros)."""
+    if npairs == 1:
+        return jnp.zeros_like(x)
+    perm = [(i, i + 1) for i in range(npairs - 1)] if fwd else            [(i + 1, i) for i in range(npairs - 1)]
+    return jax.lax.ppermute(x, axis_name, perm)
+
+
 def make_mesh(shape: Tuple[int, ...], axis_names=("x", "y"),
               devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
@@ -101,12 +110,7 @@ class ShardedStencil2D:
         r0, c0 = lay.origin
         dx, dy = self.config.mesh_shape
 
-        def shift(x, axis_name, fwd, npairs):
-            if npairs == 1:
-                return jnp.zeros_like(x)
-            perm = [(i, i + 1) for i in range(npairs - 1)] if fwd else \
-                   [(i + 1, i) for i in range(npairs - 1)]
-            return jax.lax.ppermute(x, axis_name, perm)
+        shift = _shift
 
         # Devices on the global boundary keep their existing ring (the
         # user-provided halo on step 1; zero afterwards), matching the
@@ -203,7 +207,7 @@ class ShardedStencil2D:
                     i * Mp + r0 - hm: i * Mp + r0 + lm + hm,
                     j * Np + c0 - hn: j * Np + c0 + ln + hn,
                 ].set(src)
-        return jax.device_put(
+        return jax.lax.with_sharding_constraint(
             out, NamedSharding(self.mesh, P("x", "y")))
 
     def from_sharded(self, state):
@@ -225,9 +229,16 @@ class ShardedStencil2D:
         return out
 
     def run(self, padded, steps: int):
-        state = self.to_sharded(padded)
-        out = self._run_jit(state, steps=steps)
-        return self.from_sharded(out)
+        """One jitted program end-to-end (embed -> exchange+steps ->
+        extract); eager device ops are pathological over tunneled TPUs
+        (CLAUDE.md rule 1)."""
+        if not hasattr(self, "_full_jit"):
+            self._full_jit = jax.jit(
+                lambda g, steps: self.from_sharded(
+                    self._run(self.to_sharded(g), steps)),
+                static_argnames=("steps",),
+            )
+        return self._full_jit(padded, steps=steps)
 
 
 class ShardedStencil3D:
@@ -239,6 +250,8 @@ class ShardedStencil3D:
     def __init__(self, spec: StencilSpec, interior, config: ShardedConfig,
                  mesh: Optional[Mesh] = None):
         assert spec.ndim == 3
+        assert config.fused_steps == 1, (
+            "sharded 3-D fusion not implemented yet; set fused_steps=1")
         from ..ops.layout import Layout3D, default_tile_3d
 
         self.spec = spec
@@ -266,12 +279,7 @@ class ShardedStencil3D:
         _, r0, c0 = lay.origin
         dx, dy = self.config.mesh_shape
 
-        def shift(x, axis_name, fwd, npairs):
-            if npairs == 1:
-                return jnp.zeros_like(x)
-            perm = [(i, i + 1) for i in range(npairs - 1)] if fwd else \
-                   [(i + 1, i) for i in range(npairs - 1)]
-            return jax.lax.ppermute(x, axis_name, perm)
+        shift = _shift
 
         ix = jax.lax.axis_index("x")
         iy = jax.lax.axis_index("y")
@@ -339,7 +347,8 @@ class ShardedStencil3D:
                     i * Mp + r0 - hm: i * Mp + r0 + lm + hm,
                     j * Np + c0 - hn: j * Np + c0 + ln + hn,
                 ].set(src)
-        return jax.device_put(out, NamedSharding(self.mesh, P(None, "x", "y")))
+        return jax.lax.with_sharding_constraint(
+            out, NamedSharding(self.mesh, P(None, "x", "y")))
 
     def from_sharded(self, state):
         spec, lay = self.spec, self.layout
@@ -359,9 +368,16 @@ class ShardedStencil3D:
         return out
 
     def run(self, padded, steps: int):
-        state = self.to_sharded(padded)
-        out = self._run_jit(state, steps=steps)
-        return self.from_sharded(out)
+        """One jitted program end-to-end (embed -> exchange+steps ->
+        extract); eager device ops are pathological over tunneled TPUs
+        (CLAUDE.md rule 1)."""
+        if not hasattr(self, "_full_jit"):
+            self._full_jit = jax.jit(
+                lambda g, steps: self.from_sharded(
+                    self._run(self.to_sharded(g), steps)),
+                static_argnames=("steps",),
+            )
+        return self._full_jit(padded, steps=steps)
 
 
 class ShardedStencil1D:
@@ -373,6 +389,8 @@ class ShardedStencil1D:
     def __init__(self, spec: StencilSpec, interior: int,
                  config: ShardedConfig, mesh: Optional[Mesh] = None):
         assert spec.ndim == 1
+        assert config.fused_steps == 1, (
+            "sharded 1-D fusion not implemented yet; set fused_steps=1")
         from ..ops.layout import LANE, Layout1D
 
         self.spec = spec
@@ -400,11 +418,7 @@ class ShardedStencil1D:
         ix = jax.lax.axis_index("x")
 
         def shift(x, fwd):
-            if dx == 1:
-                return jnp.zeros_like(x)
-            perm = [(i, i + 1) for i in range(dx - 1)] if fwd else \
-                   [(i + 1, i) for i in range(dx - 1)]
-            return jax.lax.ppermute(x, "x", perm)
+            return _shift(x, "x", fwd, dx)
 
         head = flat[o: o + h]
         tail = flat[o + n - h: o + n]
@@ -448,7 +462,7 @@ class ShardedStencil1D:
         for i in range(self.dx):
             src = padded[i * n: i * n + n + 2 * h]
             out = out.at[i * R * L + o - h: i * R * L + o + n + h].set(src)
-        return jax.device_put(
+        return jax.lax.with_sharding_constraint(
             out.reshape(self.dx * R, L),
             NamedSharding(self.mesh, P("x", None)))
 
@@ -465,8 +479,16 @@ class ShardedStencil1D:
         return out
 
     def run(self, padded, steps: int):
-        state = self.to_sharded(padded)
-        return self.from_sharded(self._run_jit(state, steps=steps))
+        """One jitted program end-to-end (embed -> exchange+steps ->
+        extract); eager device ops are pathological over tunneled TPUs
+        (CLAUDE.md rule 1)."""
+        if not hasattr(self, "_full_jit"):
+            self._full_jit = jax.jit(
+                lambda g, steps: self.from_sharded(
+                    self._run(self.to_sharded(g), steps)),
+                static_argnames=("steps",),
+            )
+        return self._full_jit(padded, steps=steps)
 
 
 def sharded_engine(name: str, interior, mesh_shape, **kw):

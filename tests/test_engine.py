@@ -124,3 +124,57 @@ def test_engine_3d_fused(name, k):
         want = reference.run(g0, spec, steps)
         err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
         assert err < 1e-6, (name, k, steps, err)
+
+
+class TestReviewRegressions:
+    """Fixes from the round-1 code review."""
+
+    def test_mxu_with_default_fused_steps(self):
+        # 'mxu' cannot fuse; the engine must clamp, not crash
+        spec = shapes.get_shape("star2d1r")
+        g0 = reference.random_padded(spec, (40, 200), seed=1)
+        eng = engine.StencilEngine.for_shape("star2d1r", (40, 200),
+                                             algorithm="mxu")
+        got = np.asarray(eng.run(jnp.asarray(g0, jnp.float32), 2),
+                         np.float64)
+        want = reference.run(g0, spec, 2)
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+
+    def test_module_run_uses_passed_spec(self):
+        eng = engine.StencilEngine.for_coeffs(
+            np.outer([1.0, 2, 1], [1.0, 2, 1]) / 16, (24, 128))
+        out = engine.run(
+            jnp.zeros(eng.spec.padded_shape((24, 128)), jnp.float32),
+            eng.spec, 2)
+        assert np.asarray(out).shape == (26, 130)
+
+    def test_3d_radius2_rejected(self):
+        from lorastencil_tpu.models.shapes import (SeparableTerm,
+                                                   StencilSpec)
+
+        bad = StencilSpec(
+            name="z2", ndim=3, radius=2, halo=(2, 2, 4),
+            terms=(SeparableTerm(taps=((1.0, 2, 0, 2, 1), None, None)),),
+            residue=(), fuse_factor=1)
+        eng = engine.StencilEngine(bad, (8, 16, 128))
+        with pytest.raises(NotImplementedError, match="radius-1"):
+            eng.run(jnp.zeros(bad.padded_shape((8, 16, 128)), jnp.float32),
+                    1)
+
+    def test_mxu_split_identity_residue(self):
+        from lorastencil_tpu.models.shapes import (SeparableTerm,
+                                                   StencilSpec)
+
+        spec = StencilSpec(
+            name="c1", ndim=2, radius=1, halo=(1, 1),
+            terms=(SeparableTerm(taps=((1.0, 0, 1), (1.0, 0, 1))),),
+            residue=(((0, 0), 1.0),), fuse_factor=1)
+        eng = engine.StencilEngine(
+            spec, (24, 128),
+            engine.EngineConfig(algorithm="mxu_split", fused_steps=1))
+        g = np.random.default_rng(2).uniform(
+            0, 1, spec.padded_shape((24, 128)))
+        got = np.asarray(eng.run(jnp.asarray(g, jnp.float32), 2),
+                         np.float64)
+        want = reference.run(g, spec, 2)
+        assert np.abs(got - want).max() / np.abs(want).max() < 2e-5
