@@ -29,12 +29,15 @@ def main() -> int:
 
     spec = get_shape("star2d1r")
     if on_tpu:
+        # identical step counts so jit/dispatch overhead amortizes equally
+        # in both measurements (the round-1 16-step baseline under-counted
+        # the naive path's throughput by ~10-20%)
         m = n = 8192
-        steps, base_steps = 256, 16
+        steps, base_steps = 256, 256
         cfg = dict(algorithm="vpu", fused_steps=6, tile=(192, 1024))
     else:  # local smoke config
         m, n = 256, 512
-        steps, base_steps = 8, 4
+        steps, base_steps = 8, 8
         cfg = dict(algorithm="vpu", fused_steps=2, tile=(64, 256))
 
     eng = engine.StencilEngine.for_shape("star2d1r", (m, n), **cfg)

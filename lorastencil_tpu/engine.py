@@ -118,6 +118,11 @@ class StencilEngine:
             raise ValueError(
                 "dtype float64 needs jax_enable_x64 (JAX truncates to "
                 "float32 silently otherwise)")
+        if config.precision not in ("highest", "default"):
+            raise ValueError(
+                f"precision must be 'highest' or 'default', got "
+                f"{config.precision!r} (a typo would silently degrade "
+                f"algorithm='mxu' to ~1e-3/step)")
         self.precision = (
             jax.lax.Precision.HIGHEST
             if config.precision == "highest"
@@ -196,7 +201,7 @@ class StencilEngine:
             return Layout1D(interior=n1, halo=spec.halo[0], tile_rows=rows)
         if spec.ndim == 2:
             tile = self.config.tile or default_tile_2d(*interior)
-            k = self.config.fused_steps
+            k = self._fused_k() if self.backend != "xla" else 1
             need = max(spec.halo[0], k * spec.radius)
             guard_r = SUBLANE * (-(-need // SUBLANE))
             return Layout2D(interior=interior, halo=spec.halo, tile=tile,
@@ -246,8 +251,12 @@ class StencilEngine:
             return min(max(1, self.config.fused_steps_3d),
                        SUBLANE // max(1, self.spec.radius))
         # plain 'mxu' (Mosaic-precision banded GEMMs) does not support
-        # in-kernel fusion; fall back to one step per pass
-        return 1 if self.config.algorithm == "mxu" else k
+        # in-kernel fusion; fall back to one step per pass.  Otherwise
+        # clamp k so the fused window halo fits the fixed 128-lane column
+        # guard (the row guard adapts to k in _build_layout).
+        if self.config.algorithm == "mxu":
+            return 1
+        return min(k, LANE // max(1, self.spec.radius))
 
     def _run_internal(self, state, steps: int):
         return ping_pong_loop(self._step_internal, state, steps,

@@ -201,7 +201,7 @@ def _build_registry():
     Sx = _star2d3r_coeffs()
     col_taps = tuple(Sx[:, 3])              # (1,2,3,4,3,2,1) along rows
     row_taps = list(Sx[3, :])
-    row_taps[3] = 0.0                        # center carried by the row term
+    row_taps[3] = 0.0                # center counted once (column term only)
     star3_terms = (
         SeparableTerm(taps=(col_taps, None)),
         SeparableTerm(taps=(None, tuple(row_taps))),

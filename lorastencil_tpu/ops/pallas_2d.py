@@ -289,11 +289,17 @@ def stencil2d_step(
         raise ValueError(
             f"unknown algorithm {algorithm!r}; expected 'vpu', 'mxu' or "
             f"'mxu_split'")
-    if fused_steps > 1:
-        assert algorithm in ("vpu", "mxu_split"), (
-            "temporal fusion needs algorithm='vpu' or 'mxu_split'")
-    assert layout.guard[0] >= fused_steps * spec.radius
-    assert layout.guard[1] >= fused_steps * spec.radius
+    if fused_steps > 1 and algorithm not in ("vpu", "mxu_split"):
+        raise ValueError(
+            "temporal fusion (fused_steps > 1) needs algorithm='vpu' or "
+            "'mxu_split'")
+    if (layout.guard[0] < fused_steps * spec.radius
+            or layout.guard[1] < fused_steps * spec.radius):
+        raise ValueError(
+            f"fused_steps={fused_steps} needs a guard of "
+            f">= {fused_steps * spec.radius} cells per axis; layout has "
+            f"{layout.guard} (max fused_steps here: "
+            f"{min(layout.guard) // max(1, spec.radius)})")
     np_dtype = np.dtype(cur.dtype)
     mats_meta = []
     mats_meta_lo = []

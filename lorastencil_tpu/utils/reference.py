@@ -59,8 +59,10 @@ def run(grid0: np.ndarray, spec: StencilSpec, steps: int) -> np.ndarray:
 def random_padded(spec: StencilSpec, interior, seed: int = 0,
                   lo: int = 0, hi: int = 100) -> np.ndarray:
     """Random integer-valued padded grid, mirroring the reference's
-    FILL_RANDOM (rand() % 100 over the whole padded buffer, halo
-    included: ``src/2d/main.cu:232-235``)."""
+    FILL_RANDOM over the whole padded buffer, halo included.  The 2-D/3-D
+    drivers use rand() % 100 (``src/2d/main.cu:232-235``); the 1-D driver
+    uses rand() % 10000 (``src/1d/main.cu:105-108``) -- a scaling
+    difference only, so one %100 generator serves all shapes here."""
     rng = np.random.default_rng(seed)
     shape = spec.padded_shape(interior)
     return rng.integers(lo, hi, size=shape).astype(np.float64)

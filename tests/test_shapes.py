@@ -175,12 +175,37 @@ class TestFactorize:
         )
 
     def test_fuse_coeffs_2d_matches_repeated_apply(self):
-        # fusing k steps == applying the stencil k times on a wide grid
+        # fusing k steps == applying the stencil k times, on a grid wide
+        # enough that the interior center never sees the halo decay
+        from lorastencil_tpu.models.shapes import StencilSpec, SeparableTerm
         from lorastencil_tpu.utils import reference
 
         spec = shapes.get_shape("star2d1r")
         S2 = factorize.fuse_coeffs(spec.dense_coeffs(), 2)
         assert S2.shape == (13, 13)
+
+        rng = np.random.default_rng(7)
+        g0 = rng.normal(size=(41, 41))
+        two_steps = reference.run(g0, spec, 2)
+        # apply the fused stencil once (radius 6, halo 6 on the same grid:
+        # re-center g0 in a radius-6 padded grid so interiors line up)
+        fused_terms = ()
+        offs = [(int(i) - 6, int(j) - 6) for i, j in np.argwhere(S2 != 0)]
+        fused_spec = StencilSpec(
+            name="star2d1r_k2", ndim=2, radius=6, halo=(6, 6),
+            terms=fused_terms,
+            residue=tuple(((di, dj), float(S2[6 + di, 6 + dj]))
+                          for di, dj in offs),
+            fuse_factor=6,
+        )
+        g0_wide = np.zeros((45, 45))
+        g0_wide[2:-2, 2:-2] = g0
+        one_fused = reference.run(g0_wide, fused_spec, 1)
+        # compare interior points >= 3 cells from the interior boundary
+        # (closer points see step-1 halo decay that the fused stencil
+        # cannot represent); wide index = g0 index + 2
+        np.testing.assert_allclose(
+            one_fused[9:-9, 9:-9], two_steps[7:-7, 7:-7], rtol=1e-12)
 
     def test_banded_matrix(self):
         B = factorize.banded_matrix([1.0, 2.0, 3.0], 8, dtype=np.float64)
