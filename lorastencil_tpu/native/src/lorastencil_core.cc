@@ -17,6 +17,10 @@
 #include <cstring>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------
@@ -100,13 +104,68 @@ void ls_dense_step_2d(const double* grid, double* out, int mp, int np_,
                       int hm, int hn, const double* S, int r) {
   std::memset(out, 0, sizeof(double) * mp * np_);
   const int w = 2 * r + 1;
+  // sparse tap list: the reference shapes are mostly zeros in the
+  // (2r+1)^2 box (star2d1r: 13 of 49 nonzero)
+  std::vector<int> offs;
+  std::vector<double> ws;
+  for (int di = -r; di <= r; ++di)
+    for (int dj = -r; dj <= r; ++dj) {
+      const double c = S[(di + r) * w + (dj + r)];
+      if (c != 0.0) { offs.push_back(di * np_ + dj); ws.push_back(c); }
+    }
+  const int nt = static_cast<int>(ws.size());
+#pragma omp parallel for schedule(static)
   for (int i = hm; i < mp - hm; ++i) {
     for (int j = hn; j < np_ - hn; ++j) {
       double acc = 0.0;
-      for (int di = -r; di <= r; ++di)
-        for (int dj = -r; dj <= r; ++dj)
-          acc += S[(di + r) * w + (dj + r)] * grid[(i + di) * np_ + j + dj];
+      const double* g = grid + i * np_ + j;
+      for (int t = 0; t < nt; ++t) acc += ws[t] * g[offs[t]];
       out[i * np_ + j] = acc;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------
+// dense reference stencil step (fp64), 1-D twin.
+void ls_dense_step_1d(const double* grid, double* out, int n_pad, int h,
+                      const double* taps, int r) {
+  std::memset(out, 0, sizeof(double) * n_pad);
+#pragma omp parallel for schedule(static)
+  for (int i = h; i < n_pad - h; ++i) {
+    double acc = 0.0;
+    for (int d = -r; d <= r; ++d) acc += taps[d + r] * grid[i + d];
+    out[i] = acc;
+  }
+}
+
+// ---------------------------------------------------------------------
+// dense reference stencil step (fp64), 3-D twin.
+//   grid: (hp, mp, np_) padded row-major; halos (hz, hm, hn) >= r.
+void ls_dense_step_3d(const double* grid, double* out, int hp, int mp,
+                      int np_, int hz, int hm, int hn, const double* S,
+                      int r) {
+  std::memset(out, 0, sizeof(double) * hp * mp * np_);
+  const int w = 2 * r + 1;
+  const long pm = static_cast<long>(mp) * np_;
+  std::vector<long> offs;
+  std::vector<double> ws;
+  for (int dz = -r; dz <= r; ++dz)
+    for (int di = -r; di <= r; ++di)
+      for (int dj = -r; dj <= r; ++dj) {
+        const double c = S[((dz + r) * w + (di + r)) * w + (dj + r)];
+        if (c != 0.0) { offs.push_back(dz * pm + di * np_ + dj);
+                        ws.push_back(c); }
+      }
+  const int nt = static_cast<int>(ws.size());
+#pragma omp parallel for schedule(static) collapse(2)
+  for (int z = hz; z < hp - hz; ++z) {
+    for (int i = hm; i < mp - hm; ++i) {
+      for (int j = hn; j < np_ - hn; ++j) {
+        double acc = 0.0;
+        const double* g = grid + z * pm + i * np_ + j;
+        for (int t = 0; t < nt; ++t) acc += ws[t] * g[offs[t]];
+        out[z * pm + i * np_ + j] = acc;
+      }
     }
   }
 }
@@ -120,6 +179,6 @@ int64_t ls_monotonic_ns() {
       .count();
 }
 
-int ls_abi_version() { return 1; }
+int ls_abi_version() { return 2; }
 
 }  // extern "C"

@@ -10,12 +10,13 @@ banded DMMA parameter matrices (``/root/reference/src/2d/gpu.cu:353-387``).
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
 
 from ..models.factorize import banded_matrix
 from .layout import LANE
 
 __all__ = ["term_band_mats", "plane_conv", "apply_spec_vpu",
-           "apply_terms_mxu_split", "mm"]
+           "apply_spec_vpu_rolled", "apply_terms_mxu_split", "mm"]
 
 
 def term_band_mats(term, dtype):
@@ -169,6 +170,83 @@ def apply_terms_mxu_split(Xh, Xl, mats, e_in, e_out, TM, TN):
         acc = Z if acc is None else acc + Z
     if acc is None:
         acc = jnp.zeros((R, C), jnp.float32)
+    return acc
+
+
+def apply_spec_vpu_rolled(X, spec2d):
+    """One full 2-D stencil application on the VPU via cyclic rolls at a
+    FIXED (sublane, lane)-aligned extent (exact fp32).
+
+    Every shifted operand is a ``pltpu.roll`` of the full array -- no
+    misaligned sub-extent slices, which Mosaic lowers to much costlier
+    rotate+select+copy sequences when both the offset and the extent are
+    off the (8, 128) grid.  The price: cells within ``radius`` of the
+    array edge receive wrapped garbage.  Callers keep every intermediate
+    at the full window extent, so the garbage creeps <= radius per fused
+    substep into the window guard margin (>= fused_steps * radius by
+    layout construction) and is cut off by the final interior slice --
+    the same creep argument as the 1-D flat-roll kernel.
+
+    Residue points are grouped by row offset so each distinct row roll
+    is computed once (star2d1r's 8-point residue: 3 row groups).
+    """
+    import collections
+
+    R0, C0 = X.shape
+
+    def sh(A, d, axis):
+        if d == 0:
+            return A
+        n = R0 if axis == 0 else C0
+        return pltpu.roll(A, (-d) % n, axis)
+
+    def add(a, b):
+        return b if a is None else a + b
+
+    acc = None
+    for term in spec2d.terms:
+        rt, ct = term.taps[-2], term.taps[-1]
+        Y = None
+        if ct is not None:
+            rc = (len(ct) - 1) // 2
+            for k, w in enumerate(ct):
+                if w != 0.0:
+                    Y = add(Y, w * sh(X, k - rc, 1))
+        else:
+            Y = X
+        Z = None
+        if rt is not None:
+            rr = (len(rt) - 1) // 2
+            for k, w in enumerate(rt):
+                if w != 0.0:
+                    Z = add(Z, w * sh(Y, k - rr, 0))
+        else:
+            Z = Y
+        acc = add(acc, Z)
+
+    # group residue points by |row offset|; a (+dr, dc, w)/(-dr, dc, w)
+    # pair shares one row-symmetric sum D = sh(X,+dr) + sh(X,-dr)
+    # (star2d1r's (+-2, +-2) corners: 7 ops instead of 10)
+    by_row = collections.defaultdict(list)
+    for off, w in spec2d.residue:
+        by_row[off[-2]].append((off[-1], float(w)))
+    for adr in sorted({abs(dr) for dr in by_row}):
+        up = sorted(by_row.get(adr, []))
+        dn = sorted(by_row.get(-adr, [])) if adr else []
+        if adr == 0:
+            D, rest = X, [(0, dc, w) for dc, w in up]
+        elif up == dn and up:
+            D = sh(X, adr, 0) + sh(X, -adr, 0)
+            rest = [(0, dc, w) for dc, w in up]
+        else:
+            D = None
+            rest = ([(adr, dc, w) for dc, w in up]
+                    + [(-adr, dc, w) for dc, w in dn])
+        for dr, dc, w in rest:
+            src = D if D is not None else sh(X, dr, 0)
+            acc = add(acc, w * sh(src, dc, 1))
+    if acc is None:
+        acc = jnp.zeros((R0, C0), X.dtype)
     return acc
 
 

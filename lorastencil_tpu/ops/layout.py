@@ -183,12 +183,12 @@ class Layout3D:
 
 def default_tile_2d(m: int, n: int) -> Tuple[int, int]:
     """Pick a VMEM-friendly tile: big enough to amortize halo overhead,
-    small enough that fused-substep scratch fits the 16M scoped-vmem
-    budget (measured on v5e: (128, 1024) is the sweet spot for fused
-    kernels at large grids)."""
+    small enough that double-buffered windows + substep scratch fit the
+    16M scoped-vmem budget (measured on v5e: (256, 1024) is the sweet
+    spot for the unfused roll kernel at large grids)."""
     tn = 1024 if n >= 1024 else (512 if n >= 512
                                  else LANE * max(1, _cdiv(n, LANE)))
-    tm = 128 if m >= 128 else SUBLANE * max(1, _cdiv(m, SUBLANE))
+    tm = 256 if m >= 256 else SUBLANE * max(1, _cdiv(m, SUBLANE))
     return (tm, tn)
 
 

@@ -1,4 +1,4 @@
-"""1-D low-rank stencil Pallas kernel.
+"""1-D stencil Pallas kernels.
 
 TPU-native re-design of the reference's 1-D tensor-core engine
 (``/root/reference/src/1d/gpu_1r.cu:21-87``): the padded 1-D array is
@@ -10,9 +10,23 @@ wrap replaces the reference's dual-accumulator band-overlap fragment
 reuse (``src/1d/gpu_1r.cu:66-78``); an MXU banded matmul (the direct
 analog of the reference's 16x8 constant parameter matrix,
 ``gpu_1r.cu:94-99``) was measured at bf16 pass precision (1.6e-3 rel err
-on device) and dropped.  ``fused_steps`` applies up to 8 timesteps per
-HBM round trip (edge garbage creeps one row per substep, inside the
-8-row window halo), double-buffered like the 2-D kernel.
+on device) and dropped.
+
+Any 1-D spec (multi-term, residue, custom coefficients) is supported:
+a 1-D stencil is always dense, so the kernel works off
+``spec.dense_coeffs()`` directly (radius up to 127).
+
+Two kernels:
+
+* ``stencil1d_step`` -- tiled, double-buffered window DMA; ``fused_steps``
+  applies up to 8 timesteps per HBM round trip (edge garbage creeps one
+  row per substep, inside the 8-row window halo).
+* ``stencil1d_resident`` -- whole-grid-resident: for grids that fit VMEM,
+  ALL timesteps run inside ONE kernel launch (the grid stays in VMEM for
+  the whole run; one dispatch total).  This is the small-grid fast path
+  the reference covers with per-step kernel launches on a resident L2
+  working set (``src/1d/gpu_1r.cu:121-123``); on TPU-over-tunnel, one
+  dispatch per *run* beats one per step by orders of magnitude.
 """
 
 from __future__ import annotations
@@ -21,22 +35,70 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.shapes import StencilSpec
 from .layout import LANE, SUBLANE, Layout1D
 
+# whole-grid-resident threshold: internal buffer bytes (3 live copies --
+# in, temporaries, out -- must fit comfortably in ~16M usable VMEM)
+RESIDENT_BYTES = 2 * 2**20
+
+
+def _dense_taps(spec: StencilSpec):
+    """Flat dense taps of a 1-D spec (terms + residue collapsed)."""
+    assert spec.ndim == 1
+    taps = tuple(float(t) for t in spec.dense_coeffs())
+    assert len(taps) <= 2 * (LANE - 1) + 1, "1-D radius must be < 128"
+    return taps
+
+
+def _conv_flat(W, taps, lane):
+    """One exact-fp32 VPU step over a full (R, 128) flat view: flat shift
+    by d = lane roll of each row, wrapped lanes from the adjacent row's
+    roll (the flat array wraps every 128 lanes).  The outermost rows read
+    garbage (no halo beyond the window); each substep creeps the garbage
+    one row inward."""
+    r = (len(taps) - 1) // 2
+    R = W.shape[0]
+    up = pltpu.roll(W, R - 1, 0)   # up[i] = W[i+1] (last row wraps)
+    dn = pltpu.roll(W, 1, 0)       # dn[i] = W[i-1] (first row wraps)
+    acc = jnp.zeros(W.shape, W.dtype)
+    if taps[r] != 0.0:
+        acc = acc + taps[r] * W
+    for d in range(1, r + 1):
+        wp = taps[r + d]
+        if wp != 0.0:
+            # left-roll by d == circular roll by LANE - d (roll
+            # takes non-negative shifts only)
+            sh = jnp.where(lane < LANE - d,
+                           pltpu.roll(W, LANE - d, 1),
+                           pltpu.roll(up, LANE - d, 1))
+            acc = acc + wp * sh
+        wm = taps[r - d]
+        if wm != 0.0:
+            sh = jnp.where(lane >= d,
+                           pltpu.roll(W, d, 1), pltpu.roll(dn, d, 1))
+            acc = acc + wm * sh
+    return acc
+
 
 def _stencil1d_kernel(
-    in_hbm, donor_hbm, out_hbm, win, out_tile, sem_in, sem_out,
-    *, layout: Layout1D, n: int, _taps, fused_steps: int,
+    in_hbm, donor_hbm, *rest,
+    layout: Layout1D, n: int, _taps, fused_steps: int, has_bounds: bool,
 ):
+    bounds_ref = None
+    if has_bounds:
+        bounds_ref = rest[0]
+        rest = rest[1:]
+    out_hbm, win, out_tile, sem_in, sem_out = rest
     TR = layout.tile_rows
     (g,) = layout.grid
     ti = pl.program_id(0)
-    slot = jax.lax.rem(ti, 2)
-    nslot = jax.lax.rem(ti + 1, 2)
+    slot = jax.lax.rem(ti, jnp.int32(2))
+    nslot = jax.lax.rem(ti + 1, jnp.int32(2))
 
     def in_dma(t_i, s):
         return pltpu.make_async_copy(
@@ -62,49 +124,24 @@ def _stencil1d_kernel(
 
     in_dma(ti, slot).wait()
 
-    taps = _taps  # closed over, static
-    r = (len(taps) - 1) // 2
     lane = jax.lax.broadcasted_iota(jnp.int32, (TR + 2 * SUBLANE, LANE), 1)
 
-    def conv_full(W):
-        """One exact-fp32 VPU step over the FULL (TR+16, 128) window:
-        flat shift by d = lane roll of each row, wrapped lanes from the
-        adjacent row's roll (the flat array wraps every 128 lanes).
-        The outermost rows read garbage (no halo beyond the window);
-        with k fused substeps the garbage creeps k rows inward,
-        well inside the 8-row (1024-cell) window halo."""
-        R = W.shape[0]
-        up = pltpu.roll(W, R - 1, 0)   # up[i] = W[i+1] (last row wraps)
-        dn = pltpu.roll(W, 1, 0)       # dn[i] = W[i-1] (first row wraps)
-        acc = jnp.zeros(W.shape, jnp.float32)
-        if taps[r] != 0.0:
-            acc = acc + taps[r] * W
-        for d in range(1, r + 1):
-            wp = taps[r + d]
-            if wp != 0.0:
-                # left-roll by d == circular roll by LANE - d (roll
-                # takes non-negative shifts only)
-                sh = jnp.where(lane < LANE - d,
-                               pltpu.roll(W, LANE - d, 1),
-                               pltpu.roll(up, LANE - d, 1))
-                acc = acc + wp * sh
-            wm = taps[r - d]
-            if wm != 0.0:
-                sh = jnp.where(lane >= d,
-                               pltpu.roll(W, d, 1), pltpu.roll(dn, d, 1))
-                acc = acc + wm * sh
-        return acc
-
     # interior mask over the full window extent (reference halo decay:
-    # every substep zeroes cells outside flat [0, n))
+    # every substep zeroes cells outside flat [lo, hi) -- the global
+    # interior in local coordinates when domain-decomposed, [0, n)
+    # otherwise)
+    if has_bounds:
+        lo, hi = bounds_ref[0], bounds_ref[1]
+    else:
+        lo, hi = 0, n
     grw = (jax.lax.broadcasted_iota(jnp.int32, (TR + 2 * SUBLANE, LANE), 0)
            + ti * TR - SUBLANE)
     flatw = grw * LANE + lane
-    wmask = ((flatw >= 0) & (flatw < n)).astype(jnp.float32)
+    wmask = ((flatw >= lo) & (flatw < hi)).astype(jnp.float32)
 
     cur = win[pl.ds(slot, 1)][0]
     for _ in range(fused_steps):
-        cur = conv_full(cur) * wmask
+        cur = _conv_flat(cur, _taps, lane) * wmask
     acc = cur[SUBLANE: SUBLANE + TR, :]
 
     @pl.when(ti >= 2)
@@ -135,24 +172,35 @@ def stencil1d_step(
     precision=jax.lax.Precision.HIGHEST,  # noqa: ARG001 (VPU path is exact)
     interpret: bool = False,
     fused_steps: int = 1,
+    bounds: "jax.Array | None" = None,
 ) -> jax.Array:
+    """``fused_steps`` timesteps on the internal layout in one kernel.
+
+    ``bounds`` (optional, shape (2,) int32): dynamic [lo, hi) interior
+    mask range in local flat coordinates -- the global interior seen from
+    this shard when domain-decomposed (interior devices must not zero
+    ring cells holding exchanged neighbor data)."""
     layout.validate()
     TR = layout.tile_rows
-    assert len(spec.terms) == 1 and spec.residue == ()
-    # garbage from the windowless edge creeps one row per fused substep;
-    # the window halo is SUBLANE rows on each side.
-    assert 1 <= fused_steps <= SUBLANE
-    (taps,) = spec.terms[0].taps
+    taps = _dense_taps(spec)
+    # garbage from the windowless edge creeps one row per fused substep
+    # (radius < 128 cells = one 128-lane row); the window halo is SUBLANE
+    # rows on each side.
+    if not (1 <= fused_steps <= SUBLANE):
+        raise ValueError(f"1-D fused_steps must be in [1, {SUBLANE}]")
 
     kernel = functools.partial(
         _stencil1d_kernel, layout=layout, n=layout.interior,
-        _taps=tuple(float(t) for t in taps), fused_steps=fused_steps,
+        _taps=taps, fused_steps=fused_steps, has_bounds=bounds is not None,
     )
+    bounds_args = [] if bounds is None else [jnp.asarray(bounds, jnp.int32)]
+    bounds_specs = [] if bounds is None else [
+        pl.BlockSpec(memory_space=pltpu.SMEM)]
     return pl.pallas_call(
         kernel,
         grid=layout.grid,
         out_shape=jax.ShapeDtypeStruct(cur.shape, cur.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2 + bounds_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, TR + 2 * SUBLANE, LANE), cur.dtype),
@@ -162,4 +210,56 @@ def stencil1d_step(
         ],
         input_output_aliases={1: 0},
         interpret=interpret,
-    )(cur, donor)
+    )(cur, donor, *bounds_args)
+
+
+def _stencil1d_resident_kernel(in_ref, out_ref, *, n: int, _taps,
+                               steps: int):
+    R = in_ref.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 0)
+    flat = (row - SUBLANE) * LANE + lane
+    mask = ((flat >= 0) & (flat < n)).astype(jnp.float32)
+
+    def body(_, W):
+        return _conv_flat(W, _taps, lane) * mask
+
+    out_ref[:] = jax.lax.fori_loop(0, steps, body, in_ref[:]).astype(
+        out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "layout", "interpret", "steps")
+)
+def stencil1d_resident(
+    cur: jax.Array,
+    spec: StencilSpec,
+    layout: Layout1D,
+    steps: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """ALL ``steps`` timesteps in one kernel on a VMEM-resident grid.
+
+    The whole internal buffer (guard + interior) lives in VMEM for the
+    run; each step is one exact-fp32 flat convolution + interior mask
+    (the mask zeroes the halo after the first step -- the reference's
+    decaying Dirichlet-0 semantics, SURVEY.md section 4).  One dispatch
+    for the whole run: this is what makes the small-grid BASELINE config
+    (``1d1r 4096 x64``) fast on a dispatch-latency-bound backend."""
+    layout.validate()
+    assert fits_resident(layout), "grid too large for the resident kernel"
+    kernel = functools.partial(
+        _stencil1d_resident_kernel, n=layout.interior,
+        _taps=_dense_taps(spec), steps=steps,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(cur.shape, cur.dtype),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(cur)
+
+
+def fits_resident(layout: Layout1D, itemsize: int = 4) -> bool:
+    rows, _ = layout.shape
+    return rows * LANE * itemsize <= RESIDENT_BYTES

@@ -49,8 +49,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.shapes import SeparableTerm, StencilSpec
-from .band_gemm import (apply_spec_vpu, apply_terms_mxu_split, plane_conv,
-                        split_bf16, term_band_mats)
+from .band_gemm import (apply_spec_vpu, apply_spec_vpu_rolled,
+                        apply_terms_mxu_split, plane_conv, split_bf16,
+                        term_band_mats)
 from .layout import LANE, SUBLANE, Layout2D
 
 
@@ -69,6 +70,8 @@ def _stencil2d_kernel(
     algorithm,
     fused_steps,
     has_bounds,
+    depth,
+    region,
 ):
     n_mats = sum(int(has_a) + int(has_b) for has_a, _, has_b, _ in mats_meta)
     n_mats += sum(int(a) + int(b) for a, b in mats_meta_lo)
@@ -91,16 +94,17 @@ def _stencil2d_kernel(
     # DMA-alignment window halo (>= fused_steps*radius; (8, 128)-aligned)
     HR, HC = layout.guard
 
-    gi, gj = layout.grid
-    total = gi * gj
-    ti = pl.program_id(0)
-    tj = pl.program_id(1)
-    idx = ti * gj + tj  # TPU grid order: last dim innermost
-    # double-buffer only when a single step's DMA dominates; fused
-    # kernels amortize DMA and need the VMEM for compute extents.
-    depth = 2 if fused_steps == 1 else 1
-    slot = jax.lax.rem(idx, 2) if depth == 2 else 0
-    nslot = jax.lax.rem(idx + 1, 2) if depth == 2 else 0
+    # region = ((ti0, ti1), (tj0, tj1)): the tile-index window this call
+    # owns (a sub-rectangle of the full grid -- used by the overlapped
+    # sharded engine to split interior and boundary work).
+    (ti0, ti1), (tj0, tj1) = region
+    rw = tj1 - tj0
+    total = (ti1 - ti0) * rw
+    ti = ti0 + pl.program_id(0)
+    tj = tj0 + pl.program_id(1)
+    idx = pl.program_id(0) * rw + pl.program_id(1)  # last dim innermost
+    slot = jax.lax.rem(idx, jnp.int32(2)) if depth == 2 else 0
+    nslot = jax.lax.rem(idx + 1, jnp.int32(2)) if depth == 2 else 0
 
     def in_dma(t_i, t_j, s):
         return pltpu.make_async_copy(
@@ -128,8 +132,8 @@ def _stencil2d_kernel(
             in_dma(ti, tj, slot).start()
 
         nidx = idx + 1
-        nti = jax.lax.div(nidx, gj)
-        ntj = jax.lax.rem(nidx, gj)
+        nti = ti0 + jax.lax.div(nidx, jnp.int32(rw))
+        ntj = tj0 + jax.lax.rem(nidx, jnp.int32(rw))
 
         @pl.when(nidx < total)
         def _prefetch():
@@ -163,7 +167,24 @@ def _stencil2d_kernel(
         cm = ((gc >= b_clo) & (gc < b_chi)).astype(val.dtype)
         return val * rm * cm
 
-    if algorithm in ("vpu", "mxu_split") or fused_steps > 1:
+    if algorithm == "vpu_roll":
+        # cyclic-roll convolutions at the FIXED full window extent: every
+        # shifted operand is (8, 128)-aligned, and the roll-wrap garbage
+        # creeps <= radius per substep into the guard margin (see
+        # band_gemm.apply_spec_vpu_rolled).  Substeps ping-pong through
+        # full-extent VMEM scratch; the final interior slice is aligned
+        # (HR % 8 == 0, HC == 128) and fuses into the out-tile store.
+        cur = X
+        for s in range(fused_steps):
+            val = apply_spec_vpu_rolled(cur, spec)
+            val = mask_to_interior(val, HR, HC)
+            if s < fused_steps - 1:
+                work[s % 2] = val
+                cur = work[s % 2]
+            else:
+                cur = val[HR: HR + TM, HC: HC + TN]
+        acc = cur
+    elif algorithm in ("vpu", "mxu_split") or fused_steps > 1:
         # k fused timesteps per HBM round trip: shrink the compute extent
         # by the radius per substep, masking intermediates to the global
         # interior so the reference's halo-decay semantics hold exactly.
@@ -234,8 +255,8 @@ def _stencil2d_kernel(
         # before reusing this out slot, drain the write started 2 tiles ago
         @pl.when(idx >= 2)
         def _drain_prev():
-            pti = jax.lax.div(idx - 2, gj)
-            ptj = jax.lax.rem(idx - 2, gj)
+            pti = ti0 + jax.lax.div(idx - 2, jnp.int32(rw))
+            ptj = tj0 + jax.lax.rem(idx - 2, jnp.int32(rw))
             out_dma(pti, ptj, slot).wait()
 
         out_tile[pl.ds(slot, 1)] = acc.astype(out_tile.dtype)[None]
@@ -248,8 +269,8 @@ def _stencil2d_kernel(
 
         @pl.when((idx == total - 1) & (total >= 2))
         def _drain_tail2():
-            pti = jax.lax.div(idx - 1, gj)
-            ptj = jax.lax.rem(idx - 1, gj)
+            pti = ti0 + jax.lax.div(idx - 1, jnp.int32(rw))
+            ptj = tj0 + jax.lax.rem(idx - 1, jnp.int32(rw))
             out_dma(pti, ptj, nslot).wait()
     else:
         out_tile[pl.ds(slot, 1)] = acc.astype(out_tile.dtype)[None]
@@ -261,7 +282,7 @@ def _stencil2d_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "layout", "compute_dtype", "precision",
-                     "interpret", "algorithm", "fused_steps"),
+                     "interpret", "algorithm", "fused_steps", "region"),
 )
 def stencil2d_step(
     cur: jax.Array,
@@ -274,6 +295,7 @@ def stencil2d_step(
     algorithm: str = "mxu",
     fused_steps: int = 1,
     bounds: "jax.Array | None" = None,
+    region=None,
 ) -> jax.Array:
     """``fused_steps`` timesteps on the internal layout in one kernel.
 
@@ -285,14 +307,15 @@ def stencil2d_step(
     """
     layout.validate()
     TM, TN = layout.tile
-    if algorithm not in ("vpu", "mxu", "mxu_split"):
+    if algorithm not in ("vpu", "vpu_roll", "mxu", "mxu_split"):
         raise ValueError(
-            f"unknown algorithm {algorithm!r}; expected 'vpu', 'mxu' or "
-            f"'mxu_split'")
-    if fused_steps > 1 and algorithm not in ("vpu", "mxu_split"):
+            f"unknown algorithm {algorithm!r}; expected 'vpu', 'vpu_roll', "
+            f"'mxu' or 'mxu_split'")
+    if fused_steps > 1 and algorithm not in ("vpu", "vpu_roll",
+                                             "mxu_split"):
         raise ValueError(
-            "temporal fusion (fused_steps > 1) needs algorithm='vpu' or "
-            "'mxu_split'")
+            "temporal fusion (fused_steps > 1) needs algorithm='vpu', "
+            "'vpu_roll' or 'mxu_split'")
     if (layout.guard[0] < fused_steps * spec.radius
             or layout.guard[1] < fused_steps * spec.radius):
         raise ValueError(
@@ -364,6 +387,31 @@ def stencil2d_step(
     mats_meta = tuple(mats_meta)
     mats_meta_lo = tuple(mats_meta_lo)
 
+    grid = layout.grid
+    if region is not None:
+        (ti0, ti1), (tj0, tj1) = region
+        assert 0 <= ti0 < ti1 <= grid[0] and 0 <= tj0 < tj1 <= grid[1]
+        call_grid = (ti1 - ti0, tj1 - tj0)
+    else:
+        call_grid = grid
+    HR, HC = layout.guard
+    # double-buffer the window + output DMAs whenever the buffers fit the
+    # scoped-VMEM budget, so transfers hide under compute even for fused
+    # kernels (round 1 single-buffered all fused kernels: ~14% of wall
+    # time was exposed DMA at the 8192^2 headline config).
+    itemsize = np_dtype.itemsize
+    work_rows = (TM + 2 * HR if algorithm == "vpu_roll"
+                 else TM + 2 * (fused_steps - 1) * spec.radius)
+    work_cols = (TN + 2 * HC if algorithm == "vpu_roll"
+                 else TN + 2 * (fused_steps - 1) * spec.radius)
+    win_bytes = (TM + 2 * HR) * (TN + 2 * HC) * itemsize
+    out_bytes = TM * TN * itemsize
+    work_bytes = (2 * work_rows * work_cols * itemsize
+                  if fused_steps > 1 else 0)
+    # ~2M headroom for fusion temporaries under the 16M scoped-vmem limit
+    fits2 = 2 * win_bytes + 2 * out_bytes + work_bytes <= 13 * 2**20
+    depth = 2 if (fused_steps == 1 or fits2) else 1
+
     kernel = functools.partial(
         _stencil2d_kernel,
         spec=spec,
@@ -375,29 +423,30 @@ def stencil2d_step(
         algorithm=algorithm,
         fused_steps=fused_steps,
         has_bounds=bounds is not None,
+        depth=depth,
+        region=region if region is not None
+        else ((0, grid[0]), (0, grid[1])),
     )
-    grid = layout.grid
-    HR, HC = layout.guard
     bounds_args = [] if bounds is None else [jnp.asarray(bounds, jnp.int32)]
     bounds_specs = [] if bounds is None else [
         pl.BlockSpec(memory_space=pltpu.SMEM)]
     return pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=call_grid,
         out_shape=jax.ShapeDtypeStruct(cur.shape, cur.dtype),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
         + bounds_specs
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(mat_args),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2 if fused_steps == 1 else 1,
-                        TM + 2 * HR, TN + 2 * HC), cur.dtype),
-            pltpu.VMEM((2 if fused_steps == 1 else 1, TM, TN), cur.dtype),
+            pltpu.VMEM((depth, TM + 2 * HR, TN + 2 * HC), cur.dtype),
+            pltpu.VMEM((depth, TM, TN), cur.dtype),
             pltpu.VMEM(
-                (2, TM + 2 * (fused_steps - 1) * spec.radius,
-                 TN + 2 * (fused_steps - 1) * spec.radius)
+                (2, work_rows, work_cols)
                 if fused_steps > 1 else (1, SUBLANE, LANE),
-                jnp.float32,
+                # vpu substeps accumulate in the state dtype (fp64-capable
+                # under x64 interpret); mxu_split intermediates are fp32
+                jnp.float32 if algorithm == "mxu_split" else cur.dtype,
             ),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

@@ -91,7 +91,12 @@ def _stencil3d_kernel(
     in_hbm, donor_hbm, *rest,
     spec: StencilSpec, layout: Layout3D, mats_meta,
     compute_dtype, precision, algorithm, slab: int, fused_steps: int,
+    acc_dt=jnp.float32, has_bounds: bool = False,
 ):
+    bounds_ref = None
+    if has_bounds:
+        bounds_ref = rest[0]
+        rest = rest[1:]
     n_mats = sum(int(a) + int(b) for a, _, b, _ in mats_meta)
     mat_refs = rest[:n_mats]
     out_hbm = rest[n_mats]
@@ -163,13 +168,21 @@ def _stencil3d_kernel(
         return plane_conv(X, A, B, rr, rc, HR, HC, TM, TN,
                           compute_dtype, precision)
 
+    if has_bounds:
+        # global-interior bounds in local (row, col) coordinates when
+        # domain-decomposed (z is never sharded)
+        b_rlo, b_rhi = bounds_ref[0], bounds_ref[1]
+        b_clo, b_chi = bounds_ref[2], bounds_ref[3]
+    else:
+        b_rlo, b_rhi, b_clo, b_chi = 0, m, 0, n
+
     def interior_mask(er, ec):
         """(R,1) and (1,C) float masks for an extent-(er, ec) array."""
         R, C = TM + 2 * er, TN + 2 * ec
         gr = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) + ti * TM - er
         gc = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1) + tj * TN - ec
-        return ((gr >= 0) & (gr < m)).astype(jnp.float32), \
-               ((gc >= 0) & (gc < n)).astype(jnp.float32)
+        return ((gr >= b_rlo) & (gr < b_rhi)).astype(acc_dt), \
+               ((gc >= b_clo) & (gc < b_chi)).astype(acc_dt)
 
     rm, cm = interior_mask(0, 0)
 
@@ -179,7 +192,7 @@ def _stencil3d_kernel(
         R, C = TM + 2 * e_out[0], TN + 2 * e_out[1]
         off_r = e_in[0] - e_out[0]
         off_c = e_in[1] - e_out[1]
-        acc = jnp.zeros((R, C), jnp.float32)
+        acc = jnp.zeros((R, C), acc_dt)
         for t_idx in center_idx:
             acc = acc + conv_plane(t_idx, src(j + 1), e_in, e_out)
         for b, t_idx in enumerate(buffered_idx):
@@ -195,11 +208,11 @@ def _stencil3d_kernel(
                 if w != 0.0:
                     acc = acc + w * src(j + 1 + dz)[
                         off_r: off_r + R, off_c: off_c + C
-                    ].astype(jnp.float32)
+                    ].astype(acc_dt)
         for (dz, dr, dc), w in spec.residue:
             acc = acc + w * src(j + 1 + dz)[
                 off_r + dr: off_r + dr + R, off_c + dc: off_c + dc + C
-            ].astype(jnp.float32)
+            ].astype(acc_dt)
         return acc
 
     slab_dma(0, 0).start()
@@ -254,7 +267,7 @@ def _stencil3d_kernel(
                 acc = combine_plane(src, j, e_in, e_out, get_conv)
                 # z-validity: interior plane index of this output
                 zz = si * slab - (K - lvl) * r + j
-                zok = ((zz >= 0) & (zz < H)).astype(jnp.float32)
+                zok = ((zz >= 0) & (zz < H)).astype(acc_dt)
                 acc = acc * rme * cme * zok
                 if lvl == K:
                     out_sl[sslot, j] = acc.astype(out_sl.dtype)
@@ -300,7 +313,11 @@ def stencil3d_step(
     interpret: bool = False,
     algorithm: str = "vpu",
     fused_steps: int = 1,
+    bounds: "jax.Array | None" = None,
 ) -> jax.Array:
+    """``bounds`` (optional, (4,) int32): dynamic global-interior
+    (row_lo, row_hi, col_lo, col_hi) in local coordinates for
+    domain-decomposed runs (z is never sharded)."""
     layout.validate()
     TM, TN = layout.tile
     H = layout.interior[0]
@@ -344,28 +361,34 @@ def stencil3d_step(
         spec=spec, layout=layout, mats_meta=mats_meta,
         compute_dtype=compute_dtype, precision=precision,
         algorithm=algorithm, slab=slab, fused_steps=fused_steps,
+        acc_dt=jnp.float64 if np_dtype == np.float64 else jnp.float32,
+        has_bounds=bounds is not None,
     )
     K = fused_steps
     pe = (K - 1) * spec.radius  # max intermediate in-plane extent
     nplanes = slab + 2 * K * spec.radius
+    bounds_args = [] if bounds is None else [jnp.asarray(bounds, jnp.int32)]
+    bounds_specs = [] if bounds is None else [
+        pl.BlockSpec(memory_space=pltpu.SMEM)]
     return pl.pallas_call(
         kernel,
         grid=layout.grid,
         out_shape=jax.ShapeDtypeStruct(cur.shape, cur.dtype),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
+        + bounds_specs
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(mat_args),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, nplanes, TM + 2 * SUBLANE, TN + 2 * LANE),
                        cur.dtype),
             pltpu.VMEM((n_buf, nplanes, TM + 2 * pe, TN + 2 * pe),
-                       jnp.float32),
+                       cur.dtype),
             pltpu.VMEM((2, slab, TM, TN), cur.dtype),
             pltpu.VMEM((2, nplanes, TM + 2 * pe, TN + 2 * pe)
-                       if K > 1 else (1, 1, SUBLANE, LANE), jnp.float32),
+                       if K > 1 else (1, 1, SUBLANE, LANE), cur.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         input_output_aliases={1: 0},
         interpret=interpret,
-    )(cur, donor, *mat_args)
+    )(cur, donor, *bounds_args, *mat_args)

@@ -54,10 +54,18 @@ class ShardedConfig:
     tile: Optional[Tuple[int, int]] = None
     precision: str = "highest"
     interpret: Optional[bool] = None
-    algorithm: str = "vpu"
+    algorithm: str = "vpu_roll"  # 3-D engines map any vpu* to 'vpu' convs
     # timesteps fused per halo exchange (2-D): one ppermute round per k
     # steps with k*radius-deep halos -- k fewer collectives per step.
     fused_steps: int = 1
+    # overlap the halo exchange with interior compute (2-D): boundary
+    # tiles compute first, their edge strips ppermute to the neighbors
+    # WHILE the interior tiles compute (no data dependency between the
+    # collective and the interior kernel, so XLA's async collectives ride
+    # under it), and the received ring lands in the output buffer for the
+    # NEXT pass.  Falls back to the sequential exchange when the local
+    # tile grid is too small to split (< 3 tiles per axis).
+    overlap: bool = True
 
 
 class ShardedStencil2D:
@@ -141,26 +149,126 @@ class ShardedStencil2D:
             jnp.where(iy < dy - 1, from_east, buf[:, c0 + n: c0 + n + hn]))
         return buf
 
-    # -- per-device step ----------------------------------------------------
-    def _local_step(self, cur, donor, fused_k):
-        from ..ops import pallas_2d
+    def _exchange_strips(self, buf):
+        """Two-phase neighbor ppermute WITHOUT writing into ``buf``:
+        returns the received ring strips (zeros at the global boundary --
+        the reference's Dirichlet-0 decay).  Column strips span the full
+        buffer height with the phase-1 row strips patched in, so corners
+        propagate exactly as in the sequential exchange."""
+        lay = self.layout
+        hm = hn = self.depth
+        m, n = lay.interior
+        r0, c0 = lay.origin
+        dx, dy = self.config.mesh_shape
+        ix = jax.lax.axis_index("x")
 
-        cur = self._exchange(cur)
+        top = buf[r0: r0 + hm, :]
+        bot = buf[r0 + m - hm: r0 + m, :]
+        from_north = _shift(bot, "x", True, dx)
+        from_south = _shift(top, "x", False, dx)
+
+        def col_strip(c_lo, c_hi):
+            s = buf[:, c_lo:c_hi]
+            s = s.at[r0 - hm: r0, :].set(
+                jnp.where(ix > 0, from_north[:, c_lo:c_hi],
+                          jnp.zeros_like(from_north[:, c_lo:c_hi])))
+            s = s.at[r0 + m: r0 + m + hm, :].set(
+                jnp.where(ix < dx - 1, from_south[:, c_lo:c_hi],
+                          jnp.zeros_like(from_south[:, c_lo:c_hi])))
+            return s
+
+        from_west = _shift(col_strip(c0 + n - hn, c0 + n), "y", True, dy)
+        from_east = _shift(col_strip(c0, c0 + hn), "y", False, dy)
+        return from_north, from_south, from_west, from_east
+
+    def _write_ring(self, buf, parts):
+        """Write received strips into the guard ring (unconditional: the
+        ppermute already yields zeros at the global boundary)."""
+        lay = self.layout
+        hm = hn = self.depth
+        m, n = lay.interior
+        r0, c0 = lay.origin
+        dx, dy = self.config.mesh_shape
+        ix = jax.lax.axis_index("x")
+        iy = jax.lax.axis_index("y")
+        from_north, from_south, from_west, from_east = parts
+        buf = buf.at[r0 - hm: r0, :].set(
+            jnp.where(ix > 0, from_north,
+                      jnp.zeros_like(from_north)))
+        buf = buf.at[r0 + m: r0 + m + hm, :].set(
+            jnp.where(ix < dx - 1, from_south,
+                      jnp.zeros_like(from_south)))
+        buf = buf.at[:, c0 - hn: c0].set(
+            jnp.where(iy > 0, from_west, jnp.zeros_like(from_west)))
+        buf = buf.at[:, c0 + n: c0 + n + hn].set(
+            jnp.where(iy < dy - 1, from_east, jnp.zeros_like(from_east)))
+        return buf
+
+    def _bounds(self):
         lm, ln = self.local_interior
         gm, gn = self.interior
         ix = jax.lax.axis_index("x")
         iy = jax.lax.axis_index("y")
         # global-interior bounds in local coordinates: interior devices
         # must not mask ring intermediates holding exchanged data
-        bounds = jnp.stack([
+        return jnp.stack([
             -ix * lm, gm - ix * lm, -iy * ln, gn - iy * ln,
         ]).astype(jnp.int32)
+
+    def _can_overlap(self) -> bool:
+        gi, gj = self.layout.grid
+        TM, TN = self.layout.tile
+        HR, HC = self.layout.guard
+        # interior tiles must not touch the ring, and the exchanged
+        # strips must come out of the boundary tiles alone
+        return (self.config.overlap and gi >= 3 and gj >= 3
+                and HR <= TM and HC <= TN and self.depth <= min(TM, TN))
+
+    # -- per-device step ----------------------------------------------------
+    def _local_step(self, cur, donor, fused_k):
+        from ..ops import pallas_2d
+
+        cur = self._exchange(cur)
         return pallas_2d.stencil2d_step(
             cur, donor, self.spec, self.layout,
             precision=self.precision, interpret=self.interpret,
             algorithm=self.config.algorithm, fused_steps=fused_k,
-            bounds=bounds,
+            bounds=self._bounds(),
         )
+
+    def _local_step_overlap(self, cur, donor, fused_k):
+        """One pass with the halo exchange OVERLAPPED with interior
+        compute (SURVEY section 7 hard-part; round-1 VERDICT item 3).
+
+        ``cur``'s ring already holds the neighbor data for THIS pass
+        (written at the end of the previous pass; the user halo initially).
+        Boundary tiles compute first; the ppermute of their freshly
+        written edge strips has no data dependency on the interior
+        kernel, so XLA schedules the collective under it (async
+        collective-permute on real meshes).  The received ring lands in
+        the OUTPUT buffer, ready for the next pass."""
+        from ..ops import pallas_2d
+
+        gi, gj = self.layout.grid
+        bounds = self._bounds()
+
+        def step(inp, out_buf, region):
+            return pallas_2d.stencil2d_step(
+                inp, out_buf, self.spec, self.layout,
+                precision=self.precision, interpret=self.interpret,
+                algorithm=self.config.algorithm, fused_steps=fused_k,
+                bounds=bounds, region=region)
+
+        # boundary frame first: it produces the edge strips to exchange
+        out = step(cur, donor, ((0, 1), (0, gj)))
+        out = step(cur, out, ((gi - 1, gi), (0, gj)))
+        out = step(cur, out, ((1, gi - 1), (0, 1)))
+        out = step(cur, out, ((1, gi - 1), (gj - 1, gj)))
+        # start the exchange of out's edges; the interior kernel below
+        # does not depend on it, so the collective rides under compute
+        parts = self._exchange_strips(out)
+        out = step(cur, out, ((1, gi - 1), (1, gj - 1)))
+        return self._write_ring(out, parts)
 
     def _run(self, state, steps: int):
         """state: sharded stack of local buffers, shape
@@ -170,9 +278,11 @@ class ShardedStencil2D:
         from ..engine import ping_pong_loop
 
         k = self.fused_steps
+        step_fn = (self._local_step_overlap if self._can_overlap()
+                   else self._local_step)
 
         def body_fn(local):
-            return ping_pong_loop(self._local_step, local, steps, k)
+            return ping_pong_loop(step_fn, local, steps, k)
 
         fn = shard_map(
             body_fn, mesh=self.mesh,
@@ -184,7 +294,13 @@ class ShardedStencil2D:
     # -- user API -----------------------------------------------------------
     def to_sharded(self, padded):
         """User global padded array -> sharded stack of local internal
-        buffers (traceable; call inside jit for real runs)."""
+        buffers (traceable; call inside jit for real runs).
+
+        Each local buffer gets its interior plus a DEPTH-wide ring taken
+        from the global array (neighbor interiors inside the grid, the
+        user halo at the boundary, zeros beyond): pass 1 then needs no
+        leading exchange -- the overlapped engine exchanges at the END of
+        each pass for the next one."""
         spec, lay = self.spec, self.layout
         hm, hn = spec.halo
         gm, gn = self.interior
@@ -192,20 +308,18 @@ class ShardedStencil2D:
         dx, dy = self.config.mesh_shape
         Mp, Np = lay.shape
         r0, c0 = lay.origin
+        d = self.depth
         padded = jnp.asarray(padded, jnp.float32)
+        gpad = jnp.zeros((gm + 2 * d, gn + 2 * d), jnp.float32)
+        gpad = gpad.at[d - hm: d + gm + hm, d - hn: d + gn + hn].set(padded)
         out = jnp.zeros((dx * Mp, dy * Np), jnp.float32)
-        # each local buffer gets its interior + (for edge devices) the
-        # adjacent user halo; interior-device rings are filled by the
-        # first exchange anyway, and the *user*-provided inter-device halo
-        # values are exactly the neighbor interiors, so embedding
-        # interior+halo per device reproduces step-1 semantics.
         for i in range(dx):
             for j in range(dy):
-                src = padded[i * lm: i * lm + lm + 2 * hm,
-                             j * ln: j * ln + ln + 2 * hn]
+                src = gpad[i * lm: i * lm + lm + 2 * d,
+                           j * ln: j * ln + ln + 2 * d]
                 out = out.at[
-                    i * Mp + r0 - hm: i * Mp + r0 + lm + hm,
-                    j * Np + c0 - hn: j * Np + c0 + ln + hn,
+                    i * Mp + r0 - d: i * Mp + r0 + lm + d,
+                    j * Np + c0 - d: j * Np + c0 + ln + d,
                 ].set(src)
         return jax.lax.with_sharding_constraint(
             out, NamedSharding(self.mesh, P("x", "y")))
@@ -250,9 +364,7 @@ class ShardedStencil3D:
     def __init__(self, spec: StencilSpec, interior, config: ShardedConfig,
                  mesh: Optional[Mesh] = None):
         assert spec.ndim == 3
-        assert config.fused_steps == 1, (
-            "sharded 3-D fusion not implemented yet; set fused_steps=1")
-        from ..ops.layout import Layout3D, default_tile_3d
+        from ..ops.layout import SUBLANE, Layout3D, default_tile_3d
 
         self.spec = spec
         self.config = config
@@ -263,8 +375,21 @@ class ShardedStencil3D:
         self.local_interior = (h, gm // dx, gn // dy)
         self.mesh = mesh if mesh is not None else make_mesh((dx, dy))
         tile = config.tile or default_tile_3d(gm // dx, gn // dy)
+        k = max(1, config.fused_steps)
+        self.fused_steps = k
+        # exchange depth per pass: k*radius cells feed the fused substeps
+        # (the in-plane window guard is SUBLANE rows / LANE cols)
+        self.depth = max(max(spec.halo[1:]), k * spec.radius)
+        assert self.depth <= SUBLANE, (
+            f"3-D fused exchange depth {self.depth} exceeds the {SUBLANE}-"
+            f"row window guard; lower fused_steps")
+        if k > 1:
+            _, lm, ln = self.local_interior
+            assert lm % tile[0] == 0 and ln % tile[1] == 0, (
+                "fused sharded runs need tile-aligned local blocks")
         self.layout = Layout3D(interior=self.local_interior, halo=spec.halo,
-                               tile=tile)
+                               tile=tile,
+                               zguard=max(spec.halo[0], k * spec.radius))
         self.precision = (jax.lax.Precision.HIGHEST
                           if config.precision == "highest"
                           else jax.lax.Precision.DEFAULT)
@@ -274,7 +399,7 @@ class ShardedStencil3D:
 
     def _exchange(self, buf):
         spec, lay = self.spec, self.layout
-        _, hm, hn = spec.halo
+        hm = hn = self.depth
         _, m, n = lay.interior
         _, r0, c0 = lay.origin
         dx, dy = self.config.mesh_shape
@@ -305,14 +430,24 @@ class ShardedStencil3D:
                       buf[:, :, c0 + n: c0 + n + hn]))
         return buf
 
-    def _local_step(self, cur, donor):
+    def _local_step(self, cur, donor, fused_k):
         from ..ops import pallas_3d
 
         cur = self._exchange(cur)
+        _, lm, ln = self.local_interior
+        _, gm, gn = self.interior
+        ix = jax.lax.axis_index("x")
+        iy = jax.lax.axis_index("y")
+        bounds = jnp.stack([
+            -ix * lm, gm - ix * lm, -iy * ln, gn - iy * ln,
+        ]).astype(jnp.int32)
+        alg3 = ("vpu" if self.config.algorithm.startswith("vpu")
+                else self.config.algorithm)
         return pallas_3d.stencil3d_step(
             cur, donor, self.spec, self.layout,
             precision=self.precision, interpret=self.interpret,
-            algorithm=self.config.algorithm)
+            algorithm=alg3, fused_steps=fused_k,
+            bounds=bounds)
 
     def _run(self, state, steps: int):
         from jax.experimental.shard_map import shard_map
@@ -320,9 +455,8 @@ class ShardedStencil3D:
         from ..engine import ping_pong_loop
 
         def body_fn(local):
-            return ping_pong_loop(
-                lambda cur, donor, _k: self._local_step(cur, donor),
-                local, steps, 1)
+            return ping_pong_loop(self._local_step, local, steps,
+                                  self.fused_steps)
 
         fn = shard_map(body_fn, mesh=self.mesh,
                        in_specs=P(None, "x", "y"),
@@ -343,7 +477,7 @@ class ShardedStencil3D:
                 src = padded[:, i * lm: i * lm + lm + 2 * hm,
                              j * ln: j * ln + ln + 2 * hn]
                 out = out.at[
-                    :,
+                    z0 - hz: z0 + h + hz,
                     i * Mp + r0 - hm: i * Mp + r0 + lm + hm,
                     j * Np + c0 - hn: j * Np + c0 + ln + hn,
                 ].set(src)
@@ -361,7 +495,8 @@ class ShardedStencil3D:
         out = jnp.zeros((h + 2 * hz, gm + 2 * hm, gn + 2 * hn), state.dtype)
         for i in range(dx):
             for j in range(dy):
-                block = state[:, i * Mp + r0: i * Mp + r0 + lm,
+                block = state[z0 - hz: z0 + h + hz,
+                              i * Mp + r0: i * Mp + r0 + lm,
                               j * Np + c0: j * Np + c0 + ln]
                 out = out.at[:, hm + i * lm: hm + (i + 1) * lm,
                              hn + j * ln: hn + (j + 1) * ln].set(block)
@@ -389,9 +524,7 @@ class ShardedStencil1D:
     def __init__(self, spec: StencilSpec, interior: int,
                  config: ShardedConfig, mesh: Optional[Mesh] = None):
         assert spec.ndim == 1
-        assert config.fused_steps == 1, (
-            "sharded 1-D fusion not implemented yet; set fused_steps=1")
-        from ..ops.layout import LANE, Layout1D
+        from ..ops.layout import LANE, SUBLANE, Layout1D
 
         self.spec = spec
         self.config = config
@@ -401,6 +534,12 @@ class ShardedStencil1D:
         self.interior = interior
         self.local_interior = interior // dx
         self.dx = dx
+        k = max(1, config.fused_steps)
+        self.fused_steps = min(k, SUBLANE)
+        # exchange depth per pass: k*radius cells feed the fused substeps
+        # (the flat window guard is SUBLANE rows = SUBLANE*LANE cells)
+        self.depth = max(spec.halo[0], self.fused_steps * spec.radius)
+        assert self.depth <= SUBLANE * LANE
         self.mesh = mesh if mesh is not None else make_mesh((dx,), ("x",))
         rows = max(8, min(512, 8 * (-(-self.local_interior // (8 * 128)))))
         self.layout = Layout1D(interior=self.local_interior,
@@ -410,7 +549,7 @@ class ShardedStencil1D:
         self._run_jit = jax.jit(self._run, static_argnames=("steps",))
 
     def _exchange(self, buf):
-        h = self.spec.halo[0]
+        h = self.depth
         n = self.local_interior
         o = self.layout.origin
         dx = self.dx
@@ -430,12 +569,17 @@ class ShardedStencil1D:
             jnp.where(ix < dx - 1, from_right, flat[o + n: o + n + h]))
         return flat.reshape(buf.shape)
 
-    def _local_step(self, cur, donor):
+    def _local_step(self, cur, donor, fused_k):
         from ..ops import pallas_1d
 
         cur = self._exchange(cur)
+        nl = self.local_interior
+        ix = jax.lax.axis_index("x")
+        bounds = jnp.stack([-ix * nl,
+                            self.interior - ix * nl]).astype(jnp.int32)
         return pallas_1d.stencil1d_step(
-            cur, donor, self.spec, self.layout, interpret=self.interpret)
+            cur, donor, self.spec, self.layout, interpret=self.interpret,
+            fused_steps=fused_k, bounds=bounds)
 
     def _run(self, state, steps: int):
         from jax.experimental.shard_map import shard_map
@@ -443,9 +587,8 @@ class ShardedStencil1D:
         from ..engine import ping_pong_loop
 
         def body_fn(local):
-            return ping_pong_loop(
-                lambda cur, donor, _k: self._local_step(cur, donor),
-                local, steps, 1)
+            return ping_pong_loop(self._local_step, local, steps,
+                                  self.fused_steps)
 
         fn = shard_map(body_fn, mesh=self.mesh,
                        in_specs=P("x", None), out_specs=P("x", None),
@@ -491,11 +634,26 @@ class ShardedStencil1D:
         return self._full_jit(padded, steps=steps)
 
 
-def sharded_engine(name: str, interior, mesh_shape, **kw):
-    spec = get_shape(name)
+def sharded_engine(shape, interior, mesh_shape, **kw):
+    """Domain-decomposed engine for a registry shape name OR a custom
+    ``StencilSpec`` (e.g. from ``StencilEngine.for_coeffs(...).spec``)."""
+    spec = shape if isinstance(shape, StencilSpec) else get_shape(shape)
     cfg = ShardedConfig(mesh_shape=tuple(mesh_shape), **kw)
     if spec.ndim == 3:
         return ShardedStencil3D(spec, tuple(interior), cfg)
     if spec.ndim == 1:
         return ShardedStencil1D(spec, int(np.atleast_1d(interior)[0]), cfg)
     return ShardedStencil2D(spec, tuple(interior), cfg)
+
+
+def sharded_engine_for_coeffs(coeffs, interior, mesh_shape, name="custom",
+                              halo=None, max_rank: int = 4, **kw):
+    """Sharded engine for arbitrary dense coefficients (1-D taps or a
+    2-D matrix): factorization as in StencilEngine.for_coeffs, then
+    domain decomposition over the mesh."""
+    from ..engine import StencilEngine
+
+    spec = StencilEngine.for_coeffs(
+        np.asarray(coeffs, np.float64), interior, name=name, halo=halo,
+        max_rank=max_rank).spec
+    return sharded_engine(spec, interior, mesh_shape, **kw)

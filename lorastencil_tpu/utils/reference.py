@@ -27,11 +27,23 @@ def interior_slices(spec: StencilSpec, padded_shape):
     )
 
 
-def dense_step(grid: np.ndarray, spec: StencilSpec) -> np.ndarray:
+def dense_step(grid: np.ndarray, spec: StencilSpec,
+               prefer_native: bool = True) -> np.ndarray:
     """One stencil step on a padded grid; returns the new padded grid
-    (interior = stencil, halo = 0).  float64 throughout."""
+    (interior = stencil, halo = 0).  float64 throughout.
+
+    Dispatches to the threaded C++ twin (``native.dense_step``) when the
+    shared library is built -- the same fp64 semantics, parity-asserted
+    in tests/test_native.py, but fast enough to ``--check`` full-size
+    grids.  ``prefer_native=False`` forces the NumPy path (ground truth
+    for the parity tests themselves)."""
     grid = np.asarray(grid, dtype=np.float64)
     assert grid.ndim == spec.ndim
+    if prefer_native:
+        from .. import native
+
+        if native.available():
+            return native.dense_step(grid, spec.dense_coeffs(), spec.halo)
     S = spec.dense_coeffs()
     r = spec.radius
     out = np.zeros_like(grid)

@@ -178,3 +178,54 @@ class TestReviewRegressions:
                          np.float64)
         want = reference.run(g, spec, 2)
         assert np.abs(got - want).max() / np.abs(want).max() < 2e-5
+
+
+class Test1DGenerality:
+    def test_resident_matches_tiled_and_reference(self):
+        # the resident whole-grid kernel (one dispatch for all steps) and
+        # the tiled double-buffered kernel agree with the fp64 truth
+        from lorastencil_tpu.ops import pallas_1d
+
+        spec = shapes.get_shape("1d1r")
+        interior = (700,)
+        g0 = reference.random_padded(spec, interior, seed=11)
+        eng = engine.StencilEngine.for_shape("1d1r", interior)
+        assert pallas_1d.fits_resident(eng.layout)
+        state = eng.to_internal(jnp.asarray(g0, jnp.float32))
+        res = pallas_1d.stencil1d_resident(
+            state, spec, eng.layout, steps=5, interpret=True)
+        cur = eng.to_internal(jnp.asarray(g0, jnp.float32))
+        for _ in range(5):
+            cur = pallas_1d.stencil1d_step(
+                cur, jnp.zeros_like(cur), spec, eng.layout, interpret=True)
+        want = reference.run(g0, spec, 5)
+        for got_state in (res, cur):
+            got = np.asarray(eng.from_internal(got_state), np.float64)
+            assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
+
+    def test_for_coeffs_1d_custom_taps(self):
+        taps = np.array([0.5, -1.0, 2.0, -1.0, 0.25])
+        eng = engine.StencilEngine.for_coeffs(taps, (400,))
+        assert eng.spec.ndim == 1 and eng.spec.radius == 2
+        g0 = reference.random_padded(eng.spec, (400,), seed=12)
+        got = np.asarray(eng.run(jnp.asarray(g0, jnp.float32), 3),
+                         np.float64)
+        want = reference.run(g0, eng.spec, 3)
+        assert np.abs(got - want).max() / max(1.0, np.abs(want).max()) < 1e-6
+
+    def test_1d_multi_term_residue_spec(self):
+        # multi-term + residue 1-D specs collapse to dense taps (the
+        # round-1 kernel rejected these; VERDICT item 9)
+        from lorastencil_tpu.models.shapes import SeparableTerm, StencilSpec
+
+        spec = StencilSpec(
+            name="mt1d", ndim=1, radius=3, halo=(3,),
+            terms=(SeparableTerm(taps=((1.0, 2.0, 1.0),)),
+                   SeparableTerm(taps=((0.5, 0.0, 0.0, 0.0, 0.0, 0.0,
+                                        0.5),)),),
+            residue=(((-2,), 0.25), ((2,), -0.25)), fuse_factor=1)
+        g0 = reference.random_padded(spec, (300,), seed=13)
+        got = np.asarray(engine.run(jnp.asarray(g0, jnp.float32), spec, 2),
+                         np.float64)
+        want = reference.run(g0, spec, 2)
+        assert np.abs(got - want).max() / max(1.0, np.abs(want).max()) < 1e-6

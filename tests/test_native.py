@@ -53,9 +53,32 @@ def test_fuse_coeffs_2d_matches_numpy():
 def test_dense_step_matches_numpy_reference():
     spec = shapes.get_shape("box2d3r")
     g0 = reference.random_padded(spec, (24, 40), seed=4)
-    want = reference.dense_step(g0, spec)
+    want = reference.dense_step(g0, spec, prefer_native=False)
     got = native.dense_step_2d(g0, spec.dense_coeffs(), spec.halo)
     np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+@needs_native
+def test_dense_step_1d_3d_match_numpy_reference():
+    # the threaded C++ stepper is the load-bearing --check ground truth
+    # on big grids; parity with the NumPy definition must be exact
+    for name, interior in (("1d1r", (500,)), ("1d2r", (300,)),
+                           ("star3d1r", (6, 20, 150)),
+                           ("box3d1r", (5, 16, 130))):
+        spec = shapes.get_shape(name)
+        g0 = reference.random_padded(spec, interior, seed=6)
+        want = reference.dense_step(g0, spec, prefer_native=False)
+        got = native.dense_step(g0, spec.dense_coeffs(), spec.halo)
+        np.testing.assert_array_equal(got, want)
+
+
+@needs_native
+def test_reference_dispatches_to_native():
+    spec = shapes.get_shape("star2d1r")
+    g0 = reference.random_padded(spec, (40, 200), seed=7)
+    np.testing.assert_array_equal(
+        reference.dense_step(g0, spec, prefer_native=True),
+        reference.dense_step(g0, spec, prefer_native=False))
 
 
 @needs_native

@@ -88,3 +88,86 @@ def test_sharded_mxu_split_algorithm():
     got = np.asarray(sh.run(g0, 4), np.float64)
     want = reference.run(g0, spec, 4)
     assert np.abs(got - want).max() / np.abs(want).max() < 2e-5
+
+
+@pytest.mark.parametrize("name,k", [("1d1r", 4), ("1d2r", 8)])
+def test_sharded_1d_fused(name, k):
+    """1-D fused sharded exchange: k timesteps per ppermute round."""
+    spec = shapes.get_shape(name)
+    interior = 8 * 128 * 4
+    g0 = reference.random_padded(spec, (interior,), seed=18)
+    sh = domain.sharded_engine(name, interior, (4,), fused_steps=k)
+    for steps in (k, 2 * k + 1):
+        got = np.asarray(sh.run(g0, steps), np.float64)
+        want = reference.run(g0, spec, steps)
+        err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+        assert err < 1e-6, (name, k, steps, err)
+
+
+@pytest.mark.parametrize("name,k", [("star3d1r", 2), ("box3d1r", 4)])
+def test_sharded_3d_fused(name, k):
+    """3-D fused sharded exchange (fused z-slab kernel per device)."""
+    spec = shapes.get_shape(name)
+    interior = (4, 16, 256)
+    g0 = reference.random_padded(spec, interior, seed=32)
+    sh = domain.sharded_engine(name, interior, (2, 2), tile=(8, 128),
+                               fused_steps=k)
+    for steps in (k, 2 * k + 1):
+        got = np.asarray(sh.run(g0, steps), np.float64)
+        want = reference.run(g0, spec, steps)
+        err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+        assert err < 1e-6, (name, k, steps, err)
+
+
+def test_sharded_custom_coeffs():
+    """Sharded engine for user coefficients (factorize + decompose)."""
+    S = np.outer([1.0, 2.0, 1.0], [1.0, 2.0, 1.0]) / 16.0
+    S[0, 2] += 0.125
+    sh = domain.sharded_engine_for_coeffs(
+        S, (32, 256), (2, 2), tile=(16, 128), fused_steps=2)
+    g0 = reference.random_padded(sh.spec, (32, 256), seed=44)
+    got = np.asarray(sh.run(g0, 5), np.float64)
+    want = reference.run(g0, sh.spec, 5)
+    assert np.abs(got - want).max() / max(1.0, np.abs(want).max()) < 1e-6
+
+
+def test_sharded_custom_coeffs_1d():
+    taps = np.array([0.25, -0.5, 1.0, -0.5, 0.25])
+    sh = domain.sharded_engine_for_coeffs(
+        taps, 4 * 1024, (4,), fused_steps=3)
+    g0 = reference.random_padded(sh.spec, (4 * 1024,), seed=45)
+    got = np.asarray(sh.run(g0, 7), np.float64)
+    want = reference.run(g0, sh.spec, 7)
+    assert np.abs(got - want).max() / max(1.0, np.abs(want).max()) < 1e-6
+
+
+@pytest.mark.parametrize("k,interior,tile", [
+    (1, (48, 768), (8, 128)),    # local (24, 384) -> 3x3 tiles
+    (2, (48, 768), (8, 128)),    # guard 8 == TM
+    (3, (96, 768), (16, 128)),   # guard 16 == TM
+])
+def test_sharded_overlap_exchange(k, interior, tile):
+    """Overlapped halo exchange (boundary-first + end-of-pass ppermute
+    under interior compute) reproduces the reference exactly."""
+    spec = shapes.get_shape("star2d1r")
+    g0 = reference.random_padded(spec, interior, seed=51)
+    sh = domain.sharded_engine("star2d1r", interior, (2, 2),
+                               tile=tile, fused_steps=k)
+    assert sh._can_overlap()
+    for steps in (1, k, 2 * k + 1):
+        got = np.asarray(sh.run(g0, steps), np.float64)
+        want = reference.run(g0, spec, steps)
+        err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+        assert err < 1e-6, (k, steps, err)
+
+
+def test_sharded_overlap_off_matches():
+    spec = shapes.get_shape("star2d1r")
+    interior = (48, 768)
+    g0 = reference.random_padded(spec, interior, seed=52)
+    sh = domain.sharded_engine("star2d1r", interior, (2, 2),
+                               tile=(8, 128), fused_steps=2, overlap=False)
+    assert not sh._can_overlap()
+    got = np.asarray(sh.run(g0, 5), np.float64)
+    want = reference.run(g0, spec, 5)
+    assert np.abs(got - want).max() / max(1.0, np.abs(want).max()) < 1e-6
