@@ -21,39 +21,57 @@ from lorastencil_tpu import engine
 from lorastencil_tpu.models import shapes
 from lorastencil_tpu.utils import metrics
 
-# (shape, interior, steps) per BASELINE.md; star2d1r also at the 8192^2
-# north-star size.
+# (shape, interior, steps, pipeline) per BASELINE.md; star2d1r also at
+# the 8192^2 north-star size.  ``pipeline`` = calls per timed region
+# (reference methodology: N launches, one sync -- amortizes the ~50 ms
+# tunnel dispatch latency out of configs whose device time is small).
+# ``chain`` (4th tuple slot as dict): consecutive whole runs inside ONE
+# device program for configs whose single run is far below the dispatch
+# latency -- the TPU analog of the reference's async launch queue (its
+# 64 sub-ms kernel launches enqueue without host round trips,
+# src/1d/gpu_1r.cu:121-123; over the tunneled backend each dispatch
+# costs ~0.9 ms, which would otherwise BE the measurement).
 CONFIGS = [
-    ("1d1r", (4096,), 64),
-    ("1d2r", (1_000_000,), 256),
-    ("star2d1r", (4096, 4096), 256),
-    ("box2d1r", (4096, 4096), 256),
-    ("star2d3r", (8192, 8192), 64),
-    ("box2d3r", (8192, 8192), 64),
-    ("star2d1r", (8192, 8192), 256),
-    ("star3d1r", (256, 256, 256), 64),
-    ("box3d1r", (256, 256, 256), 64),
+    ("1d1r", (4096,), 64, {"pipeline": 8, "chain": 64}),
+    ("1d2r", (1_000_000,), 256, 16),
+    ("star2d1r", (4096, 4096), 256, 4),
+    ("box2d1r", (4096, 4096), 256, 4),
+    ("star2d3r", (8192, 8192), 64, 4),
+    ("box2d3r", (8192, 8192), 64, 4),
+    ("star2d1r", (8192, 8192), 256, 2),
+    ("star3d1r", (256, 256, 256), 64, 8),
+    ("box3d1r", (256, 256, 256), 64, 8),
 ]
 
 QUICK = [
-    ("star2d1r", (1024, 1024), 64),
-    ("box3d1r", (32, 64, 256), 8),
+    ("star2d1r", (1024, 1024), 64, 2),
+    ("box3d1r", (32, 64, 256), 8, 2),
+    ("1d1r", (4096,), 8, {"pipeline": 1, "chain": 4}),
 ]
 
 
-def run_config(name, interior, steps, **kw):
+def run_config(name, interior, steps, pipeline=1, chain=1, **kw):
     eng = engine.StencilEngine.for_shape(name, interior, **kw)
 
     @jax.jit
     def f(key):
         state = jax.random.uniform(key, eng.layout.shape, jnp.float32,
                                    0.0, 0.01)
+        if chain > 1:
+            # CHAINed runs: each run's output is the next run's input --
+            # still `chain` genuine full runs, one dispatch total
+            state = jax.lax.fori_loop(
+                0, chain, lambda i, st: eng._run_internal(st, steps),
+                state)
+            return jnp.sum(state * 0.0)
         return jnp.sum(eng._run_internal(state, steps) * 0.0)
 
     secs, _ = metrics.time_run(f, jax.random.PRNGKey(0), repeats=2,
-                               warmup=1)
-    return metrics.bench_result(eng.spec, interior, steps, secs,
-                                f"pallas-{eng.config.algorithm}",
+                               warmup=1, pipeline=pipeline)
+    # report per-run time/steps (chain only amortizes dispatch latency)
+    return metrics.bench_result(eng.spec, interior, steps, secs / chain,
+                                f"pallas-{eng.config.algorithm}"
+                                + (f"-chain{chain}" if chain > 1 else ""),
                                 eng.config.precision, 2)
 
 
@@ -64,9 +82,10 @@ def main(argv=None) -> int:
                            "results.jsonl")
     rows = []
     with open(outpath, "a") as out:
-        for name, interior, steps in configs:
+        for name, interior, steps, opts in configs:
             try:
-                res = run_config(name, interior, steps)
+                kw = opts if isinstance(opts, dict) else {"pipeline": opts}
+                res = run_config(name, interior, steps, **kw)
                 rows.append(res)
                 rec = json.loads(res.json())
                 rec["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")

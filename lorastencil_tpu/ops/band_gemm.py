@@ -250,6 +250,22 @@ def apply_spec_vpu_rolled(X, spec2d):
     return acc
 
 
+def apply_spec_vpu_rolled_extent(X, spec2d, e_in, e_out, TM, TN):
+    """Rolled convolution at X's full extent followed by ONE slice down
+    to the output extent -- the shrinking-extent contract of
+    ``apply_spec_vpu`` with the per-tap shifted slices replaced by
+    cyclic rolls (one slice per application instead of one per tap).
+    Wrap garbage reaches ``radius`` cells from the X edge; the slice
+    removes ``e_in - e_out >= radius`` per side, so it never escapes
+    (used by the 3-D kernel's per-plane convolutions)."""
+    acc = apply_spec_vpu_rolled(X, spec2d)
+    off_r = e_in[0] - e_out[0]
+    off_c = e_in[1] - e_out[1]
+    R = TM + 2 * e_out[0]
+    C = TN + 2 * e_out[1]
+    return acc[off_r: off_r + R, off_c: off_c + C]
+
+
 def apply_spec_vpu(X, spec2d, e_in, e_out, TM, TN):
     """One full 2-D stencil application on the VPU via statically shifted
     slice multiply-adds (exact fp32 -- no MXU precision passes).

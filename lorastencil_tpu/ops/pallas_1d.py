@@ -42,9 +42,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.shapes import StencilSpec
 from .layout import LANE, SUBLANE, Layout1D
 
-# whole-grid-resident threshold: internal buffer bytes (3 live copies --
-# in, temporaries, out -- must fit comfortably in ~16M usable VMEM)
-RESIDENT_BYTES = 2 * 2**20
+# whole-grid-resident threshold: internal buffer bytes.  The per-step
+# convolution holds ~5 full-grid temporaries live (acc + row rolls +
+# shifted operands), so stay well inside the 16M scoped-vmem budget
+# (measured: a 4.2M buffer demands ~72M scoped).
+RESIDENT_BYTES = 512 * 2**10
 
 
 def _dense_taps(spec: StencilSpec):
@@ -221,11 +223,15 @@ def _stencil1d_resident_kernel(in_ref, out_ref, *, n: int, _taps,
     flat = (row - SUBLANE) * LANE + lane
     mask = ((flat >= 0) & (flat < n)).astype(jnp.float32)
 
-    def body(_, W):
-        return _conv_flat(W, _taps, lane) * mask
+    # loop through the (input-aliased) output ref rather than a
+    # loop-carried VALUE: a carried value makes Mosaic keep every
+    # per-step temporary live at once and blows the scoped-vmem budget
+    def body(_, carry):
+        out_ref[:] = (_conv_flat(out_ref[:], _taps, lane)
+                      * mask).astype(out_ref.dtype)
+        return carry
 
-    out_ref[:] = jax.lax.fori_loop(0, steps, body, in_ref[:]).astype(
-        out_ref.dtype)
+    jax.lax.fori_loop(0, steps, body, 0)
 
 
 @functools.partial(

@@ -34,7 +34,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.shapes import SeparableTerm, StencilSpec
-from .band_gemm import apply_spec_vpu, plane_conv, term_band_mats
+from .band_gemm import (apply_spec_vpu, apply_spec_vpu_rolled_extent,
+                        plane_conv, term_band_mats)
 from .layout import LANE, SUBLANE, Layout3D
 
 
@@ -158,11 +159,13 @@ def _stencil3d_kernel(
 
     def conv_plane(t_idx, X, e_in=None, e_out=(0, 0)):
         e_in = (HR, HC) if e_in is None else e_in
-        if algorithm == "vpu":
+        if algorithm.startswith("vpu"):
             term = spec.terms[t_idx]
             plane_term = SeparableTerm(taps=(term.taps[1], term.taps[2]))
-            return apply_spec_vpu(X, _Plane2D(terms=(plane_term,)),
-                                  e_in, e_out, TM, TN)
+            fn = (apply_spec_vpu_rolled_extent if algorithm == "vpu_roll"
+                  else apply_spec_vpu)
+            return fn(X, _Plane2D(terms=(plane_term,)),
+                      e_in, e_out, TM, TN)
         assert e_in == (HR, HC) and e_out == (0, 0)
         A, B, rr, rc = term_mats[t_idx]
         return plane_conv(X, A, B, rr, rc, HR, HC, TM, TN,
@@ -332,7 +335,7 @@ def stencil3d_step(
             "mxu_split is 2-D only; use algorithm='vpu' (exact) or 'mxu' "
             "for 3-D shapes")
     if fused_steps > 1:
-        assert algorithm == "vpu", "3-D temporal fusion needs 'vpu'"
+        assert algorithm.startswith("vpu"), "3-D temporal fusion needs vpu*"
     assert fused_steps * spec.radius <= SUBLANE, "fused lookback > guard"
     assert layout.zguard >= fused_steps * spec.radius
     slab = pick_slab(H, TM, TN, np.dtype(cur.dtype).itemsize,
@@ -342,7 +345,7 @@ def stencil3d_step(
     mats_meta = []
     mat_args = []
     for term in spec.terms:
-        A, B = (None, None) if algorithm == "vpu" else \
+        A, B = (None, None) if algorithm.startswith("vpu") else \
             term_band_mats(term, np_dtype)
         rr = (len(term.taps[1]) - 1) // 2 if term.taps[1] is not None else 0
         rc = (len(term.taps[2]) - 1) // 2 if term.taps[2] is not None else 0

@@ -42,9 +42,18 @@ class BenchResult:
         return json.dumps(dataclasses.asdict(self))
 
 
-def time_run(run_fn, *args, repeats: int = 3, warmup: int = 1):
+def time_run(run_fn, *args, repeats: int = 3, warmup: int = 1,
+             pipeline: int = 1):
     """Time a jitted device function: warmup (compile) runs, then best-of
     ``repeats`` wall times.
+
+    ``pipeline``: calls per timed region (one sync at the end, per-call
+    time reported).  Back-to-back dispatches queue on the device, so
+    per-call dispatch latency amortizes ``pipeline``-fold -- exactly the
+    reference's methodology (N kernel launches, one trailing
+    cudaDeviceSynchronize, ``src/2d/gpu.cu:408-417``).  Use > 1 for
+    configs whose single-call device time is comparable to the dispatch
+    latency (~50 ms over the tunneled backend).
 
     Synchronization is a real device->host transfer of the result, not
     just ``block_until_ready`` -- on tunneled/async backends the latter
@@ -58,9 +67,10 @@ def time_run(run_fn, *args, repeats: int = 3, warmup: int = 1):
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = run_fn(*args)
+        for _ in range(max(1, pipeline)):
+            out = run_fn(*args)
         _sync(out)
-        best = min(best, time.perf_counter() - t0)
+        best = min(best, (time.perf_counter() - t0) / max(1, pipeline))
     return best, out
 
 
