@@ -222,7 +222,9 @@ class StencilEngine:
         if spec.ndim == 1:
             n1 = interior[0]
             rows = max(SUBLANE, min(512, SUBLANE * (-(-n1 // (SUBLANE * LANE)))))
-            return Layout1D(interior=n1, halo=spec.halo[0], tile_rows=rows)
+            k = self._fused_k()
+            return Layout1D(interior=n1, halo=spec.halo[0], tile_rows=rows,
+                            guard_rows=SUBLANE * (-(-k // SUBLANE)))
         if spec.ndim == 2:
             tile = self.config.tile or default_tile_2d(*interior)
             k = self._fused_k() if self.backend != "xla" else 1
@@ -273,7 +275,10 @@ class StencilEngine:
             k = 4 if self.spec.ndim == 1 else 1
         k = max(1, k)
         if self.spec.ndim == 1:
-            return min(k, SUBLANE)
+            # edge garbage creeps one 128-lane row per substep; the
+            # window guard grows with k (layout.guard_rows).  64 rows
+            # (8K-cell lookback) is a practical VMEM ceiling.
+            return min(k, 64)
         if self.spec.ndim == 3:
             if not self.config.algorithm.startswith("vpu"):
                 return 1

@@ -96,6 +96,10 @@ class Layout1D:
     interior: int  # n
     halo: int
     tile_rows: int  # rows of 128 lanes per block
+    # window guard rows on each side of a tile (>= SUBLANE, multiple of
+    # SUBLANE): edge garbage creeps one row per fused substep, so
+    # fused_steps up to guard_rows are legal
+    guard_rows: int = SUBLANE
 
     @property
     def grid(self) -> Tuple[int]:
@@ -103,18 +107,20 @@ class Layout1D:
 
     @property
     def origin(self) -> int:
-        """Flat internal index of interior element 0 (row SUBLANE, lane 0,
-        so per-tile DMA offsets stay (8, 128)-aligned)."""
-        return SUBLANE * LANE
+        """Flat internal index of interior element 0 (row guard_rows,
+        lane 0, so per-tile DMA offsets stay (8, 128)-aligned)."""
+        return self.guard_rows * LANE
 
     @property
     def shape(self) -> Tuple[int, int]:
         (g,) = self.grid
-        return (SUBLANE + g * self.tile_rows + SUBLANE, LANE)
+        return (self.guard_rows + g * self.tile_rows + self.guard_rows,
+                LANE)
 
     def validate(self):
         assert self.halo <= LANE
         assert self.tile_rows % SUBLANE == 0
+        assert self.guard_rows % SUBLANE == 0 and self.guard_rows >= SUBLANE
 
     def to_internal(self, padded, dtype=jnp.float32):
         n, h = self.interior, self.halo

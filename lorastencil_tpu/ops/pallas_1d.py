@@ -97,6 +97,7 @@ def _stencil1d_kernel(
         rest = rest[1:]
     out_hbm, win, out_tile, sem_in, sem_out = rest
     TR = layout.tile_rows
+    G = layout.guard_rows
     (g,) = layout.grid
     ti = pl.program_id(0)
     slot = jax.lax.rem(ti, jnp.int32(2))
@@ -104,14 +105,14 @@ def _stencil1d_kernel(
 
     def in_dma(t_i, s):
         return pltpu.make_async_copy(
-            in_hbm.at[pl.ds(t_i * TR, TR + 2 * SUBLANE), :],
+            in_hbm.at[pl.ds(t_i * TR, TR + 2 * G), :],
             win.at[s], sem_in.at[s],
         )
 
     def out_dma(t_i, s):
         return pltpu.make_async_copy(
             out_tile.at[s],
-            out_hbm.at[pl.ds(SUBLANE + t_i * TR, TR), :],
+            out_hbm.at[pl.ds(G + t_i * TR, TR), :],
             sem_out.at[s],
         )
 
@@ -126,7 +127,7 @@ def _stencil1d_kernel(
 
     in_dma(ti, slot).wait()
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TR + 2 * SUBLANE, LANE), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TR + 2 * G, LANE), 1)
 
     # interior mask over the full window extent (reference halo decay:
     # every substep zeroes cells outside flat [lo, hi) -- the global
@@ -136,15 +137,15 @@ def _stencil1d_kernel(
         lo, hi = bounds_ref[0], bounds_ref[1]
     else:
         lo, hi = 0, n
-    grw = (jax.lax.broadcasted_iota(jnp.int32, (TR + 2 * SUBLANE, LANE), 0)
-           + ti * TR - SUBLANE)
+    grw = (jax.lax.broadcasted_iota(jnp.int32, (TR + 2 * G, LANE), 0)
+           + ti * TR - G)
     flatw = grw * LANE + lane
     wmask = ((flatw >= lo) & (flatw < hi)).astype(jnp.float32)
 
     cur = win[pl.ds(slot, 1)][0]
     for _ in range(fused_steps):
         cur = _conv_flat(cur, _taps, lane) * wmask
-    acc = cur[SUBLANE: SUBLANE + TR, :]
+    acc = cur[G: G + TR, :]
 
     @pl.when(ti >= 2)
     def _():
@@ -186,10 +187,12 @@ def stencil1d_step(
     TR = layout.tile_rows
     taps = _dense_taps(spec)
     # garbage from the windowless edge creeps one row per fused substep
-    # (radius < 128 cells = one 128-lane row); the window halo is SUBLANE
-    # rows on each side.
-    if not (1 <= fused_steps <= SUBLANE):
-        raise ValueError(f"1-D fused_steps must be in [1, {SUBLANE}]")
+    # (radius < 128 cells = one 128-lane row); the window guard is
+    # layout.guard_rows rows on each side.
+    if not (1 <= fused_steps <= layout.guard_rows):
+        raise ValueError(
+            f"1-D fused_steps must be in [1, guard_rows="
+            f"{layout.guard_rows}]")
 
     kernel = functools.partial(
         _stencil1d_kernel, layout=layout, n=layout.interior,
@@ -205,7 +208,7 @@ def stencil1d_step(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2 + bounds_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, TR + 2 * SUBLANE, LANE), cur.dtype),
+            pltpu.VMEM((2, TR + 2 * layout.guard_rows, LANE), cur.dtype),
             pltpu.VMEM((2, TR, LANE), cur.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -216,11 +219,11 @@ def stencil1d_step(
 
 
 def _stencil1d_resident_kernel(in_ref, out_ref, *, n: int, _taps,
-                               steps: int):
+                               steps: int, guard_rows: int):
     R = in_ref.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 0)
-    flat = (row - SUBLANE) * LANE + lane
+    flat = (row - guard_rows) * LANE + lane
     mask = ((flat >= 0) & (flat < n)).astype(jnp.float32)
 
     # loop through the (input-aliased) output ref rather than a
@@ -257,6 +260,7 @@ def stencil1d_resident(
     kernel = functools.partial(
         _stencil1d_resident_kernel, n=layout.interior,
         _taps=_dense_taps(spec), steps=steps,
+        guard_rows=layout.guard_rows,
     )
     return pl.pallas_call(
         kernel,

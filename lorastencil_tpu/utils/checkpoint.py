@@ -61,3 +61,73 @@ def run_with_checkpoints(
         step += chunk
         save(path, Snapshot(eng.spec.name, step, grid))
     return grid
+
+
+# -- orbax tier: async checkpoints of SHARDED device state ---------------
+def orbax_available() -> bool:
+    try:
+        import orbax.checkpoint  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+class ShardedCheckpointer:
+    """Async orbax checkpoints of sharded internal state.
+
+    The npz path above round-trips through the host and is fine for
+    single-chip grids; for domain-decomposed state (parallel/domain.py)
+    this saves the device-sharded array directly (orbax gathers per
+    shard, asynchronously -- compute continues while the snapshot
+    drains), and restores with the same sharding.
+    """
+
+    def __init__(self, directory: str):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.directory = os.path.abspath(directory)
+        self._mngr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=2, enable_async_checkpointing=True),
+        )
+
+    def save(self, step: int, state, shape_name: str) -> None:
+        ocp = self._ocp
+        self._mngr.save(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave({"grid": state}),
+                meta=ocp.args.JsonSave({"shape": shape_name, "step": step}),
+            ),
+        )
+
+    def latest_step(self):
+        return self._mngr.latest_step()
+
+    def restore(self, step: int, like):
+        """Restore the sharded state for ``step``; ``like`` is an
+        abstract array (jax.ShapeDtypeStruct with sharding) or a
+        concrete sharded array giving the target layout."""
+        ocp = self._ocp
+        import jax
+
+        tgt = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                           sharding=x.sharding)
+            if hasattr(x, "sharding") else x, {"grid": like})
+        out = self._mngr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(tgt),
+                meta=ocp.args.JsonRestore(),
+            ),
+        )
+        return out["state"]["grid"], out["meta"]
+
+    def wait(self) -> None:
+        self._mngr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mngr.close()

@@ -93,3 +93,34 @@ def test_profiler_trace_smoke(tmp_path):
     for root, _, files in os.walk(tmp_path):
         found += files
     assert found, "trace produced no files"
+
+
+def test_orbax_sharded_checkpoint(tmp_path):
+    """Async orbax checkpoint of sharded state: save, restore with the
+    same sharding, bit-identical."""
+    from lorastencil_tpu.utils import checkpoint
+
+    if not checkpoint.orbax_available():
+        import pytest
+
+        pytest.skip("orbax not installed")
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lorastencil_tpu.parallel import domain
+
+    mesh = domain.make_mesh((4, 2))
+    x = jnp.arange(32 * 256, dtype=jnp.float32).reshape(32, 256)
+    x = jax.device_put(x, NamedSharding(mesh, P("x", "y")))
+    ck = checkpoint.ShardedCheckpointer(str(tmp_path / "ckpt"))
+    try:
+        ck.save(7, x, "star2d1r")
+        ck.wait()
+        assert ck.latest_step() == 7
+        restored, meta = ck.restore(7, x)
+        assert meta["shape"] == "star2d1r" and meta["step"] == 7
+        assert restored.sharding.is_equivalent_to(x.sharding, x.ndim)
+        np.testing.assert_array_equal(np.asarray(restored), np.asarray(x))
+    finally:
+        ck.close()

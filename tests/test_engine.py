@@ -229,3 +229,18 @@ class Test1DGenerality:
                          np.float64)
         want = reference.run(g0, spec, 2)
         assert np.abs(got - want).max() / max(1.0, np.abs(want).max()) < 1e-6
+
+    def test_1d_deep_fusion(self):
+        # guard_rows grows with fused_steps (k > 8 legal since round 2);
+        # normalized taps keep values bounded over the 2k+3 steps
+        taps = np.array([1, 2, 3, 4, 5, 4, 3, 2, 1], np.float64) / 25.0
+        k = 24
+        eng = engine.StencilEngine.for_coeffs(taps, (40000,), halo=(4,),
+                                              fused_steps=k)
+        assert eng.layout.guard_rows == 24
+        g0 = reference.random_padded(eng.spec, (40000,), seed=5)
+        got = np.asarray(eng.run(jnp.asarray(g0, jnp.float32), 2 * k + 3),
+                         np.float64)
+        want = reference.run(g0, eng.spec, 2 * k + 3)
+        err = np.abs(got - want).max() / np.abs(want).max()
+        assert err < 5e-6, err
