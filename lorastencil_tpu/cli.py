@@ -55,11 +55,12 @@ def main(argv=None) -> int:
     p.add_argument("--backend", choices=["auto", "pallas", "xla"],
                    default="auto")
     p.add_argument("--algorithm",
-                   choices=["vpu", "vpu_roll", "mxu", "mxu_split"],
-                   default="vpu_roll",
-                   help="compute path: exact-fp32 aligned VPU rolls "
-                        "(default), exact-fp32 VPU shifted slices, banded "
-                        "MXU GEMMs, or split-fp32 MXU")
+                   choices=["auto", "vpu", "vpu_roll", "mxu", "mxu_split",
+                            "mxu_hybrid", "mxu_hybrid3"],
+                   default="auto",
+                   help="compute path; 'auto' (default) picks the "
+                        "measured-fastest EXACT path per shape "
+                        "(mxu_hybrid3 or vpu_roll); see EngineConfig")
     p.add_argument("--fused-steps", type=int, default=None,
                    help="timesteps fused per HBM round trip (1-D/2-D); "
                         "default: auto (1 for 2-D, 4 for 1-D)")

@@ -18,10 +18,9 @@ Design notes (TPU-first):
     uses the pure-XLA separable step (always available, and the measured
     baseline for bench).  On non-TPU backends Pallas runs in interpret
     mode automatically.
-  * ``algorithm`` picks the compute path inside the kernels: 'vpu'
-    (exact fp32 shift-adds, default), 'mxu_split' (split-fp32 banded
-    MXU matmuls, ~6e-6/step), 'mxu' (banded MXU matmuls at a Mosaic
-    precision: DEFAULT ~1e-3/step, HIGHEST ~1.5e-5/step).
+  * ``algorithm`` picks the compute path inside the kernels (see
+    EngineConfig.algorithm); the default 'auto' resolves per shape to
+    the measured-fastest EXACT path ('mxu_hybrid3' or 'vpu_roll').
 """
 
 from __future__ import annotations
@@ -41,6 +40,25 @@ from .ops.layout import (LANE, SUBLANE, Layout1D, Layout2D, Layout3D,
 
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
+
+
+def resolve_algorithm(spec: StencilSpec, name: str,
+                      dtype=jnp.float32) -> str:
+    """Resolve algorithm='auto' per shape: exact 3-pass MXU hybrid when
+    the spec is MXU-friendly (<= 2 matmul axes, no residue -- e.g.
+    star2d3r's two one-sided convs), else the exact roll-VPU kernel.
+    fp64 runs always use the VPU (bf16 splits are fp32-grade).
+    Measured basis: PERF.md accuracy/speed table."""
+    if name != "auto":
+        return name
+    if spec.ndim != 2 or jnp.dtype(dtype) == jnp.float64:
+        return "vpu_roll"
+    axes = sum(
+        (t.taps[-2] is not None) + (t.taps[-1] is not None)
+        for t in spec.terms)
+    if axes <= 2 and not spec.residue:
+        return "mxu_hybrid3"
+    return "vpu_roll"
 
 
 def ping_pong_loop(step_fn, state, steps: int, k: int = 1):
@@ -93,13 +111,17 @@ class EngineConfig:
     backend: str = "auto"  # 'pallas' | 'xla' | 'auto'
     tile: Optional[Tuple[int, int]] = None
     interpret: Optional[bool] = None  # force Pallas interpret mode
-    # 'vpu_roll': exact-fp32 aligned cyclic-roll convs (default; measured
-    # fastest AND exact on v5e -- 41.9 GCells/s at star2d1r 8192^2 vs
-    # 26-28 for the slice-based 'vpu'); 'vpu': exact-fp32 shifted-slice
-    # convs; 'mxu_split': split-fp32 banded MXU GEMMs; 'mxu': banded MXU
-    # GEMMs at `precision` (the direct LoRAStencil formulation).
-    # 3-D kernels use the 'vpu' plane convs for any vpu* setting.
-    algorithm: str = "vpu_roll"
+    # 'auto' (default): pick per shape -- 'mxu_hybrid3' (exact-fp32-grade
+    # 3-pass split banded MXU GEMMs) when the spec has <= 2 matmul axes
+    # and no residue (star2d3r: 51.0 vs 48.3 GCells/s), else 'vpu_roll'
+    # (exact-fp32 aligned cyclic-roll convs; star2d1r 8192^2: 44.3
+    # GCells/s vs 26-28 for the slice-based 'vpu').  Explicit options:
+    # 'vpu_roll', 'vpu', 'mxu_hybrid3' (exact ~1.5e-7/step),
+    # 'mxu_hybrid' (2-pass, ~6e-6/step, fastest where MXU share small:
+    # star2d1r 55 GCells/s), 'mxu_split' (all terms incl. residue on the
+    # MXU, ~6e-6), 'mxu' (Mosaic-precision banded GEMMs).
+    # 3-D kernels use the 'vpu' plane convs for any vpu*/auto setting.
+    algorithm: str = "auto"
     # timesteps fused per HBM round trip (1-D and 2-D).  None = auto:
     # 1 for 2-D (with double-buffered DMA the window traffic hides under
     # compute, and unfused substeps have the smallest extents -- measured
@@ -143,6 +165,7 @@ class StencilEngine:
         if backend == "auto":
             backend = "pallas"
         self.backend = backend
+        self.algorithm = self._resolve_algorithm()
         self.interpret = (
             config.interpret if config.interpret is not None else not _on_tpu()
         )
@@ -215,6 +238,10 @@ class StencilEngine:
                   if k in EngineConfig.__dataclass_fields__}
         return cls(spec, interior, EngineConfig(**cfg_kw))
 
+    def _resolve_algorithm(self) -> str:
+        return resolve_algorithm(self.spec, self.config.algorithm,
+                                 self.dtype)
+
     # -- layout ----------------------------------------------------------
     def _build_layout(self):
 
@@ -258,10 +285,10 @@ class StencilEngine:
             return pallas_2d.stencil2d_step(
                 cur, donor, self.spec, self.layout,
                 precision=self.precision, interpret=self.interpret,
-                algorithm=self.config.algorithm, fused_steps=fused_k)
+                algorithm=self.algorithm, fused_steps=fused_k)
         from .ops import pallas_3d
-        alg3 = ("vpu" if self.config.algorithm.startswith("vpu")
-                else self.config.algorithm)
+        alg3 = ("vpu" if self.algorithm.startswith("vpu")
+                else self.algorithm)
         return pallas_3d.stencil3d_step(
             cur, donor, self.spec, self.layout,
             precision=self.precision, interpret=self.interpret,
@@ -280,7 +307,7 @@ class StencilEngine:
             # (8K-cell lookback) is a practical VMEM ceiling.
             return min(k, 64)
         if self.spec.ndim == 3:
-            if not self.config.algorithm.startswith("vpu"):
+            if not self.algorithm.startswith("vpu"):
                 return 1
             return min(max(1, self.config.fused_steps_3d),
                        SUBLANE // max(1, self.spec.radius))
@@ -288,7 +315,7 @@ class StencilEngine:
         # in-kernel fusion; fall back to one step per pass.  Otherwise
         # clamp k so the fused window halo fits the fixed 128-lane column
         # guard (the row guard adapts to k in _build_layout).
-        if self.config.algorithm == "mxu":
+        if self.algorithm == "mxu":
             return 1
         return min(k, LANE // max(1, self.spec.radius))
 

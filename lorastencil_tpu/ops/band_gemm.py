@@ -78,40 +78,52 @@ def _col_chunks(C):
     return out
 
 
-def split_bf16(x):
-    """Exact hi/lo bf16 split of an fp32 array: x == hi + lo in fp32."""
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+def split_bf16(x, parts: int = 2):
+    """Exact bf16 decomposition of an fp32 array: x == sum(parts) in
+    fp32.  Two parts capture 16 mantissa bits (~6e-6 residual); three
+    parts cover all 24 fp32 mantissa bits (exact-fp32-grade)."""
+    out = []
+    rem = x
+    for i in range(parts):
+        p = rem.astype(jnp.bfloat16)
+        out.append(p)
+        if i + 1 < parts:
+            rem = rem - p.astype(jnp.float32)
+    return tuple(out)
 
 
-def _dot_split(ah, al, bh, bl, left=False):
-    """fp32-accurate product of split operands on the MXU.
+def _dot_splitn(xs, bh, bl, left=False):
+    """fp32-grade product of an N-part bf16 operand with a split matrix.
 
-    a = ah + al (bf16 split of fp32), b = bh [+ bl].  Each bf16 x bf16
-    product is exact in the fp32 accumulator; dropping al x bl (when bl
-    exists) is below fp32 epsilon.  2 matmuls for bf16-exact taps, 3
-    otherwise -- vs 6 passes for Mosaic's HIGHEST, and exact where
-    HIGHEST is not."""
+    ``xs``: bf16 parts of the fp32 operand (2 or 3); ``bh``/``bl``: bf16
+    matrix parts (bl None when the taps are bf16-exact).  Every bf16 x
+    bf16 product is exact in the fp32 accumulator; only crosses below
+    2^-32 relative are dropped."""
     def d(a, b):
         return (jnp.dot(b, a, preferred_element_type=jnp.float32) if left
                 else jnp.dot(a, b, preferred_element_type=jnp.float32))
 
-    out = d(ah, bh) + d(al, bh)
+    out = d(xs[0], bh)
+    for xi in xs[1:]:
+        out = out + d(xi, bh)
     if bl is not None:
-        out = out + d(ah, bl)
+        out = out + d(xs[0], bl)
+        if len(xs) > 1:
+            out = out + d(xs[1], bl)
     return out
 
 
-def apply_terms_mxu_split(Xh, Xl, mats, e_in, e_out, TM, TN):
-    """One full 2-D stencil application as split-fp32 banded MXU matmuls.
+def apply_terms_mxu_split(xs, mats, e_in, e_out, TM, TN):
+    """Separable terms as split-fp32 banded MXU matmuls.
 
-    ``Xh``/``Xl``: bf16 hi/lo split of the fp32 window (split_bf16).
+    ``xs``: tuple of bf16 parts of the fp32 window (``split_bf16``; 2
+    parts ~6e-6/step, 3 parts exact-fp32-grade).
     ``mats``: per separable term (Ah, Al, Bh, Bl, rr, rc); A*/B* are bf16
     banded matrices (lo parts None when taps are bf16-exact; identity
     axes have Ah/Bh None).  Extents as in apply_spec_vpu.  Returns
     float32 (TM + 2*er_out, TN + 2*ec_out).
     """
+    nparts = len(xs)
     er_i, ec_i = e_in
     er_o, ec_o = e_out
     R = TM + 2 * er_o
@@ -124,32 +136,34 @@ def apply_terms_mxu_split(Xh, Xl, mats, e_in, e_out, TM, TN):
         if Ah is None and Bh is None:
             # identity term (e.g. a unit center-delta residue): X itself,
             # recomposed exactly from the split
-            Z = (Xh[off_r: off_r + R, off_c: off_c + C].astype(jnp.float32)
-                 + Xl[off_r: off_r + R, off_c: off_c + C].astype(
-                     jnp.float32))
+            Z = None
+            for xi in xs:
+                zi = xi[off_r: off_r + R, off_c: off_c + C].astype(
+                    jnp.float32)
+                Z = zi if Z is None else Z + zi
         elif Bh is not None:
             # column conv over rows [off_r - rr, off_r - rr + R + 2rr)
             rlo = off_r - rr
             rhi = rlo + R + 2 * rr
             parts = []
-            for (c0, s) in _col_chunks(C):
-                Bc = Bh if s == LANE else Bh[: s + 2 * rc, :s]
+            for (c0, sc) in _col_chunks(C):
+                Bc = Bh if sc == LANE else Bh[: sc + 2 * rc, :sc]
                 Bcl = None if Bl is None else (
-                    Bl if s == LANE else Bl[: s + 2 * rc, :s])
-                xh = Xh[rlo:rhi, off_c + c0 - rc: off_c + c0 + rc + s]
-                xl = Xl[rlo:rhi, off_c + c0 - rc: off_c + c0 + rc + s]
-                parts.append(_dot_split(xh, xl, Bc, Bcl))
+                    Bl if sc == LANE else Bl[: sc + 2 * rc, :sc])
+                xis = tuple(
+                    xi[rlo:rhi, off_c + c0 - rc: off_c + c0 + rc + sc]
+                    for xi in xs)
+                parts.append(_dot_splitn(xis, Bc, Bcl))
             Y = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
             if Ah is not None:
-                Yh, Yl = split_bf16(Y)
+                ys = split_bf16(Y, nparts)
                 zparts = []
-                for (r0c, s) in _col_chunks(R):
-                    Ar = Ah if s == LANE else Ah[:s, : s + 2 * rr]
+                for (r0c, sc) in _col_chunks(R):
+                    Ar = Ah if sc == LANE else Ah[:sc, : sc + 2 * rr]
                     Arl = None if Al is None else (
-                        Al if s == LANE else Al[:s, : s + 2 * rr])
-                    yh = Yh[r0c: r0c + s + 2 * rr, :]
-                    yl = Yl[r0c: r0c + s + 2 * rr, :]
-                    zparts.append(_dot_split(yh, yl, Ar, Arl, left=True))
+                        Al if sc == LANE else Al[:sc, : sc + 2 * rr])
+                    yis = tuple(yi[r0c: r0c + sc + 2 * rr, :] for yi in ys)
+                    zparts.append(_dot_splitn(yis, Ar, Arl, left=True))
                 Z = (jnp.concatenate(zparts, axis=0)
                      if len(zparts) > 1 else zparts[0])
             else:
@@ -157,15 +171,14 @@ def apply_terms_mxu_split(Xh, Xl, mats, e_in, e_out, TM, TN):
         else:
             # row-only conv straight off the window split
             parts = []
-            for (r0c, s) in _col_chunks(R):
-                Ar = Ah if s == LANE else Ah[:s, : s + 2 * rr]
+            for (r0c, sc) in _col_chunks(R):
+                Ar = Ah if sc == LANE else Ah[:sc, : sc + 2 * rr]
                 Arl = None if Al is None else (
-                    Al if s == LANE else Al[:s, : s + 2 * rr])
-                xh = Xh[off_r + r0c - rr: off_r + r0c + rr + s,
-                        off_c: off_c + C]
-                xl = Xl[off_r + r0c - rr: off_r + r0c + rr + s,
-                        off_c: off_c + C]
-                parts.append(_dot_split(xh, xl, Ar, Arl, left=True))
+                    Al if sc == LANE else Al[:sc, : sc + 2 * rr])
+                xis = tuple(
+                    xi[off_r + r0c - rr: off_r + r0c + rr + sc,
+                       off_c: off_c + C] for xi in xs)
+                parts.append(_dot_splitn(xis, Ar, Arl, left=True))
             Z = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
         acc = Z if acc is None else acc + Z
     if acc is None:

@@ -50,9 +50,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.shapes import SeparableTerm, StencilSpec
 from .band_gemm import (apply_spec_vpu, apply_spec_vpu_rolled,
-                        apply_terms_mxu_split, plane_conv, split_bf16,
-                        term_band_mats)
+                        apply_spec_vpu_rolled_extent, apply_terms_mxu_split,
+                        plane_conv, split_bf16, term_band_mats)
 from .layout import LANE, SUBLANE, Layout2D
+
+
+@functools.lru_cache(maxsize=None)
+def _residue_only(residue):
+    return _ResidueOnly(residue=residue)
+
+
+class _ResidueOnly:
+    """Spec view with terms stripped (hybrid path: residue on the VPU)."""
+
+    terms = ()
+
+    def __init__(self, residue):
+        self.residue = residue
 
 
 def _stencil2d_kernel(
@@ -184,14 +198,15 @@ def _stencil2d_kernel(
             else:
                 cur = val[HR: HR + TM, HC: HC + TN]
         acc = cur
-    elif algorithm in ("vpu", "mxu_split") or fused_steps > 1:
+    elif (algorithm in ("vpu", "mxu_split", "mxu_hybrid", "mxu_hybrid3")
+          or fused_steps > 1):
         # k fused timesteps per HBM round trip: shrink the compute extent
         # by the radius per substep, masking intermediates to the global
         # interior so the reference's halo-decay semantics hold exactly.
         # Each substep materializes into ping-pong VMEM scratch so Mosaic
         # does not keep every unrolled substep's temporaries live at once
         # (that blows the 16M scoped-vmem budget for k >= 4).
-        if algorithm == "mxu_split":
+        if algorithm.startswith("mxu_"):
             split_mats = []
             mi = 0
             for (has_a, rr, has_b, rc) in mats_meta:
@@ -214,10 +229,17 @@ def _stencil2d_kernel(
         for s in range(fused_steps):
             left = fused_steps - 1 - s
             e_out = (left * r, left * r)
-            if algorithm == "mxu_split":
-                xh, xl = split_bf16(cur)
-                val = apply_terms_mxu_split(xh, xl, split_mats, e_in, e_out,
+            if algorithm in ("mxu_split", "mxu_hybrid", "mxu_hybrid3"):
+                xs = split_bf16(cur, 3 if algorithm == "mxu_hybrid3" else 2)
+                val = apply_terms_mxu_split(xs, split_mats, e_in, e_out,
                                             TM, TN)
+                if algorithm.startswith("mxu_hybrid") and spec.residue:
+                    # residue rides on the VPU as cyclic rolls; Mosaic
+                    # co-issues it with the MXU matmuls above (measured:
+                    # interleaved MXU+VPU beats either stream alone)
+                    val = val + apply_spec_vpu_rolled_extent(
+                        cur, _residue_only(spec.residue),
+                        e_in, e_out, TM, TN)
             else:
                 val = apply_spec_vpu(cur, spec, e_in, e_out, TM, TN)
             val = mask_to_interior(val, *e_out)
@@ -307,15 +329,15 @@ def stencil2d_step(
     """
     layout.validate()
     TM, TN = layout.tile
-    if algorithm not in ("vpu", "vpu_roll", "mxu", "mxu_split"):
+    if algorithm not in ("vpu", "vpu_roll", "mxu", "mxu_split",
+                         "mxu_hybrid", "mxu_hybrid3"):
         raise ValueError(
             f"unknown algorithm {algorithm!r}; expected 'vpu', 'vpu_roll', "
-            f"'mxu' or 'mxu_split'")
-    if fused_steps > 1 and algorithm not in ("vpu", "vpu_roll",
-                                             "mxu_split"):
+            f"'mxu', 'mxu_split', 'mxu_hybrid' or 'mxu_hybrid3'")
+    if fused_steps > 1 and algorithm == "mxu":
         raise ValueError(
             "temporal fusion (fused_steps > 1) needs algorithm='vpu', "
-            "'vpu_roll' or 'mxu_split'")
+            "'vpu_roll', 'mxu_split' or 'mxu_hybrid'")
     if (layout.guard[0] < fused_steps * spec.radius
             or layout.guard[1] < fused_steps * spec.radius):
         raise ValueError(
@@ -338,11 +360,11 @@ def stencil2d_step(
                 mat_args.append(jnp.asarray(A))
             if B is not None:
                 mat_args.append(jnp.asarray(B))
-    elif algorithm == "mxu_split":
+    elif algorithm.startswith("mxu_"):
         from ..models import factorize
 
         eff_terms = list(spec.terms)
-        if spec.residue:
+        if spec.residue and algorithm == "mxu_split":
             # convert the sparse residue into separable terms (greedy
             # max-pivot peel); star2d1r's 8-point residue is rank 3.
             full = 2 * spec.radius + 1
@@ -446,7 +468,8 @@ def stencil2d_step(
                 if fused_steps > 1 else (1, SUBLANE, LANE),
                 # vpu substeps accumulate in the state dtype (fp64-capable
                 # under x64 interpret); mxu_split intermediates are fp32
-                jnp.float32 if algorithm == "mxu_split" else cur.dtype,
+                jnp.float32 if algorithm.startswith("mxu_")
+                else cur.dtype,
             ),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

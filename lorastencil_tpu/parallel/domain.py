@@ -54,7 +54,9 @@ class ShardedConfig:
     tile: Optional[Tuple[int, int]] = None
     precision: str = "highest"
     interpret: Optional[bool] = None
-    algorithm: str = "vpu_roll"  # 3-D engines map any vpu* to 'vpu' convs
+    # 'auto' resolves per shape exactly like the single-chip engine
+    # (engine.resolve_algorithm); 3-D engines map any vpu* to 'vpu' convs
+    algorithm: str = "auto"
     # timesteps fused per halo exchange (2-D): one ppermute round per k
     # steps with k*radius-deep halos -- k fewer collectives per step.
     fused_steps: int = 1
@@ -98,6 +100,9 @@ class ShardedStencil2D:
             lm, ln = self.local_interior
             assert lm % tile[0] == 0 and ln % tile[1] == 0, (
                 "fused sharded runs need tile-aligned local blocks")
+        from ..engine import resolve_algorithm
+
+        self.algorithm = resolve_algorithm(spec, config.algorithm)
         self.layout = Layout2D(interior=self.local_interior, halo=spec.halo,
                                tile=tile, guard=(guard_r, LANE))
         self.precision = (jax.lax.Precision.HIGHEST
@@ -232,7 +237,7 @@ class ShardedStencil2D:
         return pallas_2d.stencil2d_step(
             cur, donor, self.spec, self.layout,
             precision=self.precision, interpret=self.interpret,
-            algorithm=self.config.algorithm, fused_steps=fused_k,
+            algorithm=self.algorithm, fused_steps=fused_k,
             bounds=self._bounds(),
         )
 
@@ -256,7 +261,7 @@ class ShardedStencil2D:
             return pallas_2d.stencil2d_step(
                 inp, out_buf, self.spec, self.layout,
                 precision=self.precision, interpret=self.interpret,
-                algorithm=self.config.algorithm, fused_steps=fused_k,
+                algorithm=self.algorithm, fused_steps=fused_k,
                 bounds=bounds, region=region)
 
         # boundary frame first: it produces the edge strips to exchange
@@ -441,8 +446,8 @@ class ShardedStencil3D:
         bounds = jnp.stack([
             -ix * lm, gm - ix * lm, -iy * ln, gn - iy * ln,
         ]).astype(jnp.int32)
-        alg3 = ("vpu" if self.config.algorithm.startswith("vpu")
-                else self.config.algorithm)
+        alg = self.config.algorithm
+        alg3 = "vpu" if (alg.startswith("vpu") or alg == "auto") else alg
         return pallas_3d.stencil3d_step(
             cur, donor, self.spec, self.layout,
             precision=self.precision, interpret=self.interpret,
