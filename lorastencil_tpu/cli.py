@@ -71,6 +71,9 @@ def main(argv=None) -> int:
                    help="state dtype; float64 enables x64 and runs the "
                         "reference's fp64 regime (CPU tier)")
     p.add_argument("--tile", type=int, nargs=2, default=None)
+    p.add_argument("--autotune", action="store_true",
+                   help="measure candidate tiles on this device and use "
+                        "the fastest (cached per device+config)")
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", action="store_true", help="emit JSON metrics")
@@ -95,11 +98,18 @@ def main(argv=None) -> int:
         flush=True,
     )
     grid0 = make_input(spec, interior, args.fill, args.seed)
+    tile = tuple(args.tile) if args.tile else None
+    if args.autotune and tile is None and spec.ndim == 2:
+        from .utils import autotune
+
+        tile = autotune.autotune_tile(
+            args.shape, interior, algorithm=args.algorithm,
+            fused_steps=args.fused_steps, dtype=args.dtype, verbose=True)
+        print(f"INFO: autotuned tile = {tile}", flush=True)
     eng = engine.StencilEngine.for_shape(
         args.shape, interior, backend=args.backend, dtype=args.dtype,
         precision=args.precision, algorithm=args.algorithm,
-        fused_steps=args.fused_steps,
-        tile=tuple(args.tile) if args.tile else None,
+        fused_steps=args.fused_steps, tile=tile,
     )
 
     secs, _ = metrics.time_run(

@@ -8,14 +8,20 @@ entirely.  There is no analog of the CUDA fragment-relayout /
 V2-permutation tricks -- chaining the per-axis convs through VMEM values
 is native on TPU (SURVEY.md section 0, closing note).
 
-Three compute algorithms (see PERF.md for measurements):
+Compute algorithms (see PERF.md for measurements and accuracy):
 
-  * 'vpu' (default): statically shifted slice multiply-adds -- exact
-    fp32, and the fastest on v5e for the reference shapes;
-  * 'mxu_split': banded MXU matmuls on the bf16 hi/lo split of the fp32
-    window (~6e-6 rel err/step), residues converted to separable terms;
-  * 'mxu': banded MXU matmuls in 128-chunks at a Mosaic precision (the
-    most literal analog of the reference's DMMA formulation).
+  * 'vpu_roll': (8,128)-aligned cyclic-roll multiply-adds at the fixed
+    window extent -- exact fp32, fastest exact path for residue-bearing
+    and rank-3 shapes;
+  * 'mxu_hybrid3': separable terms as 3-pass split-bf16 banded MXU
+    GEMMs (exact-fp32-grade) with the residue + mask co-issued on the
+    VPU as rolls -- fastest exact path for MXU-friendly shapes;
+  * 'mxu_hybrid': the 2-pass variant (~6e-6/step), the fast tier;
+  * 'vpu': statically shifted slice multiply-adds (exact fp32);
+  * 'mxu_split': ALL terms incl. the residue (peeled to separable
+    form) as 2-pass split GEMMs (~6e-6/step);
+  * 'mxu': banded MXU matmuls at a Mosaic precision (the most literal
+    analog of the reference's DMMA formulation).
 
 Per grid step (one (TM, TN) output tile):
 

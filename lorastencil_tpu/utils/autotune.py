@@ -1,0 +1,178 @@
+"""Measured tile autotuner with a per-device on-disk cache.
+
+The reference hardcodes its block geometry per shape (32x64 output tiles,
+``/root/reference/src/2d/gpu.cu:12-14``; 8x64 for 3-D,
+``src/3d/gpu_box.cu:10-14``) -- correct for one GPU model.  On TPU the
+right tile depends on grid size, algorithm, fusion depth and the chip's
+VMEM/DMA balance, so this module MEASURES a small candidate set on the
+actual device and caches the winner per
+(device kind, spec, interior, algorithm, fused_steps, dtype).
+
+Timing goes through ``metrics.time_run`` (pipelined dispatches, hard
+device sync); candidates that fail to compile (scoped-VMEM overflow
+surfaces as a runtime error on this backend) are skipped.
+
+    from lorastencil_tpu.utils import autotune
+    tile = autotune.autotune_tile("star2d1r", (8192, 8192))
+    eng = engine.StencilEngine.for_shape("star2d1r", (8192, 8192),
+                                         tile=tile)
+
+or in one step: ``autotune.autotuned_engine("star2d1r", (8192, 8192))``.
+CLI: ``--autotune``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ops.layout import LANE, SUBLANE
+
+
+def _cache_path() -> str:
+    base = os.environ.get("LORASTENCIL_CACHE") or os.path.join(
+        os.path.expanduser("~"), ".cache", "lorastencil_tpu")
+    return os.path.join(base, "autotune.json")
+
+
+def _load_cache() -> dict:
+    try:
+        with open(_cache_path()) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _store_cache(cache: dict) -> None:
+    path = _cache_path()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cache, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _device_kind() -> str:
+    import jax
+
+    try:
+        return jax.devices()[0].device_kind.replace(" ", "-")
+    except Exception:
+        return jax.default_backend()
+
+
+def _key(spec, interior, algorithm, fused_steps, dtype) -> str:
+    import hashlib
+
+    coeffs = hashlib.sha1(
+        np.ascontiguousarray(spec.dense_coeffs()).tobytes()).hexdigest()[:10]
+    return "|".join([
+        _device_kind(), spec.name, coeffs,
+        "x".join(map(str, np.atleast_1d(interior))),
+        str(algorithm), str(fused_steps), str(dtype),
+    ])
+
+
+def default_candidates_2d(interior) -> Tuple[Tuple[int, int], ...]:
+    """A small measured-candidate set around the known-good geometry."""
+    m, n = interior
+    tiles = []
+    for tm in (128, 192, 256, 320):
+        for tn in (512, 1024):
+            tiles.append((min(tm, SUBLANE * (-(-m // SUBLANE))),
+                          min(tn, LANE * (-(-n // LANE)))))
+    # dedupe, preserve order
+    seen, out = set(), []
+    for t in tiles:
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return tuple(out)
+
+
+def autotune_tile(
+    shape, interior, algorithm: str = "auto",
+    fused_steps: Optional[int] = None, dtype: str = "float32",
+    steps: int = 32, candidates: Optional[Sequence] = None,
+    use_cache: bool = True, verbose: bool = False, **engine_kw,
+) -> Tuple[int, int]:
+    """Measure candidate tiles for a 2-D config and return the fastest.
+
+    Results persist in ``~/.cache/lorastencil_tpu/autotune.json`` keyed by
+    device kind + spec coefficients + config, so each (device, config)
+    pair is measured once."""
+    from .. import engine as _engine
+    from ..models.shapes import StencilSpec, get_shape
+    from . import metrics
+
+    spec = shape if isinstance(shape, StencilSpec) else get_shape(shape)
+    assert spec.ndim == 2, "autotune_tile is for 2-D configs"
+    key = _key(spec, interior, algorithm, fused_steps, dtype)
+    cache = _load_cache()
+    if use_cache and key in cache:
+        return tuple(cache[key]["tile"])
+
+    import jax
+    import jax.numpy as jnp
+
+    cands = tuple(candidates) if candidates is not None else \
+        default_candidates_2d(interior)
+    best, best_secs = None, float("inf")
+    results = {}
+    for tile in cands:
+        try:
+            eng = _engine.StencilEngine(
+                spec, interior, _engine.EngineConfig(
+                    dtype=dtype, algorithm=algorithm,
+                    fused_steps=fused_steps, tile=tuple(tile),
+                    **engine_kw))
+
+            def run(key2, eng=eng):
+                state = jax.random.uniform(
+                    key2, eng.layout.shape, eng.dtype, 0.0, 0.01)
+                return jnp.sum(eng._run_internal(state, steps) * 0.0)
+
+            run = jax.jit(run)
+            secs, _ = metrics.time_run(run, jax.random.PRNGKey(0),
+                                       repeats=1, warmup=1, pipeline=2)
+            results[str(tuple(tile))] = secs
+            if verbose:
+                print(f"autotune {spec.name} tile={tile}: {secs*1e3:.2f} ms",
+                      flush=True)
+            if secs < best_secs:
+                best, best_secs = tuple(tile), secs
+        except Exception as e:  # e.g. scoped-VMEM overflow
+            results[str(tuple(tile))] = f"failed: {type(e).__name__}"
+            if verbose:
+                print(f"autotune {spec.name} tile={tile}: failed "
+                      f"({type(e).__name__})", flush=True)
+    if best is None:
+        raise RuntimeError(
+            f"autotune: no candidate compiled for {spec.name} {interior}")
+    cache = _load_cache()  # re-read: another process may have written
+    cache[key] = {"tile": list(best), "secs": best_secs,
+                  "measured": results}
+    _store_cache(cache)
+    return best
+
+
+def autotuned_engine(shape, interior, **kw):
+    """StencilEngine with an autotuned tile (2-D; other dims pass
+    through to the default layout heuristics)."""
+    from .. import engine as _engine
+    from ..models.shapes import StencilSpec, get_shape
+
+    spec = shape if isinstance(shape, StencilSpec) else get_shape(shape)
+    if spec.ndim == 2 and kw.get("tile") is None:
+        tune_kw = {k: v for k, v in kw.items()
+                   if k in ("algorithm", "fused_steps", "dtype",
+                            "precision", "interpret")}
+        kw = dict(kw)
+        kw["tile"] = autotune_tile(spec, tuple(interior), **tune_kw)
+    cfg_kw = {k: v for k, v in kw.items()
+              if k in _engine.EngineConfig.__dataclass_fields__}
+    return _engine.StencilEngine(spec, interior,
+                                 _engine.EngineConfig(**cfg_kw))

@@ -51,8 +51,8 @@ def stencil_roofline(
     tile,
     fused_steps: int = 1,
     dtype_bytes: int = 4,
-    hbm_gbps: float = 350.0,   # measured device copy bandwidth (v5e, 2026)
-    vpu_gflops: float = 3800.0,
+    hbm_gbps: float = 446.0,   # measured Pallas-DMA bandwidth (v5e, r2)
+    vpu_gflops: float = 4200.0,  # ~2.1 T elem-ops/s effective (PERF.md)
 ) -> Roofline:
     """First-order roofline for the VPU shift-add kernel."""
     TM, TN = tile

@@ -124,3 +124,30 @@ def test_orbax_sharded_checkpoint(tmp_path):
         np.testing.assert_array_equal(np.asarray(restored), np.asarray(x))
     finally:
         ck.close()
+
+
+def test_autotune_tile_measures_and_caches(tmp_path, monkeypatch):
+    from lorastencil_tpu.utils import autotune
+
+    monkeypatch.setenv("LORASTENCIL_CACHE", str(tmp_path))
+    cands = [(8, 128), (16, 128)]
+    tile = autotune.autotune_tile("star2d1r", (16, 128), steps=1,
+                                  candidates=cands)
+    assert tile in [tuple(c) for c in cands]
+    import json
+
+    cache = json.load(open(tmp_path / "autotune.json"))
+    (entry,) = cache.values()
+    assert tuple(entry["tile"]) == tile
+    # second call hits the cache (poison the candidate list to prove it)
+    tile2 = autotune.autotune_tile("star2d1r", (16, 128), steps=1,
+                                   candidates=[(999, 999)])
+    assert tile2 == tile
+
+
+def test_autotuned_engine(tmp_path, monkeypatch):
+    from lorastencil_tpu.utils import autotune
+
+    monkeypatch.setenv("LORASTENCIL_CACHE", str(tmp_path))
+    eng = autotune.autotuned_engine("star2d1r", (16, 128))
+    assert eng.layout.tile[0] % 8 == 0 and eng.layout.tile[1] % 128 == 0

@@ -244,3 +244,33 @@ class Test1DGenerality:
         want = reference.run(g0, eng.spec, 2 * k + 3)
         err = np.abs(got - want).max() / np.abs(want).max()
         assert err < 5e-6, err
+
+
+@pytest.mark.parametrize("alg,tol", [
+    ("vpu_roll", 1e-6), ("mxu_hybrid3", 1e-6),
+    ("mxu_hybrid", 1e-4), ("auto", 1e-6),
+])
+@pytest.mark.parametrize("name", ["star2d1r", "star2d3r", "box2d3r"])
+def test_2d_algorithm_tiers(name, alg, tol):
+    spec = shapes.get_shape(name)
+    g0 = reference.random_padded(spec, (40, 200), seed=61)
+    eng = engine.StencilEngine.for_shape(name, (40, 200), algorithm=alg,
+                                         fused_steps=2)
+    got = np.asarray(eng.run(jnp.asarray(g0, jnp.float32), 4), np.float64)
+    want = reference.run(g0, spec, 4)
+    assert np.abs(got - want).max() / np.abs(want).max() < tol
+
+
+def test_auto_algorithm_resolution():
+    assert engine.resolve_algorithm(
+        shapes.get_shape("star2d3r"), "auto") == "mxu_hybrid3"
+    assert engine.resolve_algorithm(
+        shapes.get_shape("star2d1r"), "auto") == "vpu_roll"  # residue
+    assert engine.resolve_algorithm(
+        shapes.get_shape("box2d3r"), "auto") == "vpu_roll"  # 6 axes
+    assert engine.resolve_algorithm(
+        shapes.get_shape("box3d1r"), "auto") == "vpu_roll"
+    import jax.numpy as jnp2
+
+    assert engine.resolve_algorithm(
+        shapes.get_shape("star2d3r"), "auto", jnp2.float64) == "vpu_roll"
