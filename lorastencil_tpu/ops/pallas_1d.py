@@ -90,6 +90,7 @@ def _conv_flat(W, taps, lane):
 def _stencil1d_kernel(
     in_hbm, donor_hbm, *rest,
     layout: Layout1D, n: int, _taps, fused_steps: int, has_bounds: bool,
+    region=None,
 ):
     bounds_ref = None
     if has_bounds:
@@ -98,10 +99,14 @@ def _stencil1d_kernel(
     out_hbm, win, out_tile, sem_in, sem_out = rest
     TR = layout.tile_rows
     G = layout.guard_rows
-    (g,) = layout.grid
-    ti = pl.program_id(0)
-    slot = jax.lax.rem(ti, jnp.int32(2))
-    nslot = jax.lax.rem(ti + 1, jnp.int32(2))
+    # region = (t0, t1): the tile window this call owns (overlapped
+    # sharded engine splits boundary and interior tiles)
+    t0, t1 = region if region is not None else (0, layout.grid[0])
+    g = t1 - t0
+    pid = pl.program_id(0)
+    ti = t0 + pid
+    slot = jax.lax.rem(pid, jnp.int32(2))
+    nslot = jax.lax.rem(pid + 1, jnp.int32(2))
 
     def in_dma(t_i, s):
         return pltpu.make_async_copy(
@@ -117,11 +122,11 @@ def _stencil1d_kernel(
         )
 
     # double-buffered prefetch (same protocol as the 2-D kernel)
-    @pl.when(ti == 0)
+    @pl.when(pid == 0)
     def _():
         in_dma(ti, slot).start()
 
-    @pl.when(ti + 1 < g)
+    @pl.when(pid + 1 < g)
     def _():
         in_dma(ti + 1, nslot).start()
 
@@ -147,25 +152,25 @@ def _stencil1d_kernel(
         cur = _conv_flat(cur, _taps, lane) * wmask
     acc = cur[G: G + TR, :]
 
-    @pl.when(ti >= 2)
+    @pl.when(pid >= 2)
     def _():
         out_dma(ti - 2, slot).wait()
 
     out_tile[pl.ds(slot, 1)] = acc.astype(out_tile.dtype)[None]
     out_dma(ti, slot).start()
 
-    @pl.when(ti == g - 1)
+    @pl.when(pid == g - 1)
     def _():
         out_dma(ti, slot).wait()
 
-    @pl.when((ti == g - 1) & (g >= 2))
+    @pl.when((pid == g - 1) & (g >= 2))
     def _():
         out_dma(ti - 1, nslot).wait()
 
 
 @functools.partial(
     jax.jit, static_argnames=("spec", "layout", "precision", "interpret",
-                              "fused_steps")
+                              "fused_steps", "region")
 )
 def stencil1d_step(
     cur: jax.Array,
@@ -176,8 +181,12 @@ def stencil1d_step(
     interpret: bool = False,
     fused_steps: int = 1,
     bounds: "jax.Array | None" = None,
+    region=None,
 ) -> jax.Array:
     """``fused_steps`` timesteps on the internal layout in one kernel.
+
+    ``region`` (optional, (t0, t1)): restrict the call to a tile-index
+    window (the overlapped sharded engine's boundary/interior split).
 
     ``bounds`` (optional, shape (2,) int32): dynamic [lo, hi) interior
     mask range in local flat coordinates -- the global interior seen from
@@ -197,13 +206,19 @@ def stencil1d_step(
     kernel = functools.partial(
         _stencil1d_kernel, layout=layout, n=layout.interior,
         _taps=taps, fused_steps=fused_steps, has_bounds=bounds is not None,
+        region=region,
     )
     bounds_args = [] if bounds is None else [jnp.asarray(bounds, jnp.int32)]
     bounds_specs = [] if bounds is None else [
         pl.BlockSpec(memory_space=pltpu.SMEM)]
+    grid = layout.grid
+    if region is not None:
+        t0, t1 = region
+        assert 0 <= t0 < t1 <= grid[0]
+        grid = (t1 - t0,)
     return pl.pallas_call(
         kernel,
-        grid=layout.grid,
+        grid=grid,
         out_shape=jax.ShapeDtypeStruct(cur.shape, cur.dtype),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2 + bounds_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),

@@ -93,6 +93,7 @@ def _stencil3d_kernel(
     spec: StencilSpec, layout: Layout3D, mats_meta,
     compute_dtype, precision, algorithm, slab: int, fused_steps: int,
     acc_dt=jnp.float32, has_bounds: bool = False,
+    region=None,
 ):
     bounds_ref = None
     if has_bounds:
@@ -116,8 +117,12 @@ def _stencil3d_kernel(
     z0, r0, c0 = layout.origin
     assert z0 >= K * r, "z guard must cover the fused lookback"
     HR, HC = SUBLANE, LANE
-    ti = pl.program_id(0)
-    tj = pl.program_id(1)
+    # region = ((ti0, ti1), (tj0, tj1)): the in-plane tile window this
+    # call owns (overlapped sharded engine splits interior/boundary)
+    ti0 = region[0][0] if region is not None else 0
+    tj0 = region[1][0] if region is not None else 0
+    ti = ti0 + pl.program_id(0)
+    tj = tj0 + pl.program_id(1)
     nslabs = H // slab
 
     buffered_idx, identity_idx, center_idx = _classify_terms(spec)
@@ -304,7 +309,7 @@ def _stencil3d_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "layout", "compute_dtype", "precision",
-                     "interpret", "algorithm", "fused_steps"),
+                     "interpret", "algorithm", "fused_steps", "region"),
 )
 def stencil3d_step(
     cur: jax.Array,
@@ -317,10 +322,14 @@ def stencil3d_step(
     algorithm: str = "vpu",
     fused_steps: int = 1,
     bounds: "jax.Array | None" = None,
+    region=None,
 ) -> jax.Array:
     """``bounds`` (optional, (4,) int32): dynamic global-interior
     (row_lo, row_hi, col_lo, col_hi) in local coordinates for
-    domain-decomposed runs (z is never sharded)."""
+    domain-decomposed runs (z is never sharded).  ``region`` (optional,
+    ((ti0, ti1), (tj0, tj1))): restrict this call to a tile-index
+    sub-rectangle (the overlapped sharded engine's interior/boundary
+    split)."""
     layout.validate()
     TM, TN = layout.tile
     H = layout.interior[0]
@@ -366,6 +375,7 @@ def stencil3d_step(
         algorithm=algorithm, slab=slab, fused_steps=fused_steps,
         acc_dt=jnp.float64 if np_dtype == np.float64 else jnp.float32,
         has_bounds=bounds is not None,
+        region=region,
     )
     K = fused_steps
     pe = (K - 1) * spec.radius  # max intermediate in-plane extent
@@ -373,9 +383,14 @@ def stencil3d_step(
     bounds_args = [] if bounds is None else [jnp.asarray(bounds, jnp.int32)]
     bounds_specs = [] if bounds is None else [
         pl.BlockSpec(memory_space=pltpu.SMEM)]
+    grid = layout.grid
+    if region is not None:
+        (ti0, ti1), (tj0, tj1) = region
+        assert 0 <= ti0 < ti1 <= grid[0] and 0 <= tj0 < tj1 <= grid[1]
+        grid = (ti1 - ti0, tj1 - tj0)
     return pl.pallas_call(
         kernel,
-        grid=layout.grid,
+        grid=grid,
         out_shape=jax.ShapeDtypeStruct(cur.shape, cur.dtype),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
         + bounds_specs

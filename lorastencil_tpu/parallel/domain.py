@@ -435,32 +435,120 @@ class ShardedStencil3D:
                       buf[:, :, c0 + n: c0 + n + hn]))
         return buf
 
-    def _local_step(self, cur, donor, fused_k):
-        from ..ops import pallas_3d
+    def _exchange_strips(self, buf):
+        """Plane-wise two-phase ppermute WITHOUT writing into ``buf``
+        (the 3-D analog of ShardedStencil2D._exchange_strips)."""
+        lay = self.layout
+        hm = hn = self.depth
+        _, m, n = lay.interior
+        _, r0, c0 = lay.origin
+        dx, dy = self.config.mesh_shape
+        ix = jax.lax.axis_index("x")
 
-        cur = self._exchange(cur)
+        top = buf[:, r0: r0 + hm, :]
+        bot = buf[:, r0 + m - hm: r0 + m, :]
+        from_north = _shift(bot, "x", True, dx)
+        from_south = _shift(top, "x", False, dx)
+
+        def col_strip(c_lo, c_hi):
+            s = buf[:, :, c_lo:c_hi]
+            s = s.at[:, r0 - hm: r0, :].set(
+                jnp.where(ix > 0, from_north[:, :, c_lo:c_hi],
+                          jnp.zeros_like(from_north[:, :, c_lo:c_hi])))
+            s = s.at[:, r0 + m: r0 + m + hm, :].set(
+                jnp.where(ix < dx - 1, from_south[:, :, c_lo:c_hi],
+                          jnp.zeros_like(from_south[:, :, c_lo:c_hi])))
+            return s
+
+        from_west = _shift(col_strip(c0 + n - hn, c0 + n), "y", True, dy)
+        from_east = _shift(col_strip(c0, c0 + hn), "y", False, dy)
+        return from_north, from_south, from_west, from_east
+
+    def _write_ring(self, buf, parts):
+        lay = self.layout
+        hm = hn = self.depth
+        _, m, n = lay.interior
+        _, r0, c0 = lay.origin
+        dx, dy = self.config.mesh_shape
+        ix = jax.lax.axis_index("x")
+        iy = jax.lax.axis_index("y")
+        from_north, from_south, from_west, from_east = parts
+        buf = buf.at[:, r0 - hm: r0, :].set(
+            jnp.where(ix > 0, from_north, jnp.zeros_like(from_north)))
+        buf = buf.at[:, r0 + m: r0 + m + hm, :].set(
+            jnp.where(ix < dx - 1, from_south,
+                      jnp.zeros_like(from_south)))
+        buf = buf.at[:, :, c0 - hn: c0].set(
+            jnp.where(iy > 0, from_west, jnp.zeros_like(from_west)))
+        buf = buf.at[:, :, c0 + n: c0 + n + hn].set(
+            jnp.where(iy < dy - 1, from_east, jnp.zeros_like(from_east)))
+        return buf
+
+    def _bounds(self):
         _, lm, ln = self.local_interior
         _, gm, gn = self.interior
         ix = jax.lax.axis_index("x")
         iy = jax.lax.axis_index("y")
-        bounds = jnp.stack([
+        return jnp.stack([
             -ix * lm, gm - ix * lm, -iy * ln, gn - iy * ln,
         ]).astype(jnp.int32)
+
+    def _alg3(self):
         alg = self.config.algorithm
-        alg3 = "vpu" if (alg.startswith("vpu") or alg == "auto") else alg
+        return "vpu" if (alg.startswith("vpu") or alg == "auto") else alg
+
+    def _can_overlap(self) -> bool:
+        gi, gj = self.layout.grid
+        from ..ops.layout import LANE as _L, SUBLANE as _S
+
+        TM, TN = self.layout.tile
+        return (self.config.overlap and gi >= 3 and gj >= 3
+                and _S <= TM and _L <= TN and self.depth <= min(TM, TN))
+
+    def _local_step(self, cur, donor, fused_k):
+        from ..ops import pallas_3d
+
+        cur = self._exchange(cur)
         return pallas_3d.stencil3d_step(
             cur, donor, self.spec, self.layout,
             precision=self.precision, interpret=self.interpret,
-            algorithm=alg3, fused_steps=fused_k,
-            bounds=bounds)
+            algorithm=self._alg3(), fused_steps=fused_k,
+            bounds=self._bounds())
+
+    def _local_step_overlap(self, cur, donor, fused_k):
+        """Boundary-first pass: the ppermute of the freshly written edge
+        strips rides under the interior-tile kernel (see the 2-D
+        twin)."""
+        from ..ops import pallas_3d
+
+        gi, gj = self.layout.grid
+        bounds = self._bounds()
+
+        def step(inp, out_buf, region):
+            return pallas_3d.stencil3d_step(
+                inp, out_buf, self.spec, self.layout,
+                precision=self.precision, interpret=self.interpret,
+                algorithm=self._alg3(), fused_steps=fused_k,
+                bounds=bounds, region=region)
+
+        out = step(cur, donor, ((0, 1), (0, gj)))
+        out = step(cur, out, ((gi - 1, gi), (0, gj)))
+        out = step(cur, out, ((1, gi - 1), (0, 1)))
+        out = step(cur, out, ((1, gi - 1), (gj - 1, gj)))
+        parts = self._exchange_strips(out)
+        out = step(cur, out, ((1, gi - 1), (1, gj - 1)))
+        return self._write_ring(out, parts)
 
     def _run(self, state, steps: int):
         from jax.experimental.shard_map import shard_map
 
         from ..engine import ping_pong_loop
 
+        step_fn = (self._local_step_overlap if self._can_overlap()
+                   else self._local_step)
+
         def body_fn(local):
-            return ping_pong_loop(self._local_step, local, steps,
+            return ping_pong_loop(step_fn, local, steps,
                                   self.fused_steps)
 
         fn = shard_map(body_fn, mesh=self.mesh,
@@ -469,22 +557,29 @@ class ShardedStencil3D:
         return fn(state)
 
     def to_sharded(self, padded):
+        """Embed with a DEPTH-wide (row, col) ring from the global array
+        (see the 2-D twin; z is never sharded)."""
         spec, lay = self.spec, self.layout
         hz, hm, hn = spec.halo
         h, lm, ln = self.local_interior
         dx, dy = self.config.mesh_shape
         Hp, Mp, Np = lay.shape
         z0, r0, c0 = lay.origin
+        d = self.depth
+        gm, gn = dx * lm, dy * ln
         padded = jnp.asarray(padded, jnp.float32)
+        gpad = jnp.zeros((h + 2 * hz, gm + 2 * d, gn + 2 * d), jnp.float32)
+        gpad = gpad.at[:, d - hm: d + gm + hm, d - hn: d + gn + hn].set(
+            padded)
         out = jnp.zeros((Hp, dx * Mp, dy * Np), jnp.float32)
         for i in range(dx):
             for j in range(dy):
-                src = padded[:, i * lm: i * lm + lm + 2 * hm,
-                             j * ln: j * ln + ln + 2 * hn]
+                src = gpad[:, i * lm: i * lm + lm + 2 * d,
+                           j * ln: j * ln + ln + 2 * d]
                 out = out.at[
                     z0 - hz: z0 + h + hz,
-                    i * Mp + r0 - hm: i * Mp + r0 + lm + hm,
-                    j * Np + c0 - hn: j * Np + c0 + ln + hn,
+                    i * Mp + r0 - d: i * Mp + r0 + lm + d,
+                    j * Np + c0 - d: j * Np + c0 + ln + d,
                 ].set(src)
         return jax.lax.with_sharding_constraint(
             out, NamedSharding(self.mesh, P(None, "x", "y")))
@@ -574,25 +669,86 @@ class ShardedStencil1D:
             jnp.where(ix < dx - 1, from_right, flat[o + n: o + n + h]))
         return flat.reshape(buf.shape)
 
+    def _bounds(self):
+        nl = self.local_interior
+        ix = jax.lax.axis_index("x")
+        return jnp.stack([-ix * nl,
+                          self.interior - ix * nl]).astype(jnp.int32)
+
+    def _exchange_strips(self, buf):
+        """Neighbor ppermute of the depth-deep edge strips WITHOUT
+        writing into ``buf`` (overlap mode)."""
+        h = self.depth
+        n = self.local_interior
+        o = self.layout.origin
+        flat = buf.reshape(-1)
+        head = flat[o: o + h]
+        tail = flat[o + n - h: o + n]
+        from_left = _shift(tail, "x", True, self.dx)
+        from_right = _shift(head, "x", False, self.dx)
+        return from_left, from_right
+
+    def _write_ring(self, buf, parts):
+        h = self.depth
+        n = self.local_interior
+        o = self.layout.origin
+        ix = jax.lax.axis_index("x")
+        from_left, from_right = parts
+        flat = buf.reshape(-1)
+        flat = flat.at[o - h: o].set(
+            jnp.where(ix > 0, from_left, jnp.zeros_like(from_left)))
+        flat = flat.at[o + n: o + n + h].set(
+            jnp.where(ix < self.dx - 1, from_right,
+                      jnp.zeros_like(from_right)))
+        return flat.reshape(buf.shape)
+
+    def _can_overlap(self) -> bool:
+        from ..ops.layout import LANE
+
+        (g,) = self.layout.grid
+        TR = self.layout.tile_rows
+        return (self.config.overlap and g >= 3
+                and self.layout.guard_rows <= TR
+                and self.depth <= TR * LANE)
+
     def _local_step(self, cur, donor, fused_k):
         from ..ops import pallas_1d
 
         cur = self._exchange(cur)
-        nl = self.local_interior
-        ix = jax.lax.axis_index("x")
-        bounds = jnp.stack([-ix * nl,
-                            self.interior - ix * nl]).astype(jnp.int32)
         return pallas_1d.stencil1d_step(
             cur, donor, self.spec, self.layout, interpret=self.interpret,
-            fused_steps=fused_k, bounds=bounds)
+            fused_steps=fused_k, bounds=self._bounds())
+
+    def _local_step_overlap(self, cur, donor, fused_k):
+        """Boundary-first pass: the edge-strip ppermute rides under the
+        interior-tile kernel (see the 2-D twin)."""
+        from ..ops import pallas_1d
+
+        (g,) = self.layout.grid
+        bounds = self._bounds()
+
+        def step(inp, out_buf, region):
+            return pallas_1d.stencil1d_step(
+                inp, out_buf, self.spec, self.layout,
+                interpret=self.interpret, fused_steps=fused_k,
+                bounds=bounds, region=region)
+
+        out = step(cur, donor, (0, 1))
+        out = step(cur, out, (g - 1, g))
+        parts = self._exchange_strips(out)
+        out = step(cur, out, (1, g - 1))
+        return self._write_ring(out, parts)
 
     def _run(self, state, steps: int):
         from jax.experimental.shard_map import shard_map
 
         from ..engine import ping_pong_loop
 
+        step_fn = (self._local_step_overlap if self._can_overlap()
+                   else self._local_step)
+
         def body_fn(local):
-            return ping_pong_loop(self._local_step, local, steps,
+            return ping_pong_loop(step_fn, local, steps,
                                   self.fused_steps)
 
         fn = shard_map(body_fn, mesh=self.mesh,
@@ -601,15 +757,21 @@ class ShardedStencil1D:
         return fn(state)
 
     def to_sharded(self, padded):
+        """Embed with a DEPTH-wide ring from the global array (see the
+        2-D twin)."""
         h = self.spec.halo[0]
+        d = self.depth
         n = self.local_interior
         o = self.layout.origin
         R, L = self.layout.shape
+        N = self.interior
         padded = jnp.asarray(padded, jnp.float32)
+        gpad = jnp.zeros((N + 2 * d,), jnp.float32)
+        gpad = gpad.at[d - h: d + N + h].set(padded)
         out = jnp.zeros((self.dx * R * L,), jnp.float32)
         for i in range(self.dx):
-            src = padded[i * n: i * n + n + 2 * h]
-            out = out.at[i * R * L + o - h: i * R * L + o + n + h].set(src)
+            src = gpad[i * n: i * n + n + 2 * d]
+            out = out.at[i * R * L + o - d: i * R * L + o + n + d].set(src)
         return jax.lax.with_sharding_constraint(
             out.reshape(self.dx * R, L),
             NamedSharding(self.mesh, P("x", None)))

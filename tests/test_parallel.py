@@ -171,3 +171,32 @@ def test_sharded_overlap_off_matches():
     got = np.asarray(sh.run(g0, 5), np.float64)
     want = reference.run(g0, spec, 5)
     assert np.abs(got - want).max() / max(1.0, np.abs(want).max()) < 1e-6
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_sharded_3d_overlap_exchange(k):
+    spec = shapes.get_shape("box3d1r")
+    interior = (4, 48, 768)  # local (4, 24, 384) -> 3x3 tiles
+    g0 = reference.random_padded(spec, interior, seed=71)
+    sh = domain.sharded_engine("box3d1r", interior, (2, 2),
+                               tile=(8, 128), fused_steps=k)
+    assert sh._can_overlap()
+    for steps in (1, 2 * k + 1):
+        got = np.asarray(sh.run(g0, steps), np.float64)
+        want = reference.run(g0, spec, steps)
+        err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+        assert err < 1e-6, (k, steps, err)
+
+
+@pytest.mark.parametrize("k", [1, 4])
+def test_sharded_1d_overlap_exchange(k):
+    spec = shapes.get_shape("1d2r")
+    interior = 4 * 3 * 512 * 128  # 3 tiles of 512 rows per device
+    g0 = reference.random_padded(spec, (interior,), seed=81) * 1e-20
+    sh = domain.sharded_engine("1d2r", interior, (4,), fused_steps=k)
+    assert sh._can_overlap()
+    for steps in (1, 2 * k + 1):
+        got = np.asarray(sh.run(g0, steps), np.float64)
+        want = reference.run(g0, spec, steps)
+        err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-300)
+        assert err < 1e-6, (k, steps, err)
