@@ -195,30 +195,34 @@ def _stencil3d_kernel(
     rm, cm = interior_mask(0, 0)
 
     def combine_plane(src, j, e_in, e_out, get_conv):
-        """One 3-D timestep for output plane j (relative): sum the z-taps
-        of every term over planes j-1..j+1 of the previous level."""
+        """One 3-D timestep for output plane j (relative): sum the
+        z-taps of every term over planes j-rz..j+rz of the previous
+        level (each level consumes ``r`` lookback planes per side, so
+        the output plane j maps to input plane j + r)."""
         R, C = TM + 2 * e_out[0], TN + 2 * e_out[1]
         off_r = e_in[0] - e_out[0]
         off_c = e_in[1] - e_out[1]
         acc = jnp.zeros((R, C), acc_dt)
         for t_idx in center_idx:
-            acc = acc + conv_plane(t_idx, src(j + 1), e_in, e_out)
+            acc = acc + conv_plane(t_idx, src(j + r), e_in, e_out)
         for b, t_idx in enumerate(buffered_idx):
             tz = spec.terms[t_idx].taps[0]
-            for dz in (-1, 0, 1):
-                w = float(tz[1 + dz])
+            rz = (len(tz) - 1) // 2
+            for dz in range(-rz, rz + 1):
+                w = float(tz[rz + dz])
                 if w != 0.0:
-                    acc = acc + w * get_conv(b, j + 1 + dz)
+                    acc = acc + w * get_conv(b, j + r + dz)
         for t_idx in identity_idx:
             tz = spec.terms[t_idx].taps[0]
-            for dz in (-1, 0, 1):
-                w = float(tz[1 + dz])
+            rz = (len(tz) - 1) // 2
+            for dz in range(-rz, rz + 1):
+                w = float(tz[rz + dz])
                 if w != 0.0:
-                    acc = acc + w * src(j + 1 + dz)[
+                    acc = acc + w * src(j + r + dz)[
                         off_r: off_r + R, off_c: off_c + C
                     ].astype(acc_dt)
         for (dz, dr, dc), w in spec.residue:
-            acc = acc + w * src(j + 1 + dz)[
+            acc = acc + w * src(j + r + dz)[
                 off_r + dr: off_r + dr + R, off_c + dc: off_c + dc + C
             ].astype(acc_dt)
         return acc
@@ -264,7 +268,7 @@ def _stencil3d_kernel(
 
             # each input plane's conv computed once per level
             for b, t_idx in enumerate(buffered_idx):
-                for jj in range(n_out_p + 2):
+                for jj in range(n_out_p + 2 * r):
                     convbuf[b, jj, :R, :C] = conv_plane(
                         t_idx, src(jj), e_in, e_out)
 
@@ -333,12 +337,9 @@ def stencil3d_step(
     layout.validate()
     TM, TN = layout.tile
     H = layout.interior[0]
-    if spec.radius != 1 or any(
-        t.taps[0] is not None and len(t.taps[0]) != 3 for t in spec.terms
-    ):
-        raise NotImplementedError(
-            "the 3-D kernel supports radius-1 z coupling only (z taps of "
-            "length 3); decompose wider-z stencils or extend the kernel")
+    for t in spec.terms:
+        if t.taps[0] is not None and len(t.taps[0]) > 2 * spec.radius + 1:
+            raise ValueError("z taps longer than the spec radius allows")
     if algorithm == "mxu_split":
         raise NotImplementedError(
             "mxu_split is 2-D only; use algorithm='vpu' (exact) or 'mxu' "

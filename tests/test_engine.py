@@ -148,18 +148,30 @@ class TestReviewRegressions:
             eng.spec, 2)
         assert np.asarray(out).shape == (26, 130)
 
-    def test_3d_radius2_rejected(self):
+    def test_3d_wide_z_radius(self):
+        # z-radius-2 custom 3-D stencils run through the slab kernel
+        # (round-1 rejected these; SURVEY section 7 generalization)
         from lorastencil_tpu.models.shapes import (SeparableTerm,
                                                    StencilSpec)
 
-        bad = StencilSpec(
+        spec = StencilSpec(
             name="z2", ndim=3, radius=2, halo=(2, 2, 4),
-            terms=(SeparableTerm(taps=((1.0, 2, 0, 2, 1), None, None)),),
-            residue=(), fuse_factor=1)
-        eng = engine.StencilEngine(bad, (8, 16, 128))
-        with pytest.raises(NotImplementedError, match="radius-1"):
-            eng.run(jnp.zeros(bad.padded_shape((8, 16, 128)), jnp.float32),
-                    1)
+            terms=(SeparableTerm(taps=((1.0, 2, 0, 2, 1), None, None)),
+                   SeparableTerm(taps=((0.5, 1.0, 0.5),
+                                       (1.0, 2.0, 1.0),
+                                       (1.0, 0.0, 1.0))),),
+            residue=(((2, 1, -2), 0.25),), fuse_factor=1)
+        interior = (8, 16, 150)
+        g0 = reference.random_padded(spec, interior, seed=91)
+        for k3 in (1, 2):
+            e = engine.StencilEngine(
+                spec, interior,
+                engine.EngineConfig(fused_steps_3d=k3))
+            got = np.asarray(
+                e.run(jnp.asarray(g0, jnp.float32), 3), np.float64)
+            want = reference.run(g0, spec, 3)
+            err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+            assert err < 1e-6, (k3, err)
 
     def test_mxu_split_identity_residue(self):
         from lorastencil_tpu.models.shapes import (SeparableTerm,
