@@ -159,19 +159,104 @@ def autotune_tile(
     return best
 
 
+def default_candidates_3d(interior) -> Tuple[Tuple[int, int], ...]:
+    _, m, n = interior
+    tiles = []
+    for tm in (64, 128, 256):
+        for tn in (256, 512):
+            tiles.append((min(tm, SUBLANE * (-(-m // SUBLANE))),
+                          min(tn, LANE * (-(-n // LANE)))))
+    seen, out = set(), []
+    for t in tiles:
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return tuple(out)
+
+
+def autotune_tile_3d(
+    shape, interior, algorithm: str = "auto",
+    fused_steps_3d: int = 2, dtype: str = "float32",
+    steps: int = 16, candidates: Optional[Sequence] = None,
+    use_cache: bool = True, verbose: bool = False, **engine_kw,
+) -> Tuple[int, int]:
+    """Measure candidate in-plane tiles for a 3-D config (the z axis is
+    swept inside the kernel; only the (rows, cols) tile is tunable)."""
+    from .. import engine as _engine
+    from ..models.shapes import StencilSpec, get_shape
+    from . import metrics
+
+    spec = shape if isinstance(shape, StencilSpec) else get_shape(shape)
+    assert spec.ndim == 3
+    key = _key(spec, interior, algorithm, f"3d{fused_steps_3d}", dtype)
+    cache = _load_cache()
+    if use_cache and key in cache:
+        return tuple(cache[key]["tile"])
+
+    import jax
+    import jax.numpy as jnp
+
+    cands = tuple(candidates) if candidates is not None else \
+        default_candidates_3d(interior)
+    best, best_secs = None, float("inf")
+    results = {}
+    for tile in cands:
+        try:
+            eng = _engine.StencilEngine(
+                spec, interior, _engine.EngineConfig(
+                    dtype=dtype, algorithm=algorithm,
+                    fused_steps_3d=fused_steps_3d, tile=tuple(tile),
+                    **engine_kw))
+
+            def run(key2, eng=eng):
+                state = jax.random.uniform(
+                    key2, eng.layout.shape, eng.dtype, 0.0, 0.01)
+                return jnp.sum(eng._run_internal(state, steps) * 0.0)
+
+            run = jax.jit(run)
+            secs, _ = metrics.time_run(run, jax.random.PRNGKey(0),
+                                       repeats=1, warmup=1, pipeline=2)
+            results[str(tuple(tile))] = secs
+            if verbose:
+                print(f"autotune {spec.name} tile={tile}: "
+                      f"{secs*1e3:.2f} ms", flush=True)
+            if secs < best_secs:
+                best, best_secs = tuple(tile), secs
+        except Exception as e:
+            results[str(tuple(tile))] = f"failed: {type(e).__name__}"
+            if verbose:
+                print(f"autotune {spec.name} tile={tile}: failed "
+                      f"({type(e).__name__})", flush=True)
+    if best is None:
+        raise RuntimeError(
+            f"autotune: no candidate compiled for {spec.name} {interior}")
+    cache = _load_cache()
+    cache[key] = {"tile": list(best), "secs": best_secs,
+                  "measured": results}
+    _store_cache(cache)
+    return best
+
+
 def autotuned_engine(shape, interior, **kw):
-    """StencilEngine with an autotuned tile (2-D; other dims pass
+    """StencilEngine with an autotuned tile (2-D and 3-D; 1-D passes
     through to the default layout heuristics)."""
     from .. import engine as _engine
     from ..models.shapes import StencilSpec, get_shape
 
     spec = shape if isinstance(shape, StencilSpec) else get_shape(shape)
-    if spec.ndim == 2 and kw.get("tile") is None:
-        tune_kw = {k: v for k, v in kw.items()
-                   if k in ("algorithm", "fused_steps", "dtype",
-                            "precision", "interpret")}
-        kw = dict(kw)
-        kw["tile"] = autotune_tile(spec, tuple(interior), **tune_kw)
+    if kw.get("tile") is None:
+        if spec.ndim == 2:
+            tune_kw = {k: v for k, v in kw.items()
+                       if k in ("algorithm", "fused_steps", "dtype",
+                                "precision", "interpret")}
+            kw = dict(kw)
+            kw["tile"] = autotune_tile(spec, tuple(interior), **tune_kw)
+        elif spec.ndim == 3:
+            tune_kw = {k: v for k, v in kw.items()
+                       if k in ("algorithm", "fused_steps_3d", "dtype",
+                                "precision", "interpret")}
+            kw = dict(kw)
+            kw["tile"] = autotune_tile_3d(spec, tuple(interior), **tune_kw)
     cfg_kw = {k: v for k, v in kw.items()
               if k in _engine.EngineConfig.__dataclass_fields__}
     return _engine.StencilEngine(spec, interior,

@@ -151,3 +151,15 @@ def test_autotuned_engine(tmp_path, monkeypatch):
     monkeypatch.setenv("LORASTENCIL_CACHE", str(tmp_path))
     eng = autotune.autotuned_engine("star2d1r", (16, 128))
     assert eng.layout.tile[0] % 8 == 0 and eng.layout.tile[1] % 128 == 0
+
+
+def test_autotune_tile_3d(tmp_path, monkeypatch):
+    from lorastencil_tpu.utils import autotune
+
+    monkeypatch.setenv("LORASTENCIL_CACHE", str(tmp_path))
+    cands = [(8, 128), (16, 128)]
+    tile = autotune.autotune_tile_3d("box3d1r", (4, 16, 128), steps=1,
+                                     candidates=cands)
+    assert tile in [tuple(c) for c in cands]
+    eng = autotune.autotuned_engine("box3d1r", (4, 16, 128))
+    assert eng.layout.tile == tile
