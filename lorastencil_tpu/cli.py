@@ -99,13 +99,22 @@ def main(argv=None) -> int:
     )
     grid0 = make_input(spec, interior, args.fill, args.seed)
     tile = tuple(args.tile) if args.tile else None
-    if args.autotune and tile is None and spec.ndim == 2:
+    if args.autotune and tile is None and spec.ndim in (2, 3):
         from .utils import autotune
 
-        tile = autotune.autotune_tile(
-            args.shape, interior, algorithm=args.algorithm,
-            fused_steps=args.fused_steps, dtype=args.dtype, verbose=True)
+        if spec.ndim == 2:
+            tile = autotune.autotune_tile(
+                args.shape, interior, algorithm=args.algorithm,
+                fused_steps=args.fused_steps, dtype=args.dtype,
+                verbose=True)
+        else:
+            tile = autotune.autotune_tile_3d(
+                args.shape, interior, algorithm=args.algorithm,
+                dtype=args.dtype, verbose=True)
         print(f"INFO: autotuned tile = {tile}", flush=True)
+    elif args.autotune and spec.ndim == 1:
+        print("INFO: --autotune is a no-op for 1-D shapes (flat layout "
+              "has no tunable tile)", flush=True)
     eng = engine.StencilEngine.for_shape(
         args.shape, interior, backend=args.backend, dtype=args.dtype,
         precision=args.precision, algorithm=args.algorithm,

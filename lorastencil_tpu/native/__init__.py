@@ -20,13 +20,22 @@ _LIB_PATH = os.path.join(os.path.dirname(__file__), "liblorastencil_core.so")
 _lib = None
 
 
+_load_failed = False
+
+
 def load() -> Optional[ctypes.CDLL]:
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    if _load_failed or not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
+    lib.ls_abi_version.restype = ctypes.c_int
+    if lib.ls_abi_version() != 2:
+        # stale binary from an older source tree: fall back to NumPy
+        # rather than binding symbols it may not export
+        _load_failed = True
+        return None
     dp = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
     ip = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     lib.ls_pivot_peel.restype = ctypes.c_int
@@ -51,11 +60,6 @@ def load() -> Optional[ctypes.CDLL]:
                                      ctypes.c_int, ctypes.c_int, dp,
                                      ctypes.c_int]
     lib.ls_monotonic_ns.restype = ctypes.c_int64
-    lib.ls_abi_version.restype = ctypes.c_int
-    if lib.ls_abi_version() != 2:
-        # stale binary from an older source tree: fall back to NumPy
-        # rather than calling mismatched symbols
-        return None
     _lib = lib
     return _lib
 

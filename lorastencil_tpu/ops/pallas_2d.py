@@ -343,7 +343,7 @@ def stencil2d_step(
     if fused_steps > 1 and algorithm == "mxu":
         raise ValueError(
             "temporal fusion (fused_steps > 1) needs algorithm='vpu', "
-            "'vpu_roll', 'mxu_split' or 'mxu_hybrid'")
+            "'vpu_roll', 'mxu_split', 'mxu_hybrid' or 'mxu_hybrid3'")
     if (layout.guard[0] < fused_steps * spec.radius
             or layout.guard[1] < fused_steps * spec.radius):
         raise ValueError(

@@ -340,10 +340,11 @@ def stencil3d_step(
     for t in spec.terms:
         if t.taps[0] is not None and len(t.taps[0]) > 2 * spec.radius + 1:
             raise ValueError("z taps longer than the spec radius allows")
-    if algorithm == "mxu_split":
+    if algorithm not in ("vpu", "vpu_roll", "mxu"):
         raise NotImplementedError(
-            "mxu_split is 2-D only; use algorithm='vpu' (exact) or 'mxu' "
-            "for 3-D shapes")
+            f"algorithm {algorithm!r} is 2-D only; 3-D kernels support "
+            f"'vpu'/'vpu_roll' (exact) or 'mxu' (use algorithm='auto' to "
+            f"pick per shape)")
     if fused_steps > 1:
         assert algorithm.startswith("vpu"), "3-D temporal fusion needs vpu*"
     assert fused_steps * spec.radius <= SUBLANE, "fused lookback > guard"

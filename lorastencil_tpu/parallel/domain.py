@@ -69,6 +69,13 @@ class ShardedConfig:
     # tile grid is too small to split (< 3 tiles per axis).
     overlap: bool = True
 
+    def __post_init__(self):
+        if self.precision not in ("highest", "default"):
+            raise ValueError(
+                f"precision must be 'highest' or 'default', got "
+                f"{self.precision!r} (a typo would silently degrade "
+                f"algorithm='mxu' to ~1e-3/step)")
+
 
 class ShardedStencil2D:
     """Domain-decomposed 2-D stencil over a device mesh."""
@@ -635,15 +642,19 @@ class ShardedStencil1D:
         self.local_interior = interior // dx
         self.dx = dx
         k = max(1, config.fused_steps)
-        self.fused_steps = min(k, SUBLANE)
+        # the window guard grows with k (edge garbage creeps one 128-lane
+        # row per fused substep), like the single-chip engine; 64 rows is
+        # the same practical VMEM ceiling
+        self.fused_steps = min(k, 64)
+        guard_rows = SUBLANE * (-(-self.fused_steps // SUBLANE))
         # exchange depth per pass: k*radius cells feed the fused substeps
-        # (the flat window guard is SUBLANE rows = SUBLANE*LANE cells)
         self.depth = max(spec.halo[0], self.fused_steps * spec.radius)
-        assert self.depth <= SUBLANE * LANE
+        assert self.depth <= guard_rows * LANE
         self.mesh = mesh if mesh is not None else make_mesh((dx,), ("x",))
         rows = max(8, min(512, 8 * (-(-self.local_interior // (8 * 128)))))
         self.layout = Layout1D(interior=self.local_interior,
-                               halo=spec.halo[0], tile_rows=rows)
+                               halo=spec.halo[0], tile_rows=rows,
+                               guard_rows=guard_rows)
         self.interpret = (config.interpret if config.interpret is not None
                           else jax.default_backend() != "tpu")
         self._run_jit = jax.jit(self._run, static_argnames=("steps",))

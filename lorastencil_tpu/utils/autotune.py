@@ -93,6 +93,58 @@ def default_candidates_2d(interior) -> Tuple[Tuple[int, int], ...]:
     return tuple(out)
 
 
+def _autotune(spec, interior, key, candidates, make_config, steps,
+              use_cache, verbose):
+    """Shared measure/cache loop: build an engine per candidate tile,
+    time a ``steps``-step run (pipelined dispatches, hard sync), skip
+    candidates that fail to compile (scoped-VMEM overflow surfaces as a
+    runtime error on this backend), persist the winner."""
+    from .. import engine as _engine
+    from . import metrics
+
+    cache = _load_cache()
+    if use_cache and key in cache:
+        return tuple(cache[key]["tile"])
+
+    import jax
+    import jax.numpy as jnp
+
+    best, best_secs = None, float("inf")
+    results = {}
+    for tile in candidates:
+        try:
+            eng = _engine.StencilEngine(spec, interior,
+                                        make_config(tuple(tile)))
+
+            def run(key2, eng=eng):
+                state = jax.random.uniform(
+                    key2, eng.layout.shape, eng.dtype, 0.0, 0.01)
+                return jnp.sum(eng._run_internal(state, steps) * 0.0)
+
+            run = jax.jit(run)
+            secs, _ = metrics.time_run(run, jax.random.PRNGKey(0),
+                                       repeats=1, warmup=1, pipeline=2)
+            results[str(tuple(tile))] = secs
+            if verbose:
+                print(f"autotune {spec.name} tile={tuple(tile)}: "
+                      f"{secs*1e3:.2f} ms", flush=True)
+            if secs < best_secs:
+                best, best_secs = tuple(tile), secs
+        except Exception as e:
+            results[str(tuple(tile))] = f"failed: {type(e).__name__}"
+            if verbose:
+                print(f"autotune {spec.name} tile={tuple(tile)}: failed "
+                      f"({type(e).__name__})", flush=True)
+    if best is None:
+        raise RuntimeError(
+            f"autotune: no candidate compiled for {spec.name} {interior}")
+    cache = _load_cache()  # re-read: another process may have written
+    cache[key] = {"tile": list(best), "secs": best_secs,
+                  "measured": results}
+    _store_cache(cache)
+    return best
+
+
 def autotune_tile(
     shape, interior, algorithm: str = "auto",
     fused_steps: Optional[int] = None, dtype: str = "float32",
@@ -106,57 +158,20 @@ def autotune_tile(
     pair is measured once."""
     from .. import engine as _engine
     from ..models.shapes import StencilSpec, get_shape
-    from . import metrics
 
     spec = shape if isinstance(shape, StencilSpec) else get_shape(shape)
     assert spec.ndim == 2, "autotune_tile is for 2-D configs"
-    key = _key(spec, interior, algorithm, fused_steps, dtype)
-    cache = _load_cache()
-    if use_cache and key in cache:
-        return tuple(cache[key]["tile"])
 
-    import jax
-    import jax.numpy as jnp
+    def make_config(tile):
+        return _engine.EngineConfig(dtype=dtype, algorithm=algorithm,
+                                    fused_steps=fused_steps, tile=tile,
+                                    **engine_kw)
 
-    cands = tuple(candidates) if candidates is not None else \
-        default_candidates_2d(interior)
-    best, best_secs = None, float("inf")
-    results = {}
-    for tile in cands:
-        try:
-            eng = _engine.StencilEngine(
-                spec, interior, _engine.EngineConfig(
-                    dtype=dtype, algorithm=algorithm,
-                    fused_steps=fused_steps, tile=tuple(tile),
-                    **engine_kw))
-
-            def run(key2, eng=eng):
-                state = jax.random.uniform(
-                    key2, eng.layout.shape, eng.dtype, 0.0, 0.01)
-                return jnp.sum(eng._run_internal(state, steps) * 0.0)
-
-            run = jax.jit(run)
-            secs, _ = metrics.time_run(run, jax.random.PRNGKey(0),
-                                       repeats=1, warmup=1, pipeline=2)
-            results[str(tuple(tile))] = secs
-            if verbose:
-                print(f"autotune {spec.name} tile={tile}: {secs*1e3:.2f} ms",
-                      flush=True)
-            if secs < best_secs:
-                best, best_secs = tuple(tile), secs
-        except Exception as e:  # e.g. scoped-VMEM overflow
-            results[str(tuple(tile))] = f"failed: {type(e).__name__}"
-            if verbose:
-                print(f"autotune {spec.name} tile={tile}: failed "
-                      f"({type(e).__name__})", flush=True)
-    if best is None:
-        raise RuntimeError(
-            f"autotune: no candidate compiled for {spec.name} {interior}")
-    cache = _load_cache()  # re-read: another process may have written
-    cache[key] = {"tile": list(best), "secs": best_secs,
-                  "measured": results}
-    _store_cache(cache)
-    return best
+    return _autotune(
+        spec, interior, _key(spec, interior, algorithm, fused_steps, dtype),
+        tuple(candidates) if candidates is not None
+        else default_candidates_2d(interior),
+        make_config, steps, use_cache, verbose)
 
 
 def default_candidates_3d(interior) -> Tuple[Tuple[int, int], ...]:
@@ -184,57 +199,21 @@ def autotune_tile_3d(
     swept inside the kernel; only the (rows, cols) tile is tunable)."""
     from .. import engine as _engine
     from ..models.shapes import StencilSpec, get_shape
-    from . import metrics
 
     spec = shape if isinstance(shape, StencilSpec) else get_shape(shape)
     assert spec.ndim == 3
-    key = _key(spec, interior, algorithm, f"3d{fused_steps_3d}", dtype)
-    cache = _load_cache()
-    if use_cache and key in cache:
-        return tuple(cache[key]["tile"])
 
-    import jax
-    import jax.numpy as jnp
+    def make_config(tile):
+        return _engine.EngineConfig(dtype=dtype, algorithm=algorithm,
+                                    fused_steps_3d=fused_steps_3d,
+                                    tile=tile, **engine_kw)
 
-    cands = tuple(candidates) if candidates is not None else \
-        default_candidates_3d(interior)
-    best, best_secs = None, float("inf")
-    results = {}
-    for tile in cands:
-        try:
-            eng = _engine.StencilEngine(
-                spec, interior, _engine.EngineConfig(
-                    dtype=dtype, algorithm=algorithm,
-                    fused_steps_3d=fused_steps_3d, tile=tuple(tile),
-                    **engine_kw))
-
-            def run(key2, eng=eng):
-                state = jax.random.uniform(
-                    key2, eng.layout.shape, eng.dtype, 0.0, 0.01)
-                return jnp.sum(eng._run_internal(state, steps) * 0.0)
-
-            run = jax.jit(run)
-            secs, _ = metrics.time_run(run, jax.random.PRNGKey(0),
-                                       repeats=1, warmup=1, pipeline=2)
-            results[str(tuple(tile))] = secs
-            if verbose:
-                print(f"autotune {spec.name} tile={tile}: "
-                      f"{secs*1e3:.2f} ms", flush=True)
-            if secs < best_secs:
-                best, best_secs = tuple(tile), secs
-        except Exception as e:
-            results[str(tuple(tile))] = f"failed: {type(e).__name__}"
-            if verbose:
-                print(f"autotune {spec.name} tile={tile}: failed "
-                      f"({type(e).__name__})", flush=True)
-    if best is None:
-        raise RuntimeError(
-            f"autotune: no candidate compiled for {spec.name} {interior}")
-    cache = _load_cache()
-    cache[key] = {"tile": list(best), "secs": best_secs,
-                  "measured": results}
-    _store_cache(cache)
-    return best
+    return _autotune(
+        spec, interior,
+        _key(spec, interior, algorithm, f"3d{fused_steps_3d}", dtype),
+        tuple(candidates) if candidates is not None
+        else default_candidates_3d(interior),
+        make_config, steps, use_cache, verbose)
 
 
 def autotuned_engine(shape, interior, **kw):
