@@ -244,6 +244,8 @@ def _stencil1d_resident_kernel(in_ref, out_ref, *, n: int, _taps,
     # loop through the (input-aliased) output ref rather than a
     # loop-carried VALUE: a carried value makes Mosaic keep every
     # per-step temporary live at once and blows the scoped-vmem budget
+    # (unrolling the body measured neutral: the remaining per-run cost
+    # is kernel-entry overhead, not the loop)
     def body(_, carry):
         out_ref[:] = (_conv_flat(out_ref[:], _taps, lane)
                       * mask).astype(out_ref.dtype)
