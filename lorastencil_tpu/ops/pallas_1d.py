@@ -19,8 +19,8 @@ a 1-D stencil is always dense, so the kernel works off
 Two kernels:
 
 * ``stencil1d_step`` -- tiled, double-buffered window DMA; ``fused_steps``
-  applies up to 8 timesteps per HBM round trip (edge garbage creeps one
-  row per substep, inside the 8-row window halo).
+  applies up to ``layout.guard_rows`` timesteps per HBM round trip (edge
+  garbage creeps one 128-lane row per substep, inside the guard).
 * ``stencil1d_resident`` -- whole-grid-resident: for grids that fit VMEM,
   ALL timesteps run inside ONE kernel launch (the grid stays in VMEM for
   the whole run; one dispatch total).  This is the small-grid fast path

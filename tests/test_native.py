@@ -86,3 +86,30 @@ def test_monotonic_ns():
     a = native.monotonic_ns()
     b = native.monotonic_ns()
     assert b >= a > 0
+
+
+def test_stale_abi_falls_back_to_numpy(tmp_path, monkeypatch):
+    """A round-1 (ABI v1) shared library must NOT be bound: load()
+    returns None (NumPy fallback) instead of raising on missing
+    symbols."""
+    import subprocess
+    import textwrap
+
+    src = tmp_path / "stub.cc"
+    src.write_text(textwrap.dedent("""
+        extern "C" int ls_abi_version() { return 1; }
+    """))
+    so = tmp_path / "libstub.so"
+    subprocess.run(["g++", "-shared", "-fPIC", "-o", str(so), str(src)],
+                   check=True)
+    monkeypatch.setattr(native, "_LIB_PATH", str(so))
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_load_failed", False)
+    assert native.load() is None
+    assert not native.available()
+    # and the ground-truth dispatch still works via NumPy
+    spec = shapes.get_shape("star2d1r")
+    g0 = reference.random_padded(spec, (16, 130), seed=1)
+    out = reference.dense_step(g0, spec)
+    np.testing.assert_array_equal(
+        out, reference.dense_step(g0, spec, prefer_native=False))

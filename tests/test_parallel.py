@@ -214,3 +214,8 @@ def test_sharded_overlap_hybrid3():
     got = np.asarray(sh.run(g0, 5), np.float64)
     want = reference.run(g0, spec, 5)
     assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
+
+
+def test_sharded_config_rejects_bad_precision():
+    with pytest.raises(ValueError, match="precision"):
+        domain.ShardedConfig(mesh_shape=(2, 2), precision="higest")
