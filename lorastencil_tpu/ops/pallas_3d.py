@@ -34,8 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.shapes import SeparableTerm, StencilSpec
-from .band_gemm import (apply_spec_vpu, apply_spec_vpu_rolled_extent,
-                        plane_conv, term_band_mats)
+from .band_gemm import apply_spec_vpu, plane_conv, term_band_mats
 from .layout import LANE, SUBLANE, Layout3D
 
 
@@ -163,14 +162,16 @@ def _stencil3d_kernel(
         )
 
     def conv_plane(t_idx, X, e_in=None, e_out=(0, 0)):
+        # plane convs use shifted slices: cyclic rolls lose on the small
+        # non-128-multiple plane extents here (28.9 vs 40.0 GCells/s at
+        # 256^3 measured on v5e), the opposite of the 2-D full-window
+        # case -- hence the engine maps every vpu* setting to 'vpu'
         e_in = (HR, HC) if e_in is None else e_in
         if algorithm.startswith("vpu"):
             term = spec.terms[t_idx]
             plane_term = SeparableTerm(taps=(term.taps[1], term.taps[2]))
-            fn = (apply_spec_vpu_rolled_extent if algorithm == "vpu_roll"
-                  else apply_spec_vpu)
-            return fn(X, _Plane2D(terms=(plane_term,)),
-                      e_in, e_out, TM, TN)
+            return apply_spec_vpu(X, _Plane2D(terms=(plane_term,)),
+                                  e_in, e_out, TM, TN)
         assert e_in == (HR, HC) and e_out == (0, 0)
         A, B, rr, rc = term_mats[t_idx]
         return plane_conv(X, A, B, rr, rc, HR, HC, TM, TN,
@@ -340,11 +341,11 @@ def stencil3d_step(
     for t in spec.terms:
         if t.taps[0] is not None and len(t.taps[0]) > 2 * spec.radius + 1:
             raise ValueError("z taps longer than the spec radius allows")
-    if algorithm not in ("vpu", "vpu_roll", "mxu"):
+    if algorithm not in ("vpu", "mxu"):
         raise NotImplementedError(
-            f"algorithm {algorithm!r} is 2-D only; 3-D kernels support "
-            f"'vpu'/'vpu_roll' (exact) or 'mxu' (use algorithm='auto' to "
-            f"pick per shape)")
+            f"algorithm {algorithm!r} is not a 3-D path; 3-D kernels "
+            f"support 'vpu' (exact; any vpu*/auto setting maps here) or "
+            f"'mxu'")
     if fused_steps > 1:
         assert algorithm.startswith("vpu"), "3-D temporal fusion needs vpu*"
     assert fused_steps * spec.radius <= SUBLANE, "fused lookback > guard"
