@@ -92,24 +92,23 @@ def split_bf16(x, parts: int = 2):
     return tuple(out)
 
 
-def _dot_splitn(xs, bh, bl, left=False):
-    """fp32-grade product of an N-part bf16 operand with a split matrix.
-
-    ``xs``: bf16 parts of the fp32 operand (2 or 3); ``bh``/``bl``: bf16
-    matrix parts (bl None when the taps are bf16-exact).  Every bf16 x
-    bf16 product is exact in the fp32 accumulator; only crosses below
-    2^-32 relative are dropped."""
+def _dot_splitn(xs, bs, left=False):
+    """fp32-grade product of an N-part bf16 operand with an M-part bf16
+    matrix.  Every bf16 x bf16 product is exact in the fp32 accumulator;
+    cross terms of total order > len(xs) - 1 (below ~2^-32 relative for
+    3-part operands) are dropped."""
     def d(a, b):
         return (jnp.dot(b, a, preferred_element_type=jnp.float32) if left
                 else jnp.dot(a, b, preferred_element_type=jnp.float32))
 
-    out = d(xs[0], bh)
-    for xi in xs[1:]:
-        out = out + d(xi, bh)
-    if bl is not None:
-        out = out + d(xs[0], bl)
-        if len(xs) > 1:
-            out = out + d(xs[1], bl)
+    order = len(xs) - 1
+    out = None
+    for j, b in enumerate(bs):
+        for i, x in enumerate(xs):
+            if i + j > order:
+                break
+            t = d(x, b)
+            out = t if out is None else out + t
     return out
 
 
@@ -118,9 +117,11 @@ def apply_terms_mxu_split(xs, mats, e_in, e_out, TM, TN):
 
     ``xs``: tuple of bf16 parts of the fp32 window (``split_bf16``; 2
     parts ~6e-6/step, 3 parts exact-fp32-grade).
-    ``mats``: per separable term (Ah, Al, Bh, Bl, rr, rc); A*/B* are bf16
-    banded matrices (lo parts None when taps are bf16-exact; identity
-    axes have Ah/Bh None).  Extents as in apply_spec_vpu.  Returns
+    ``mats``: per separable term (Aparts, Bparts, rr, rc); the parts
+    are tuples of bf16 banded matrices summing to the fp32 matrix (one
+    part when the taps are bf16-exact -- e.g. the reference's integer
+    coefficients -- up to len(xs) parts for arbitrary reals; identity
+    axes have empty tuples).  Extents as in apply_spec_vpu.  Returns
     float32 (TM + 2*er_out, TN + 2*ec_out).
     """
     nparts = len(xs)
@@ -132,8 +133,8 @@ def apply_terms_mxu_split(xs, mats, e_in, e_out, TM, TN):
     off_c = ec_i - ec_o
     acc = None
 
-    for (Ah, Al, Bh, Bl, rr, rc) in mats:
-        if Ah is None and Bh is None:
+    for (Aparts, Bparts, rr, rc) in mats:
+        if not Aparts and not Bparts:
             # identity term (e.g. a unit center-delta residue): X itself,
             # recomposed exactly from the split
             Z = None
@@ -141,29 +142,27 @@ def apply_terms_mxu_split(xs, mats, e_in, e_out, TM, TN):
                 zi = xi[off_r: off_r + R, off_c: off_c + C].astype(
                     jnp.float32)
                 Z = zi if Z is None else Z + zi
-        elif Bh is not None:
+        elif Bparts:
             # column conv over rows [off_r - rr, off_r - rr + R + 2rr)
             rlo = off_r - rr
             rhi = rlo + R + 2 * rr
             parts = []
             for (c0, sc) in _col_chunks(C):
-                Bc = Bh if sc == LANE else Bh[: sc + 2 * rc, :sc]
-                Bcl = None if Bl is None else (
-                    Bl if sc == LANE else Bl[: sc + 2 * rc, :sc])
+                bs = tuple(b if sc == LANE else b[: sc + 2 * rc, :sc]
+                           for b in Bparts)
                 xis = tuple(
                     xi[rlo:rhi, off_c + c0 - rc: off_c + c0 + rc + sc]
                     for xi in xs)
-                parts.append(_dot_splitn(xis, Bc, Bcl))
+                parts.append(_dot_splitn(xis, bs))
             Y = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
-            if Ah is not None:
+            if Aparts:
                 ys = split_bf16(Y, nparts)
                 zparts = []
                 for (r0c, sc) in _col_chunks(R):
-                    Ar = Ah if sc == LANE else Ah[:sc, : sc + 2 * rr]
-                    Arl = None if Al is None else (
-                        Al if sc == LANE else Al[:sc, : sc + 2 * rr])
+                    as_ = tuple(a if sc == LANE else a[:sc, : sc + 2 * rr]
+                                for a in Aparts)
                     yis = tuple(yi[r0c: r0c + sc + 2 * rr, :] for yi in ys)
-                    zparts.append(_dot_splitn(yis, Ar, Arl, left=True))
+                    zparts.append(_dot_splitn(yis, as_, left=True))
                 Z = (jnp.concatenate(zparts, axis=0)
                      if len(zparts) > 1 else zparts[0])
             else:
@@ -172,13 +171,12 @@ def apply_terms_mxu_split(xs, mats, e_in, e_out, TM, TN):
             # row-only conv straight off the window split
             parts = []
             for (r0c, sc) in _col_chunks(R):
-                Ar = Ah if sc == LANE else Ah[:sc, : sc + 2 * rr]
-                Arl = None if Al is None else (
-                    Al if sc == LANE else Al[:sc, : sc + 2 * rr])
+                as_ = tuple(a if sc == LANE else a[:sc, : sc + 2 * rr]
+                            for a in Aparts)
                 xis = tuple(
                     xi[off_r + r0c - rr: off_r + r0c + rr + sc,
                        off_c: off_c + C] for xi in xs)
-                parts.append(_dot_splitn(xis, Ar, Arl, left=True))
+                parts.append(_dot_splitn(xis, as_, left=True))
             Z = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
         acc = Z if acc is None else acc + Z
     if acc is None:

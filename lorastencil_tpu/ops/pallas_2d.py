@@ -84,7 +84,6 @@ def _stencil2d_kernel(
     spec: StencilSpec,
     layout: Layout2D,
     mats_meta,
-    mats_meta_lo,
     compute_dtype,
     precision,
     algorithm,
@@ -93,8 +92,9 @@ def _stencil2d_kernel(
     depth,
     region,
 ):
-    n_mats = sum(int(has_a) + int(has_b) for has_a, _, has_b, _ in mats_meta)
-    n_mats += sum(int(a) + int(b) for a, b in mats_meta_lo)
+    # mats_meta entries: (n_A_parts, rr, n_B_parts, rc); 0 parts =
+    # identity axis.  mat_args order: A parts then B parts per term.
+    n_mats = sum(na + nb for na, _, nb, _ in mats_meta)
     bounds_ref = None
     rest = mat_refs_and_out
     if has_bounds:
@@ -215,21 +215,12 @@ def _stencil2d_kernel(
         if algorithm.startswith("mxu_"):
             split_mats = []
             mi = 0
-            for (has_a, rr, has_b, rc) in mats_meta:
-                Ah = Al = Bh = Bl = None
-                if has_a:
-                    Ah = mat_refs[mi][:]
-                    mi += 1
-                    if mats_meta_lo[len(split_mats)][0]:
-                        Al = mat_refs[mi][:]
-                        mi += 1
-                if has_b:
-                    Bh = mat_refs[mi][:]
-                    mi += 1
-                    if mats_meta_lo[len(split_mats)][1]:
-                        Bl = mat_refs[mi][:]
-                        mi += 1
-                split_mats.append((Ah, Al, Bh, Bl, rr, rc))
+            for (na, rr, nb, rc) in mats_meta:
+                Aparts = tuple(mat_refs[mi + i][:] for i in range(na))
+                mi += na
+                Bparts = tuple(mat_refs[mi + i][:] for i in range(nb))
+                mi += nb
+                split_mats.append((Aparts, Bparts, rr, rc))
         cur = X
         e_in = (HR, HC)
         for s in range(fused_steps):
@@ -353,7 +344,6 @@ def stencil2d_step(
             f"{min(layout.guard) // max(1, spec.radius)})")
     np_dtype = np.dtype(cur.dtype)
     mats_meta = []
-    mats_meta_lo = []
     mat_args = []
     if algorithm == "mxu":
         for term in spec.terms:
@@ -394,26 +384,35 @@ def stencil2d_step(
                 SeparableTerm(taps=(norm_taps(u), norm_taps(v)))
                 for u, v in pr.terms
             ]
+        # split each banded matrix into as many bf16 parts as needed to
+        # represent its fp32 values exactly, capped at the state split
+        # depth (integer reference taps: 1 part; arbitrary reals: up to
+        # 3 for mxu_hybrid3 -- which keeps that tier exact-grade for
+        # custom coefficients too)
+        max_parts = 3 if algorithm == "mxu_hybrid3" else 2
+
+        def bf16_parts(M):
+            parts = []
+            rem = M.astype(np.float32)
+            for _ in range(max_parts):
+                ph = np.asarray(rem, jnp.bfloat16)
+                parts.append(jnp.asarray(ph))
+                rem = rem - np.asarray(ph, np.float32)
+                if not np.any(rem != 0.0):
+                    break
+            return parts
+
         for term in eff_terms:
             A, B = term_band_mats(term, np.float64)
             row_taps, col_taps = term.taps
             rr = (len(row_taps) - 1) // 2 if row_taps is not None else 0
             rc = (len(col_taps) - 1) // 2 if col_taps is not None else 0
-            mats_meta.append((A is not None, rr, B is not None, rc))
-            lo_flags = [False, False]
-            for i, M in enumerate((A, B)):
-                if M is None:
-                    continue
-                Mh = M.astype(np.float32).astype(jnp.bfloat16)
-                Ml = (M.astype(np.float32)
-                      - np.asarray(Mh, np.float32)).astype(jnp.bfloat16)
-                mat_args.append(jnp.asarray(Mh))
-                if np.any(np.asarray(Ml, np.float32) != 0.0):
-                    mat_args.append(jnp.asarray(Ml))
-                    lo_flags[i] = True
-            mats_meta_lo.append(tuple(lo_flags))
+            aparts = bf16_parts(A) if A is not None else []
+            bparts = bf16_parts(B) if B is not None else []
+            mats_meta.append((len(aparts), rr, len(bparts), rc))
+            mat_args.extend(aparts)
+            mat_args.extend(bparts)
     mats_meta = tuple(mats_meta)
-    mats_meta_lo = tuple(mats_meta_lo)
 
     grid = layout.grid
     if region is not None:
@@ -445,7 +444,6 @@ def stencil2d_step(
         spec=spec,
         layout=layout,
         mats_meta=mats_meta,
-        mats_meta_lo=mats_meta_lo,
         compute_dtype=compute_dtype,
         precision=precision,
         algorithm=algorithm,
