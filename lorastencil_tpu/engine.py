@@ -104,6 +104,10 @@ def ping_pong_loop(step_fn, state, steps: int, k: int = 1):
 
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
+    # state dtype in HBM: "float32" (default; all compute exact fp32),
+    # "bfloat16" (2-D throughput tier: half the HBM traffic, compute
+    # still fp32 in VMEM, ~4e-3/step storage rounding), or "float64"
+    # (CPU tier reproducing the reference's fp64 regime)
     dtype: str = "float32"
     # Mosaic matmul precision for algorithm='mxu':
     #   "highest" (bf16 multi-pass, ~1.5e-5/step) or "default" (~1e-3)
@@ -151,6 +155,10 @@ class StencilEngine:
                 "run off-TPU (the kernels execute in interpret mode and "
                 "reproduce the reference's fp64/1e-7 regime), or use the "
                 "fp32-exact 'vpu' tier on device")
+        if self.dtype == jnp.bfloat16 and self.spec.ndim != 2:
+            raise ValueError(
+                "bfloat16 state is a 2-D throughput tier; 1-D/3-D run "
+                "float32")
         if config.precision not in ("highest", "default"):
             raise ValueError(
                 f"precision must be 'highest' or 'default', got "

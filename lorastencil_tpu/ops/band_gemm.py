@@ -101,7 +101,10 @@ def _dot_splitn(xs, bs, left=False):
         return (jnp.dot(b, a, preferred_element_type=jnp.float32) if left
                 else jnp.dot(a, b, preferred_element_type=jnp.float32))
 
-    order = len(xs) - 1
+    # keep products of total order up to the deeper split (a 1-part
+    # bf16 STATE against a 2-part matrix still needs both matrix parts
+    # to apply the exact operator)
+    order = max(len(xs), len(bs)) - 1
     out = None
     for j, b in enumerate(bs):
         for i, x in enumerate(xs):

@@ -91,6 +91,7 @@ def _stencil2d_kernel(
     has_bounds,
     depth,
     region,
+    bf16_state,
 ):
     # mats_meta entries: (n_A_parts, rr, n_B_parts, rc); 0 parts =
     # identity axis.  mat_args order: A parts then B parts per term.
@@ -187,6 +188,12 @@ def _stencil2d_kernel(
         cm = ((gc >= b_clo) & (gc < b_chi)).astype(val.dtype)
         return val * rm * cm
 
+    # bf16 STATE (throughput tier): the HBM round trip is half the
+    # bytes; compute still runs in fp32 in VMEM (out-tile stores round
+    # back to bf16 -- ~4e-3/step storage rounding, documented in PERF)
+    if X.dtype == jnp.bfloat16:
+        X = X.astype(jnp.float32)
+
     if algorithm == "vpu_roll":
         # cyclic-roll convolutions at the FIXED full window extent: every
         # shifted operand is (8, 128)-aligned, and the roll-wrap garbage
@@ -227,7 +234,11 @@ def _stencil2d_kernel(
             left = fused_steps - 1 - s
             e_out = (left * r, left * r)
             if algorithm in ("mxu_split", "mxu_hybrid", "mxu_hybrid3"):
-                xs = split_bf16(cur, 3 if algorithm == "mxu_hybrid3" else 2)
+                # bf16-state runs need only ONE part (the state has no
+                # low bits to split off) -- halved matmul count
+                xs = ((cur.astype(jnp.bfloat16),) if bf16_state else
+                      split_bf16(cur, 3 if algorithm == "mxu_hybrid3"
+                                 else 2))
                 val = apply_terms_mxu_split(xs, split_mats, e_in, e_out,
                                             TM, TN)
                 if algorithm.startswith("mxu_hybrid") and spec.residue:
@@ -452,6 +463,7 @@ def stencil2d_step(
         depth=depth,
         region=region if region is not None
         else ((0, grid[0]), (0, grid[1])),
+        bf16_state=np_dtype == np.dtype(jnp.bfloat16),
     )
     bounds_args = [] if bounds is None else [jnp.asarray(bounds, jnp.int32)]
     bounds_specs = [] if bounds is None else [
@@ -470,10 +482,9 @@ def stencil2d_step(
             pltpu.VMEM(
                 (2, work_rows, work_cols)
                 if fused_steps > 1 else (1, SUBLANE, LANE),
-                # vpu substeps accumulate in the state dtype (fp64-capable
-                # under x64 interpret); mxu_split intermediates are fp32
-                jnp.float32 if algorithm.startswith("mxu_")
-                else cur.dtype,
+                # vpu substeps accumulate in fp32 (fp64 under x64
+                # interpret; bf16 state upcasts in-kernel)
+                cur.dtype if np_dtype == np.float64 else jnp.float32,
             ),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

@@ -286,3 +286,25 @@ def test_auto_algorithm_resolution():
 
     assert engine.resolve_algorithm(
         shapes.get_shape("star2d3r"), "auto", jnp2.float64) == "vpu_roll"
+
+
+@pytest.mark.parametrize("alg", ["vpu_roll", "mxu_hybrid", "auto"])
+def test_bf16_state_throughput_tier(alg):
+    """bfloat16 HBM state (half the traffic; compute still fp32 in
+    VMEM): ~4e-3/step storage rounding, 2-D only."""
+    spec = shapes.get_shape("star2d1r")
+    g0 = reference.random_padded(spec, (40, 200), seed=77)
+    eng = engine.StencilEngine.for_shape(
+        "star2d1r", (40, 200), dtype="bfloat16", algorithm=alg,
+        fused_steps=2)
+    got = np.asarray(
+        eng.run(jnp.asarray(g0, jnp.bfloat16), 4).astype(jnp.float32),
+        np.float64)
+    want = reference.run(g0, spec, 4)
+    assert np.abs(got - want).max() / np.abs(want).max() < 5e-2
+
+
+def test_bf16_state_rejected_off_2d():
+    with pytest.raises(ValueError, match="bfloat16"):
+        engine.StencilEngine.for_shape("box3d1r", (8, 16, 128),
+                                       dtype="bfloat16")
