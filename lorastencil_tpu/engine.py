@@ -255,11 +255,31 @@ class StencilEngine:
 
         spec, interior = self.spec, self.interior
         if spec.ndim == 1:
+            from .ops import pallas_1d
+            from .ops.layout import Layout1DLanes
+
             n1 = interior[0]
             rows = max(SUBLANE, min(512, SUBLANE * (-(-n1 // (SUBLANE * LANE)))))
             k = self._fused_k()
-            return Layout1D(interior=n1, halo=spec.halo[0], tile_rows=rows,
+            flat = Layout1D(interior=n1, halo=spec.halo[0], tile_rows=rows,
                             guard_rows=SUBLANE * (-(-k // SUBLANE)))
+            if (self.backend == "xla"
+                    or pallas_1d.fits_resident(flat, self.dtype.itemsize)
+                    or self.algorithm not in ("vpu_roll", "auto")):
+                return flat
+            # large grids: overlapped-lane layout -- one aligned roll per
+            # tap instead of 2 rolls + select for the 128-lane wrap
+            # (measured ~1.6x on 16M-cell 1d2r, PERF.md round 3)
+            r_eff = pallas_1d.effective_radius(spec)
+            if not (1 <= r_eff <= 32):
+                return flat
+            k = max(1, min(k, 32 // max(1, r_eff)))
+            h = k * r_eff
+            S = LANE - 2 * h
+            rows_l = max(SUBLANE,
+                         min(512, SUBLANE * (-(-n1 // (SUBLANE * S)))))
+            return Layout1DLanes(interior=n1, halo=spec.halo[0],
+                                 lane_halo=h, tile_rows=rows_l)
         if spec.ndim == 2:
             tile = self.config.tile or default_tile_2d(*interior)
             k = self._fused_k() if self.backend != "xla" else 1
@@ -284,6 +304,11 @@ class StencilEngine:
             return out
         if self.spec.ndim == 1:
             from .ops import pallas_1d
+            from .ops.layout import Layout1DLanes
+            if isinstance(self.layout, Layout1DLanes):
+                return pallas_1d.stencil1d_lanes_step(
+                    cur, donor, self.spec, self.layout,
+                    interpret=self.interpret, fused_steps=fused_k)
             return pallas_1d.stencil1d_step(
                 cur, donor, self.spec, self.layout,
                 precision=self.precision, interpret=self.interpret,
@@ -310,6 +335,12 @@ class StencilEngine:
             k = 4 if self.spec.ndim == 1 else 1
         k = max(1, k)
         if self.spec.ndim == 1:
+            from .ops.layout import Layout1DLanes
+            lay = getattr(self, "layout", None)
+            if isinstance(lay, Layout1DLanes):
+                from .ops import pallas_1d
+                r_eff = max(1, pallas_1d.effective_radius(self.spec))
+                return max(1, min(k, lay.lane_halo // r_eff))
             # edge garbage creeps one 128-lane row per substep; the
             # window guard grows with k (layout.guard_rows).  64 rows
             # (8K-cell lookback) is a practical VMEM ceiling.

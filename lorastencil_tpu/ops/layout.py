@@ -137,6 +137,79 @@ class Layout1D:
 
 
 @dataclasses.dataclass(frozen=True)
+class Layout1DLanes:
+    """Overlapped-lane 1-D layout: each 128-lane row carries ``lane_halo``
+    duplicated edge cells per side, so a flat shift by ``|d| <= lane_halo``
+    is ONE aligned cyclic lane roll with no cross-row wrap select (the
+    flat ``Layout1D`` pays 2 rolls + a select per tap for the 128-lane
+    wrap).  The payload stride per row is ``128 - 2*lane_halo``; the
+    ~2h/128 storage and DMA overhead buys a ~2x lower per-tap op count
+    (PERF.md, round 3).
+
+    Halo lanes in HBM are STALE BY CONTRACT: kernels reconstruct them
+    from the neighbor rows' payload lanes at the start of every call
+    (rows are otherwise fully independent), and stores write whatever
+    garbage the roll wrap left there.  ``to_internal`` writes them
+    valid; ``from_internal`` reads payload lanes only.
+
+    Row r, lane j always represents flat cell f = (r - guard_rows)*S +
+    (j - lane_halo) with S the payload stride -- the linear map holds
+    for halo lanes too (they duplicate the neighbor row's cells).
+    """
+
+    interior: int  # n
+    halo: int      # user halo cells (reference: 4)
+    lane_halo: int  # duplicated cells per row side (>= k*radius)
+    tile_rows: int
+    guard_rows: int = SUBLANE
+
+    @property
+    def stride(self) -> int:
+        return LANE - 2 * self.lane_halo
+
+    @property
+    def grid(self) -> Tuple[int]:
+        return (_cdiv(_cdiv(self.interior, self.stride), self.tile_rows),)
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        (g,) = self.grid
+        return (self.guard_rows + g * self.tile_rows + self.guard_rows,
+                LANE)
+
+    def validate(self):
+        assert 1 <= self.lane_halo and self.stride >= 32
+        assert self.tile_rows % SUBLANE == 0
+        assert self.guard_rows % SUBLANE == 0 and self.guard_rows >= SUBLANE
+        assert self.halo <= self.guard_rows * self.stride
+
+    def to_internal(self, padded, dtype=jnp.float32):
+        n, uh, h = self.interior, self.halo, self.lane_halo
+        S = self.stride
+        rows = self.shape[0]
+        core = jnp.zeros(rows * S, dtype=dtype)
+        base = self.guard_rows * S
+        core = core.at[base - uh: base + n + uh].set(
+            jnp.asarray(padded, dtype=dtype))
+        core = core.reshape(rows, S)
+        buf = jnp.zeros((rows, LANE), dtype=dtype)
+        buf = buf.at[:, h: h + S].set(core)
+        prev = jnp.concatenate(
+            [jnp.zeros((1, S), dtype=dtype), core[:-1]], axis=0)
+        nxt = jnp.concatenate(
+            [core[1:], jnp.zeros((1, S), dtype=dtype)], axis=0)
+        buf = buf.at[:, :h].set(prev[:, S - h:])
+        return buf.at[:, LANE - h:].set(nxt[:, :h])
+
+    def from_internal(self, buf):
+        n, uh, h = self.interior, self.halo, self.lane_halo
+        S = self.stride
+        core = buf[:, h: h + S].reshape(-1)
+        base = self.guard_rows * S
+        return core[base - uh: base + n + uh]
+
+
+@dataclasses.dataclass(frozen=True)
 class Layout3D:
     interior: Tuple[int, int, int]  # (h, m, n)
     halo: Tuple[int, int, int]      # (1, 2, 4) for the reference shapes

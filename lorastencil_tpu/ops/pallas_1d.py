@@ -233,6 +233,150 @@ def stencil1d_step(
     )(cur, donor, *bounds_args)
 
 
+def effective_radius(spec: StencilSpec) -> int:
+    """Largest |offset| with a nonzero tap (1d1r's 9 taps have zero ends,
+    so its creep/halo radius is 3, not 4)."""
+    taps = _dense_taps(spec)
+    r = (len(taps) - 1) // 2
+    nz = [abs(d - r) for d, w in enumerate(taps) if w != 0.0]
+    return max(nz) if nz else 0
+
+
+def _conv_lanes(W, taps):
+    """One exact-fp32 step on the overlapped-lane layout: every flat
+    shift by d is ONE aligned cyclic lane roll (halo lanes absorb the
+    wrap garbage; validity creeps ``effective_radius`` lanes inward per
+    substep)."""
+    r = (len(taps) - 1) // 2
+    acc = None
+    for d in range(-r, r + 1):
+        w = taps[r + d]
+        if w == 0.0:
+            continue
+        sh = W if d == 0 else pltpu.roll(W, (-d) % LANE, 1)
+        acc = w * sh if acc is None else acc + w * sh
+    return acc if acc is not None else jnp.zeros(W.shape, W.dtype)
+
+
+def _stencil1d_lanes_kernel(
+    in_hbm, donor_hbm, *rest,
+    layout, n: int, _taps, fused_steps: int,
+):
+    out_hbm, win, out_tile, sem_in, sem_out = rest
+    TR = layout.tile_rows
+    G = layout.guard_rows
+    h = layout.lane_halo
+    S = layout.stride
+    g = layout.grid[0]
+    pid = pl.program_id(0)
+    slot = jax.lax.rem(pid, jnp.int32(2))
+    nslot = jax.lax.rem(pid + 1, jnp.int32(2))
+
+    def in_dma(t_i, s):
+        return pltpu.make_async_copy(
+            in_hbm.at[pl.ds(t_i * TR, TR + 2 * G), :],
+            win.at[s], sem_in.at[s],
+        )
+
+    def out_dma(t_i, s):
+        return pltpu.make_async_copy(
+            out_tile.at[s],
+            out_hbm.at[pl.ds(G + t_i * TR, TR), :],
+            sem_out.at[s],
+        )
+
+    @pl.when(pid == 0)
+    def _():
+        in_dma(pid, slot).start()
+
+    @pl.when(pid + 1 < g)
+    def _():
+        in_dma(pid + 1, nslot).start()
+
+    in_dma(pid, slot).wait()
+
+    R = TR + 2 * G
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
+    # interior mask on the linear flat map f = (row - G)*S + lane - h
+    # (valid for halo lanes too: they duplicate the neighbor's cells)
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 0) + pid * TR - G
+    flat = row * S + lane - h
+    wmask = ((flat >= 0) & (flat < n)).astype(in_hbm.dtype)
+
+    W = win[pl.ds(slot, 1)][0]
+    # halo-lane fixup: HBM halo lanes are stale by contract; rebuild
+    # them from the neighbor rows' payload lanes (left halo of row i =
+    # row i-1 lanes [S, S+h); right halo = row i+1 lanes [h, 2h)).
+    # The window's outermost rows get wrapped garbage -- they are guard
+    # rows, never stored.
+    up = pltpu.roll(W, R - 1, 0)   # up[i] = W[i+1]
+    dn = pltpu.roll(W, 1, 0)       # dn[i] = W[i-1]
+    cur = jnp.where(lane < h, pltpu.roll(dn, (2 * h) % LANE, 1),
+                    jnp.where(lane >= LANE - h, pltpu.roll(up, S, 1), W))
+    for _ in range(fused_steps):
+        cur = _conv_lanes(cur, _taps) * wmask
+    acc = cur[G: G + TR, :]
+
+    @pl.when(pid >= 2)
+    def _():
+        out_dma(pid - 2, slot).wait()
+
+    out_tile[pl.ds(slot, 1)] = acc.astype(out_tile.dtype)[None]
+    out_dma(pid, slot).start()
+
+    @pl.when(pid == g - 1)
+    def _():
+        out_dma(pid, slot).wait()
+
+    @pl.when((pid == g - 1) & (g >= 2))
+    def _():
+        out_dma(pid - 1, nslot).wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "layout", "interpret", "fused_steps")
+)
+def stencil1d_lanes_step(
+    cur: jax.Array,
+    donor: jax.Array,
+    spec: StencilSpec,
+    layout,
+    interpret: bool = False,
+    fused_steps: int = 1,
+) -> jax.Array:
+    """``fused_steps`` timesteps on the overlapped-lane layout
+    (Layout1DLanes) in one kernel.  Exact fp32: each tap is one aligned
+    cyclic roll; wrap garbage creeps ``effective_radius`` lanes per
+    substep into the ``lane_halo`` margin, which the start-of-call
+    fixup rebuilt from the neighbor rows."""
+    layout.validate()
+    r_eff = effective_radius(spec)
+    if fused_steps * r_eff > layout.lane_halo:
+        raise ValueError(
+            f"fused_steps={fused_steps} needs lane_halo >= "
+            f"{fused_steps * r_eff}; layout has {layout.lane_halo}")
+    kernel = functools.partial(
+        _stencil1d_lanes_kernel, layout=layout, n=layout.interior,
+        _taps=_dense_taps(spec), fused_steps=fused_steps,
+    )
+    TR = layout.tile_rows
+    return pl.pallas_call(
+        kernel,
+        grid=layout.grid,
+        out_shape=jax.ShapeDtypeStruct(cur.shape, cur.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, TR + 2 * layout.guard_rows, LANE), cur.dtype),
+            pltpu.VMEM((2, TR, LANE), cur.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(cur, donor)
+
+
 def _stencil1d_resident_kernel(in_ref, out_ref, *, n: int, _taps,
                                steps: int, guard_rows: int):
     R = in_ref.shape[0]

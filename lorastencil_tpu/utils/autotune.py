@@ -80,8 +80,12 @@ def default_candidates_2d(interior) -> Tuple[Tuple[int, int], ...]:
     """A small measured-candidate set around the known-good geometry."""
     m, n = interior
     tiles = []
+    # round-3 measurements moved the large-grid optimum to wide tiles
+    # ((192, 2048) for vpu_roll, (128, 2048) for mxu_hybrid at 8192^2);
+    # wider/taller candidates overflow scoped VMEM and are skipped by
+    # the measure loop
     for tm in (128, 192, 256, 320):
-        for tn in (512, 1024):
+        for tn in (512, 1024, 2048):
             tiles.append((min(tm, SUBLANE * (-(-m // SUBLANE))),
                           min(tn, LANE * (-(-n // LANE)))))
     # dedupe, preserve order

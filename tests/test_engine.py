@@ -215,6 +215,71 @@ class Test1DGenerality:
             got = np.asarray(eng.from_internal(got_state), np.float64)
             assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
 
+    def test_lanes_layout_roundtrip(self):
+        from lorastencil_tpu.ops.layout import Layout1DLanes
+
+        lay = Layout1DLanes(interior=5000, halo=4, lane_halo=6,
+                            tile_rows=8)
+        lay.validate()
+        v = np.arange(5008, dtype=np.float32)
+        np.testing.assert_array_equal(
+            np.asarray(lay.from_internal(lay.to_internal(v))), v)
+        # halo lanes duplicate the neighbor rows' payload cells
+        buf = np.asarray(lay.to_internal(v))
+        S = lay.stride
+        assert (buf[3, :6] == buf[2, S: S + 6]).all()
+        assert (buf[3, -6:] == buf[4, 6: 12]).all()
+
+    def test_lanes_kernel_matches_reference(self):
+        # overlapped-lane kernel (one aligned roll per tap): exact vs
+        # fp64 truth, multi-step, fused, unaligned n
+        from lorastencil_tpu.ops import pallas_1d
+        from lorastencil_tpu.ops.layout import Layout1DLanes
+
+        spec = shapes.get_shape("1d2r")
+        n = 33_001
+        lay = Layout1DLanes(interior=n, halo=4, lane_halo=8, tile_rows=16)
+        g0 = reference.random_padded(spec, (n,), seed=21)
+        cur = lay.to_internal(jnp.asarray(g0, jnp.float32))
+        for _ in range(2):  # 2 passes x fused 2 = 4 steps
+            cur = pallas_1d.stencil1d_lanes_step(
+                cur, jnp.zeros_like(cur), spec, lay, interpret=True,
+                fused_steps=2)
+        got = np.asarray(lay.from_internal(cur), np.float64)
+        want = reference.run(g0, spec, 4)
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
+
+    def test_lanes_engine_path_large_grid(self):
+        # engines pick the lanes layout automatically for large grids
+        from lorastencil_tpu.ops.layout import Layout1DLanes
+
+        spec = shapes.get_shape("1d1r")
+        n = 200_000
+        eng = engine.StencilEngine.for_shape("1d1r", (n,))
+        assert isinstance(eng.layout, Layout1DLanes)
+        # 1d1r taps have zero ends: effective radius 3, halo = k*3
+        from lorastencil_tpu.ops import pallas_1d
+        assert pallas_1d.effective_radius(spec) == 3
+        assert eng.layout.lane_halo == eng._fused_k() * 3
+        g0 = reference.random_padded(spec, (n,), seed=22)
+        got = np.asarray(eng.run(jnp.asarray(g0, jnp.float32), 3),
+                         np.float64)
+        want = reference.run(g0, spec, 3)
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
+
+    def test_lanes_fused_steps_clamp(self):
+        from lorastencil_tpu.ops import pallas_1d
+        from lorastencil_tpu.ops.layout import Layout1DLanes
+
+        spec = shapes.get_shape("1d2r")
+        lay = Layout1DLanes(interior=33000, halo=4, lane_halo=4,
+                            tile_rows=16)
+        x = jnp.zeros(lay.shape, jnp.float32)
+        with pytest.raises(ValueError, match="lane_halo"):
+            pallas_1d.stencil1d_lanes_step(
+                x, jnp.zeros_like(x), spec, lay, interpret=True,
+                fused_steps=2)
+
     def test_for_coeffs_1d_custom_taps(self):
         taps = np.array([0.5, -1.0, 2.0, -1.0, 0.25])
         eng = engine.StencilEngine.for_coeffs(taps, (400,))
