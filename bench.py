@@ -34,9 +34,10 @@ def main() -> int:
         # the naive path's throughput by ~10-20%)
         m = n = 8192
         steps, base_steps = 256, 256
-        # measured round-2 optimum: exact-fp32 aligned-roll kernel,
-        # unfused (double-buffered DMA hides the window traffic)
-        cfg = dict(algorithm="vpu_roll", fused_steps=1, tile=(256, 1024))
+        # measured round-3 optimum: exact-fp32 aligned-roll kernel at the
+        # wide (192, 2048) tile, unfused (double-buffered DMA hides the
+        # window traffic)
+        cfg = dict(algorithm="vpu_roll", fused_steps=1, tile=(192, 2048))
     else:  # local smoke config
         m, n = 256, 512
         steps, base_steps = 8, 8
@@ -63,14 +64,16 @@ def main() -> int:
         return jnp.sum(jax.lax.fori_loop(0, base_steps, body, g) * 0.0)
 
     key = jax.random.PRNGKey(0)
-    # pipeline=2: two dispatches per timed region, one sync (the
-    # reference's launch-loop methodology; see utils.metrics.time_run)
+    # pipeline=4 dispatches per timed region, one sync (the reference's
+    # launch-loop methodology); subtract_sync removes the measured
+    # ~25-60 ms tunnel sync+dispatch latency that the reference's local
+    # cudaDeviceSynchronize does not pay (see utils.metrics.time_run)
     secs, _ = metrics.time_run(run_engine, key, repeats=2, warmup=1,
-                               pipeline=2)
+                               pipeline=4, subtract_sync=True)
     res = metrics.bench_result(spec, (m, n), steps, secs,
                                "pallas-vpu_roll", "fp32-exact", 2)
     bsecs, _ = metrics.time_run(run_naive, key, repeats=2, warmup=1,
-                                pipeline=2)
+                                pipeline=4, subtract_sync=True)
     base = metrics.bench_result(spec, (m, n), base_steps, bsecs,
                                 "xla-naive", "fp32", 2)
 

@@ -32,13 +32,13 @@ from lorastencil_tpu.utils import metrics
 # src/1d/gpu_1r.cu:121-123; over the tunneled backend each dispatch
 # costs ~0.9 ms, which would otherwise BE the measurement).
 CONFIGS = [
-    ("1d1r", (4096,), 64, {"pipeline": 8, "chain": 64}),
+    ("1d1r", (4096,), 64, {"pipeline": 8, "chain": 256}),
     ("1d2r", (1_000_000,), 256, 16),
-    ("star2d1r", (4096, 4096), 256, 4),
-    ("box2d1r", (4096, 4096), 256, 4),
-    ("star2d3r", (8192, 8192), 64, 4),
-    ("box2d3r", (8192, 8192), 64, 4),
-    ("star2d1r", (8192, 8192), 256, 2),
+    ("star2d1r", (4096, 4096), 256, 8),
+    ("box2d1r", (4096, 4096), 256, 8),
+    ("star2d3r", (8192, 8192), 64, 8),
+    ("box2d3r", (8192, 8192), 64, 8),
+    ("star2d1r", (8192, 8192), 256, 4),
     ("star3d1r", (256, 256, 256), 64, 8),
     ("box3d1r", (256, 256, 256), 64, 8),
 ]
@@ -66,8 +66,13 @@ def run_config(name, interior, steps, pipeline=1, chain=1, **kw):
             return jnp.sum(state * 0.0)
         return jnp.sum(eng._run_internal(state, steps) * 0.0)
 
+    # subtract_sync: remove the measured ~25-60 ms tunnel sync+dispatch
+    # latency from the timed region (the reference's trailing
+    # cudaDeviceSynchronize costs ~0; round 3 traced a 17 ms wall
+    # measurement whose device time was 2.1 ms -- the rest was the sync)
     secs, _ = metrics.time_run(f, jax.random.PRNGKey(0), repeats=2,
-                               warmup=1, pipeline=pipeline)
+                               warmup=1, pipeline=pipeline,
+                               subtract_sync=True)
     # report per-run time/steps (chain only amortizes dispatch latency)
     return metrics.bench_result(eng.spec, interior, steps, secs / chain,
                                 f"pallas-{eng.config.algorithm}"

@@ -129,8 +129,10 @@ class EngineConfig:
     # timesteps fused per HBM round trip (1-D and 2-D).  None = auto:
     # 1 for 2-D (with double-buffered DMA the window traffic hides under
     # compute, and unfused substeps have the smallest extents -- measured
-    # v5e optimum at 4096^2-8192^2), 4 for 1-D (flat windows are slimmer,
-    # DMA per step higher).
+    # v5e optimum at 4096^2-8192^2), 2 for 1-D (sync-calibrated round-3
+    # optimum on the overlapped-lane kernel: k=2 38.4 vs k=4 35.7
+    # GCells/s at 16M -- deeper fusion widens the lane halo and its
+    # storage/compute amplification faster than it saves DMA).
     fused_steps: Optional[int] = None
     # 3-D fusion (k steps per slab sweep with z lookback); k=2 measured
     # best at 256^3 (23.3 vs 21.5 GCells/s unfused); deeper fusion loses
@@ -276,10 +278,24 @@ class StencilEngine:
             k = max(1, min(k, 32 // max(1, r_eff)))
             h = k * r_eff
             S = LANE - 2 * h
+            # widest stored row (rolls at wide extents run ~3x faster
+            # than on narrow (rows, 128) arrays) that still leaves a
+            # few tile rows of work
+            width = 2048
+            while width > LANE and n1 < (S * width // LANE) * 4 * SUBLANE:
+                width //= 2
+            groups = width // LANE
+            narrow_rows = -(-n1 // S)
+            rows_w = -(-narrow_rows // groups)
+            # keep each double-buffered window slot ~<= 1M under the 16M
+            # scoped-vmem budget (substeps add ~4 transient extents)
+            max_tr = max(SUBLANE, (2**20 // (width * 4) - 2 * SUBLANE)
+                         // SUBLANE * SUBLANE)
             rows_l = max(SUBLANE,
-                         min(512, SUBLANE * (-(-n1 // (SUBLANE * S)))))
+                         min(max_tr, SUBLANE * (-(-rows_w // SUBLANE))))
             return Layout1DLanes(interior=n1, halo=spec.halo[0],
-                                 lane_halo=h, tile_rows=rows_l)
+                                 lane_halo=h, tile_rows=rows_l,
+                                 width=width)
         if spec.ndim == 2:
             tile = self.config.tile or default_tile_2d(*interior)
             k = self._fused_k() if self.backend != "xla" else 1
@@ -332,7 +348,7 @@ class StencilEngine:
             return 1
         k = self.config.fused_steps
         if k is None:
-            k = 4 if self.spec.ndim == 1 else 1
+            k = 2 if self.spec.ndim == 1 else 1
         k = max(1, k)
         if self.spec.ndim == 1:
             from .ops.layout import Layout1DLanes

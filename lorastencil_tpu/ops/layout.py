@@ -152,43 +152,60 @@ class Layout1DLanes:
     garbage the roll wrap left there.  ``to_internal`` writes them
     valid; ``from_internal`` reads payload lanes only.
 
-    Row r, lane j always represents flat cell f = (r - guard_rows)*S +
-    (j - lane_halo) with S the payload stride -- the linear map holds
-    for halo lanes too (they duplicate the neighbor row's cells).
+    128-lane group g of row r, lane-in-group j always represents flat
+    cell f = ((r - guard_rows)*groups + g)*S + (j - lane_halo) with S the
+    payload stride -- the linear map holds for halo lanes too (they
+    duplicate the neighbor group's cells).
+
+    ``width`` packs several 128-lane groups side by side in one stored
+    row (consecutive flat chunks left to right), so the kernel's rolls
+    run at a wide extent: narrow (rows, 128) arrays process VPU ops ~3x
+    slower on v5e (measured round 3; width 2048 took 1d2r 16M from 28.7
+    to beyond the flat kernel's wall).  A cyclic roll over the full
+    width still shifts every group by d: interior lanes never read
+    across their group boundary for |d| <= lane_halo, and the
+    group-crossing lanes land in halo lanes (stale by contract).
     """
 
     interior: int  # n
     halo: int      # user halo cells (reference: 4)
-    lane_halo: int  # duplicated cells per row side (>= k*radius)
+    lane_halo: int  # duplicated cells per 128-group side (>= k*radius)
     tile_rows: int
     guard_rows: int = SUBLANE
+    width: int = LANE  # stored lanes per row (multiple of 128)
 
     @property
     def stride(self) -> int:
         return LANE - 2 * self.lane_halo
 
     @property
+    def groups(self) -> int:
+        return self.width // LANE
+
+    @property
     def grid(self) -> Tuple[int]:
-        return (_cdiv(_cdiv(self.interior, self.stride), self.tile_rows),)
+        per_row = self.stride * self.groups
+        return (_cdiv(_cdiv(self.interior, per_row), self.tile_rows),)
 
     @property
     def shape(self) -> Tuple[int, int]:
         (g,) = self.grid
         return (self.guard_rows + g * self.tile_rows + self.guard_rows,
-                LANE)
+                self.width)
 
     def validate(self):
         assert 1 <= self.lane_halo and self.stride >= 32
+        assert self.width % LANE == 0
         assert self.tile_rows % SUBLANE == 0
         assert self.guard_rows % SUBLANE == 0 and self.guard_rows >= SUBLANE
-        assert self.halo <= self.guard_rows * self.stride
+        assert self.halo <= self.guard_rows * self.stride * self.groups
 
     def to_internal(self, padded, dtype=jnp.float32):
         n, uh, h = self.interior, self.halo, self.lane_halo
         S = self.stride
-        rows = self.shape[0]
+        rows = self.shape[0] * self.groups  # narrow (128-lane) rows
         core = jnp.zeros(rows * S, dtype=dtype)
-        base = self.guard_rows * S
+        base = self.guard_rows * self.groups * S
         core = core.at[base - uh: base + n + uh].set(
             jnp.asarray(padded, dtype=dtype))
         core = core.reshape(rows, S)
@@ -199,13 +216,15 @@ class Layout1DLanes:
         nxt = jnp.concatenate(
             [core[1:], jnp.zeros((1, S), dtype=dtype)], axis=0)
         buf = buf.at[:, :h].set(prev[:, S - h:])
-        return buf.at[:, LANE - h:].set(nxt[:, :h])
+        buf = buf.at[:, LANE - h:].set(nxt[:, :h])
+        return buf.reshape(self.shape)
 
     def from_internal(self, buf):
         n, uh, h = self.interior, self.halo, self.lane_halo
         S = self.stride
-        core = buf[:, h: h + S].reshape(-1)
-        base = self.guard_rows * S
+        rows = self.shape[0] * self.groups
+        core = buf.reshape(rows, LANE)[:, h: h + S].reshape(-1)
+        base = self.guard_rows * self.groups * S
         return core[base - uh: base + n + uh]
 
 
@@ -263,8 +282,12 @@ class Layout3D:
 def default_tile_2d(m: int, n: int) -> Tuple[int, int]:
     """Pick a VMEM-friendly tile: big enough to amortize halo overhead,
     small enough that double-buffered windows + substep scratch fit the
-    16M scoped-vmem budget (measured on v5e: (256, 1024) is the sweet
-    spot for the unfused roll kernel at large grids)."""
+    16M scoped-vmem budget.  Measured on v5e (round 3, sync-calibrated):
+    (192, 2048) beats (256, 1024) for every 2-D shape at 4096^2-8192^2
+    (star2d1r 48.8 vs 46.3, star2d3r 57.2 vs 53.2, box2d3r 47.6 vs
+    46.9 GCells/s); wider or taller tiles overflow scoped VMEM."""
+    if n >= 2048 and m >= 192:
+        return (192, 2048)
     tn = 1024 if n >= 1024 else (512 if n >= 512
                                  else LANE * max(1, _cdiv(n, LANE)))
     tm = 256 if m >= 256 else SUBLANE * max(1, _cdiv(m, SUBLANE))

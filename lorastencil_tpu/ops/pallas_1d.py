@@ -246,14 +246,18 @@ def _conv_lanes(W, taps):
     """One exact-fp32 step on the overlapped-lane layout: every flat
     shift by d is ONE aligned cyclic lane roll (halo lanes absorb the
     wrap garbage; validity creeps ``effective_radius`` lanes inward per
-    substep)."""
+    substep).  A roll over the full stored width shifts every 128-lane
+    group by d at once: interior lanes never read across their group
+    boundary for |d| <= lane_halo, and group-crossing lanes land in
+    halo lanes."""
     r = (len(taps) - 1) // 2
+    width = W.shape[1]
     acc = None
     for d in range(-r, r + 1):
         w = taps[r + d]
         if w == 0.0:
             continue
-        sh = W if d == 0 else pltpu.roll(W, (-d) % LANE, 1)
+        sh = W if d == 0 else pltpu.roll(W, (-d) % width, 1)
         acc = w * sh if acc is None else acc + w * sh
     return acc if acc is not None else jnp.zeros(W.shape, W.dtype)
 
@@ -262,11 +266,13 @@ def _stencil1d_lanes_kernel(
     in_hbm, donor_hbm, *rest,
     layout, n: int, _taps, fused_steps: int,
 ):
-    out_hbm, win, out_tile, sem_in, sem_out = rest
+    out_hbm, win, out_tile, work, sem_in, sem_out = rest
     TR = layout.tile_rows
     G = layout.guard_rows
     h = layout.lane_halo
     S = layout.stride
+    Wd = layout.width
+    ngrp = layout.groups
     g = layout.grid[0]
     pid = pl.program_id(0)
     slot = jax.lax.rem(pid, jnp.int32(2))
@@ -296,25 +302,49 @@ def _stencil1d_lanes_kernel(
     in_dma(pid, slot).wait()
 
     R = TR + 2 * G
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 1)
-    # interior mask on the linear flat map f = (row - G)*S + lane - h
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, Wd), 1)
+    # interior mask on the linear flat map
+    # f = ((row - G)*groups + lane//128)*S + lane%128 - h
     # (valid for halo lanes too: they duplicate the neighbor's cells)
-    row = jax.lax.broadcasted_iota(jnp.int32, (R, LANE), 0) + pid * TR - G
-    flat = row * S + lane - h
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, Wd), 0) + pid * TR - G
+    jl = jax.lax.rem(lane, jnp.int32(LANE))
+    if ngrp > 1:
+        grp = jax.lax.div(lane, jnp.int32(LANE))
+        flat = (row * ngrp + grp) * S + jl - h
+    else:
+        flat = row * S + jl - h
     wmask = ((flat >= 0) & (flat < n)).astype(in_hbm.dtype)
 
     W = win[pl.ds(slot, 1)][0]
     # halo-lane fixup: HBM halo lanes are stale by contract; rebuild
-    # them from the neighbor rows' payload lanes (left halo of row i =
-    # row i-1 lanes [S, S+h); right halo = row i+1 lanes [h, 2h)).
-    # The window's outermost rows get wrapped garbage -- they are guard
-    # rows, never stored.
+    # them from the neighbor 128-group's payload lanes.  Left halo of
+    # group k = group k-1 lanes [S, S+h) = global lane j - 2h; right
+    # halo = group k+1 lanes [h, 2h) = global lane j + 2h.  The
+    # outermost groups (first/last in the stored row) take them from
+    # the adjacent stored row (sublane roll).  The window's outermost
+    # rows get wrapped garbage -- they are guard rows, never stored.
     up = pltpu.roll(W, R - 1, 0)   # up[i] = W[i+1]
     dn = pltpu.roll(W, 1, 0)       # dn[i] = W[i-1]
-    cur = jnp.where(lane < h, pltpu.roll(dn, (2 * h) % LANE, 1),
-                    jnp.where(lane >= LANE - h, pltpu.roll(up, S, 1), W))
-    for _ in range(fused_steps):
-        cur = _conv_lanes(cur, _taps) * wmask
+    if ngrp > 1:
+        lfix = jnp.where(lane < h, pltpu.roll(dn, (2 * h) % Wd, 1),
+                         pltpu.roll(W, (2 * h) % Wd, 1))
+        rfix = jnp.where(lane >= Wd - h,
+                         pltpu.roll(up, (Wd - 2 * h) % Wd, 1),
+                         pltpu.roll(W, (Wd - 2 * h) % Wd, 1))
+    else:
+        lfix = pltpu.roll(dn, (2 * h) % Wd, 1)
+        rfix = pltpu.roll(up, (Wd - 2 * h) % Wd, 1)
+    cur = jnp.where(jl < h, lfix, jnp.where(jl >= LANE - h, rfix, W))
+    # materialize each substep into ping-pong scratch so Mosaic does not
+    # keep every unrolled substep's temporaries live at once (same
+    # scoped-vmem discipline as the 2-D kernel)
+    for s in range(fused_steps):
+        val = _conv_lanes(cur, _taps) * wmask
+        if s < fused_steps - 1:
+            work[s % 2] = val
+            cur = work[s % 2]
+        else:
+            cur = val
     acc = cur[G: G + TR, :]
 
     @pl.when(pid >= 2)
@@ -367,8 +397,12 @@ def stencil1d_lanes_step(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, TR + 2 * layout.guard_rows, LANE), cur.dtype),
-            pltpu.VMEM((2, TR, LANE), cur.dtype),
+            pltpu.VMEM((2, TR + 2 * layout.guard_rows, layout.width),
+                       cur.dtype),
+            pltpu.VMEM((2, TR, layout.width), cur.dtype),
+            pltpu.VMEM(
+                (2, TR + 2 * layout.guard_rows, layout.width)
+                if fused_steps > 1 else (1, SUBLANE, LANE), cur.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -431,6 +465,11 @@ def stencil1d_resident(
     )(cur)
 
 
-def fits_resident(layout: Layout1D, itemsize: int = 4) -> bool:
-    rows, _ = layout.shape
-    return rows * LANE * itemsize <= RESIDENT_BYTES
+def fits_resident(layout, itemsize: int = 4) -> bool:
+    """Whole-grid-resident eligibility: flat Layout1D only (the resident
+    kernel is the small-grid fast path; overlapped-lane layouts exist
+    only for grids far beyond it)."""
+    if not isinstance(layout, Layout1D):
+        return False
+    rows, cols = layout.shape
+    return rows * cols * itemsize <= RESIDENT_BYTES
