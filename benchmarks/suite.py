@@ -15,10 +15,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from lorastencil_tpu import engine
-from lorastencil_tpu.models import shapes
 from lorastencil_tpu.utils import metrics
 
 # (shape, interior, steps, pipeline) per BASELINE.md; star2d1r also at

@@ -69,7 +69,7 @@ def main(argv=None) -> int:
     p.add_argument("--dtype",
                    choices=["float32", "bfloat16", "float64"],
                    default="float32",
-                   help="state dtype; bfloat16 = 2-D throughput tier "
+                   help="state dtype; bfloat16 = throughput tier "
                         "(~4e-3/step storage rounding); float64 enables "
                         "x64 and runs the reference's fp64 regime (CPU "
                         "tier)")

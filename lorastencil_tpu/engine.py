@@ -105,9 +105,10 @@ def ping_pong_loop(step_fn, state, steps: int, k: int = 1):
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
     # state dtype in HBM: "float32" (default; all compute exact fp32),
-    # "bfloat16" (2-D throughput tier: half the HBM traffic, compute
-    # still fp32 in VMEM, ~4e-3/step storage rounding), or "float64"
-    # (CPU tier reproducing the reference's fp64 regime)
+    # "bfloat16" (throughput tier, every dimensionality: half the HBM
+    # traffic, compute still fp32 in VMEM, ~4e-3/step storage
+    # rounding), or "float64" (CPU tier reproducing the reference's
+    # fp64 regime)
     dtype: str = "float32"
     # Mosaic matmul precision for algorithm='mxu':
     #   "highest" (bf16 multi-pass, ~1.5e-5/step) or "default" (~1e-3)
@@ -141,7 +142,8 @@ class EngineConfig:
 
 
 class StencilEngine:
-    def __init__(self, spec: StencilSpec, interior, config: EngineConfig = EngineConfig()):
+    def __init__(self, spec: StencilSpec, interior,
+                 config: EngineConfig = EngineConfig()):
         self.spec = spec
         self.interior = tuple(int(s) for s in np.atleast_1d(interior))
         assert len(self.interior) == spec.ndim
@@ -157,10 +159,10 @@ class StencilEngine:
                 "run off-TPU (the kernels execute in interpret mode and "
                 "reproduce the reference's fp64/1e-7 regime), or use the "
                 "fp32-exact 'vpu' tier on device")
-        if self.dtype == jnp.bfloat16 and self.spec.ndim != 2:
+        if self.dtype == jnp.bfloat16 and config.backend == "xla":
             raise ValueError(
-                "bfloat16 state is a 2-D throughput tier; 1-D/3-D run "
-                "float32")
+                "bfloat16 state is a Pallas-kernel throughput tier; the "
+                "XLA reference backend runs float32")
         if config.precision not in ("highest", "default"):
             raise ValueError(
                 f"precision must be 'highest' or 'default', got "
@@ -261,7 +263,8 @@ class StencilEngine:
             from .ops.layout import Layout1DLanes
 
             n1 = interior[0]
-            rows = max(SUBLANE, min(512, SUBLANE * (-(-n1 // (SUBLANE * LANE)))))
+            rows = max(SUBLANE,
+                       min(512, SUBLANE * (-(-n1 // (SUBLANE * LANE)))))
             k = self._fused_k()
             flat = Layout1D(interior=n1, halo=spec.halo[0], tile_rows=rows,
                             guard_rows=SUBLANE * (-(-k // SUBLANE)))
@@ -348,7 +351,12 @@ class StencilEngine:
             return 1
         k = self.config.fused_steps
         if k is None:
-            k = 2 if self.spec.ndim == 1 else 1
+            # 1-D: k=2 halves the (binding) fp32 DMA; for bf16 state the
+            # DMA is already halved and the k-wide lane halo's
+            # storage/compute amplification wins instead (measured:
+            # bf16 16M 1d2r k=1 54.0 vs k=2 47.9 GCells/s)
+            k = (2 if self.dtype != jnp.bfloat16 else 1) \
+                if self.spec.ndim == 1 else 1
         k = max(1, k)
         if self.spec.ndim == 1:
             from .ops.layout import Layout1DLanes

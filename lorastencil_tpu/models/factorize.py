@@ -79,7 +79,8 @@ def greedy_peel(S: np.ndarray, max_rank: int = 6,
     return PeelResult(terms=tuple(terms), residual=R)
 
 
-def svd_decompose(S: np.ndarray, max_rank: int, tol: float = 1e-10) -> PeelResult:
+def svd_decompose(S: np.ndarray, max_rank: int,
+                  tol: float = 1e-10) -> PeelResult:
     """Rank-truncated SVD of ``S``: terms (u_t, v_t) with residual."""
     S = np.asarray(S, dtype=np.float64)
     U, s, Vt = np.linalg.svd(S)

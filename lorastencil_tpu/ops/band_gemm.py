@@ -50,7 +50,8 @@ def plane_conv(X, A, B, rr, rc, HR, HC, TM, TN, compute_dtype, precision):
         for j in range(TN // LANE):
             xj = X[:, HC + j * LANE - rc: HC + j * LANE + rc + LANE]
             y_parts.append(mm(xj, B, compute_dtype, precision))
-        Y = jnp.concatenate(y_parts, axis=1) if len(y_parts) > 1 else y_parts[0]
+        Y = (jnp.concatenate(y_parts, axis=1) if len(y_parts) > 1
+             else y_parts[0])
     else:
         Y = X[:, HC: HC + TN]
 
@@ -61,7 +62,8 @@ def plane_conv(X, A, B, rr, rc, HR, HC, TM, TN, compute_dtype, precision):
             yi = Y[HR + i0 - rr: HR + i0 + rr + s, :]
             Ai = A if s == LANE else A[:s, : s + 2 * rr]
             z_parts.append(mm(Ai, yi, compute_dtype, precision))
-        Z = jnp.concatenate(z_parts, axis=0) if len(z_parts) > 1 else z_parts[0]
+        Z = (jnp.concatenate(z_parts, axis=0) if len(z_parts) > 1
+             else z_parts[0])
     else:
         Z = Y[HR: HR + TM, :]
     return Z.astype(jnp.float32)

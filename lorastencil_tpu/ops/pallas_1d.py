@@ -35,7 +35,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -148,8 +147,10 @@ def _stencil1d_kernel(
     wmask = ((flatw >= lo) & (flatw < hi)).astype(jnp.float32)
 
     cur = win[pl.ds(slot, 1)][0]
+    if cur.dtype == jnp.bfloat16:  # bf16 state: compute fp32 in VMEM
+        cur = cur.astype(jnp.float32)
     for _ in range(fused_steps):
-        cur = _conv_flat(cur, _taps, lane) * wmask
+        cur = _conv_flat(cur, _taps, lane) * wmask.astype(cur.dtype)
     acc = cur[G: G + TR, :]
 
     @pl.when(pid >= 2)
@@ -313,9 +314,13 @@ def _stencil1d_lanes_kernel(
         flat = (row * ngrp + grp) * S + jl - h
     else:
         flat = row * S + jl - h
-    wmask = ((flat >= 0) & (flat < n)).astype(in_hbm.dtype)
 
     W = win[pl.ds(slot, 1)][0]
+    # bf16 STATE (throughput tier): half the HBM bytes; compute fp32 in
+    # VMEM, the out-tile store rounds back (~4e-3/step, PERF.md)
+    if W.dtype == jnp.bfloat16:
+        W = W.astype(jnp.float32)
+    wmask = ((flat >= 0) & (flat < n)).astype(W.dtype)
     # halo-lane fixup: HBM halo lanes are stale by contract; rebuild
     # them from the neighbor 128-group's payload lanes.  Left halo of
     # group k = group k-1 lanes [S, S+h) = global lane j - 2h; right
@@ -402,7 +407,11 @@ def stencil1d_lanes_step(
             pltpu.VMEM((2, TR, layout.width), cur.dtype),
             pltpu.VMEM(
                 (2, TR + 2 * layout.guard_rows, layout.width)
-                if fused_steps > 1 else (1, SUBLANE, LANE), cur.dtype),
+                if fused_steps > 1 else (1, SUBLANE, LANE),
+                # fused substeps stay fp32 (fp64 under x64 interpret);
+                # only the HBM round trip rounds for bf16 state
+                cur.dtype if jnp.dtype(cur.dtype) == jnp.float64
+                else jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -425,8 +434,11 @@ def _stencil1d_resident_kernel(in_ref, out_ref, *, n: int, _taps,
     # (unrolling the body measured neutral: the remaining per-run cost
     # is kernel-entry overhead, not the loop)
     def body(_, carry):
-        out_ref[:] = (_conv_flat(out_ref[:], _taps, lane)
-                      * mask).astype(out_ref.dtype)
+        cur = out_ref[:]
+        if cur.dtype == jnp.bfloat16:  # bf16 state: compute fp32
+            cur = cur.astype(jnp.float32)
+        out_ref[:] = (_conv_flat(cur, _taps, lane)
+                      * mask.astype(cur.dtype)).astype(out_ref.dtype)
         return carry
 
     jax.lax.fori_loop(0, steps, body, 0)

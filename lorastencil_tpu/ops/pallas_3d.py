@@ -62,8 +62,11 @@ def _classify_terms(spec: StencilSpec):
 
 def pick_slab(H: int, TM: int, TN: int, dtype_bytes: int = 4,
               budget: int = 0, fused_steps: int = 1,
-              radius: int = 1) -> int:
-    """Largest slab in {8,4,2,1} dividing H whose buffers fit VMEM."""
+              radius: int = 1, acc_bytes: int = 4) -> int:
+    """Largest slab in {8,4,2,1} dividing H whose buffers fit VMEM.
+
+    ``dtype_bytes`` sizes the state-dtype window/output slabs (2 for the
+    bf16 tier); ``acc_bytes`` sizes the fp32 conv/level buffers."""
     wr, wc = TM + 2 * SUBLANE, TN + 2 * LANE
     k = fused_steps
     if not budget:
@@ -78,8 +81,9 @@ def pick_slab(H: int, TM: int, TN: int, dtype_bytes: int = 4,
             continue
         need = dtype_bytes * (
             2 * (s + 2 * k) * wr * wc    # double-buffered window slabs
-            + (s + 2 * k) * TM * TN      # conv slab (per buffered term)
             + 2 * s * TM * TN            # double-buffered output slabs
+        ) + acc_bytes * (
+            (s + 2 * k) * TM * TN        # conv slab (per buffered term)
             + (2 * (s + 2 * k) * er * ec if k > 1 else 0)  # level buffers
         )
         if need <= budget:
@@ -166,6 +170,8 @@ def _stencil3d_kernel(
         # non-128-multiple plane extents here (28.9 vs 40.0 GCells/s at
         # 256^3 measured on v5e), the opposite of the 2-D full-window
         # case -- hence the engine maps every vpu* setting to 'vpu'
+        if X.dtype == jnp.bfloat16:  # bf16 state: compute fp32 in VMEM
+            X = X.astype(jnp.float32)
         e_in = (HR, HC) if e_in is None else e_in
         if algorithm.startswith("vpu"):
             term = spec.terms[t_idx]
@@ -350,8 +356,10 @@ def stencil3d_step(
         assert algorithm.startswith("vpu"), "3-D temporal fusion needs vpu*"
     assert fused_steps * spec.radius <= SUBLANE, "fused lookback > guard"
     assert layout.zguard >= fused_steps * spec.radius
+    acc_itemsize = 8 if np.dtype(cur.dtype) == np.float64 else 4
     slab = pick_slab(H, TM, TN, np.dtype(cur.dtype).itemsize,
-                     fused_steps=fused_steps, radius=spec.radius)
+                     fused_steps=fused_steps, radius=spec.radius,
+                     acc_bytes=acc_itemsize)
 
     np_dtype = np.dtype(cur.dtype)
     mats_meta = []
@@ -402,11 +410,16 @@ def stencil3d_step(
         scratch_shapes=[
             pltpu.VMEM((2, nplanes, TM + 2 * SUBLANE, TN + 2 * LANE),
                        cur.dtype),
+            # conv/level buffers hold fp32 intermediates for bf16 state
+            # (only the HBM round trip rounds -- the tier's contract)
             pltpu.VMEM((n_buf, nplanes, TM + 2 * pe, TN + 2 * pe),
-                       cur.dtype),
+                       jnp.float64 if np_dtype == np.float64
+                       else jnp.float32),
             pltpu.VMEM((2, slab, TM, TN), cur.dtype),
             pltpu.VMEM((2, nplanes, TM + 2 * pe, TN + 2 * pe)
-                       if K > 1 else (1, 1, SUBLANE, LANE), cur.dtype),
+                       if K > 1 else (1, 1, SUBLANE, LANE),
+                       jnp.float64 if np_dtype == np.float64
+                       else jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -35,7 +35,8 @@ def _shift(x, axis_name: str, fwd: bool, npairs: int):
     source receive zeros)."""
     if npairs == 1:
         return jnp.zeros_like(x)
-    perm = [(i, i + 1) for i in range(npairs - 1)] if fwd else            [(i + 1, i) for i in range(npairs - 1)]
+    perm = ([(i, i + 1) for i in range(npairs - 1)] if fwd
+            else [(i + 1, i) for i in range(npairs - 1)])
     return jax.lax.ppermute(x, axis_name, perm)
 
 

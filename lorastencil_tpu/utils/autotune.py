@@ -64,13 +64,19 @@ def _device_kind() -> str:
         return jax.default_backend()
 
 
+# bump when the measurement methodology changes so stale cache entries
+# are ignored (v2: round-3 sync-latency subtraction -- earlier entries
+# booked ~25-60 ms of tunnel sync against sub-100 ms candidates)
+_KEY_VERSION = "v2"
+
+
 def _key(spec, interior, algorithm, fused_steps, dtype) -> str:
     import hashlib
 
     coeffs = hashlib.sha1(
         np.ascontiguousarray(spec.dense_coeffs()).tobytes()).hexdigest()[:10]
     return "|".join([
-        _device_kind(), spec.name, coeffs,
+        _KEY_VERSION, _device_kind(), spec.name, coeffs,
         "x".join(map(str, np.atleast_1d(interior))),
         str(algorithm), str(fused_steps), str(dtype),
     ])
@@ -127,7 +133,8 @@ def _autotune(spec, interior, key, candidates, make_config, steps,
 
             run = jax.jit(run)
             secs, _ = metrics.time_run(run, jax.random.PRNGKey(0),
-                                       repeats=1, warmup=1, pipeline=2)
+                                       repeats=1, warmup=1, pipeline=2,
+                                       subtract_sync=True)
             results[str(tuple(tile))] = secs
             if verbose:
                 print(f"autotune {spec.name} tile={tuple(tile)}: "

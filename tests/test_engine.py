@@ -356,7 +356,7 @@ def test_auto_algorithm_resolution():
 @pytest.mark.parametrize("alg", ["vpu_roll", "mxu_hybrid", "auto"])
 def test_bf16_state_throughput_tier(alg):
     """bfloat16 HBM state (half the traffic; compute still fp32 in
-    VMEM): ~4e-3/step storage rounding, 2-D only."""
+    VMEM): ~4e-3/step storage rounding."""
     spec = shapes.get_shape("star2d1r")
     g0 = reference.random_padded(spec, (40, 200), seed=77)
     eng = engine.StencilEngine.for_shape(
@@ -369,7 +369,27 @@ def test_bf16_state_throughput_tier(alg):
     assert np.abs(got - want).max() / np.abs(want).max() < 5e-2
 
 
-def test_bf16_state_rejected_off_2d():
+@pytest.mark.parametrize("name,interior", [
+    ("1d2r", (300_000,)),   # lanes layout
+    ("1d1r", (700,)),       # resident path
+    ("box3d1r", (8, 16, 150)),
+    ("star3d1r", (6, 20, 150)),
+])
+def test_bf16_state_1d_3d(name, interior):
+    """Round 3: the bf16 tier covers every dimensionality (compute is
+    fp32 in VMEM; only the HBM round trip rounds)."""
+    spec = shapes.get_shape(name)
+    g0 = reference.random_padded(spec, interior, seed=78)
+    eng = engine.StencilEngine.for_shape(name, interior,
+                                         dtype="bfloat16")
+    got = np.asarray(
+        eng.run(jnp.asarray(g0, jnp.bfloat16), 3).astype(jnp.float32),
+        np.float64)
+    want = reference.run(g0, spec, 3)
+    assert np.abs(got - want).max() / np.abs(want).max() < 5e-2
+
+
+def test_bf16_state_rejected_on_xla_backend():
     with pytest.raises(ValueError, match="bfloat16"):
         engine.StencilEngine.for_shape("box3d1r", (8, 16, 128),
-                                       dtype="bfloat16")
+                                       dtype="bfloat16", backend="xla")
