@@ -209,12 +209,18 @@ def apply_spec_vpu_rolled(X, spec2d):
     import collections
 
     R0, C0 = X.shape
+    xrolls = {}  # rolls of X shared across terms and the residue
 
-    def sh(A, d, axis):
+    def sh(A, d, axis, memo=None):
         if d == 0:
             return A
+        if memo is not None and (d, axis) in memo:
+            return memo[(d, axis)]
         n = R0 if axis == 0 else C0
-        return pltpu.roll(A, (-d) % n, axis)
+        r = pltpu.roll(A, (-d) % n, axis)
+        if memo is not None:
+            memo[(d, axis)] = r
+        return r
 
     def add(a, b):
         return b if a is None else a + b
@@ -227,7 +233,7 @@ def apply_spec_vpu_rolled(X, spec2d):
             rc = (len(ct) - 1) // 2
             for k, w in enumerate(ct):
                 if w != 0.0:
-                    Y = add(Y, w * sh(X, k - rc, 1))
+                    Y = add(Y, w * sh(X, k - rc, 1, xrolls))
         else:
             Y = X
         Z = None
@@ -235,7 +241,8 @@ def apply_spec_vpu_rolled(X, spec2d):
             rr = (len(rt) - 1) // 2
             for k, w in enumerate(rt):
                 if w != 0.0:
-                    Z = add(Z, w * sh(Y, k - rr, 0))
+                    memo = xrolls if Y is X else None
+                    Z = add(Z, w * sh(Y, k - rr, 0, memo))
         else:
             Z = Y
         acc = add(acc, Z)
@@ -252,15 +259,15 @@ def apply_spec_vpu_rolled(X, spec2d):
         if adr == 0:
             D, rest = X, [(0, dc, w) for dc, w in up]
         elif up == dn and up:
-            D = sh(X, adr, 0) + sh(X, -adr, 0)
+            D = sh(X, adr, 0, xrolls) + sh(X, -adr, 0, xrolls)
             rest = [(0, dc, w) for dc, w in up]
         else:
             D = None
             rest = ([(adr, dc, w) for dc, w in up]
                     + [(-adr, dc, w) for dc, w in dn])
         for dr, dc, w in rest:
-            src = D if D is not None else sh(X, dr, 0)
-            acc = add(acc, w * sh(src, dc, 1))
+            src = D if D is not None else sh(X, dr, 0, xrolls)
+            acc = add(acc, w * sh(src, dc, 1, xrolls if src is X else None))
     if acc is None:
         acc = jnp.zeros((R0, C0), X.dtype)
     return acc
