@@ -265,8 +265,13 @@ def _conv_lanes(W, taps):
 
 def _stencil1d_lanes_kernel(
     in_hbm, donor_hbm, *rest,
-    layout, n: int, _taps, fused_steps: int,
+    layout, n: int, _taps, fused_steps: int, has_bounds: bool,
+    region=None,
 ):
+    bounds_ref = None
+    if has_bounds:
+        bounds_ref = rest[0]
+        rest = rest[1:]
     out_hbm, win, out_tile, work, sem_in, sem_out = rest
     TR = layout.tile_rows
     G = layout.guard_rows
@@ -274,8 +279,12 @@ def _stencil1d_lanes_kernel(
     S = layout.stride
     Wd = layout.width
     ngrp = layout.groups
-    g = layout.grid[0]
+    # region = (t0, t1): the tile window this call owns (overlapped
+    # sharded engine splits boundary and interior tiles)
+    t0, t1 = region if region is not None else (0, layout.grid[0])
+    g = t1 - t0
     pid = pl.program_id(0)
+    ti = t0 + pid
     slot = jax.lax.rem(pid, jnp.int32(2))
     nslot = jax.lax.rem(pid + 1, jnp.int32(2))
 
@@ -294,33 +303,38 @@ def _stencil1d_lanes_kernel(
 
     @pl.when(pid == 0)
     def _():
-        in_dma(pid, slot).start()
+        in_dma(ti, slot).start()
 
     @pl.when(pid + 1 < g)
     def _():
-        in_dma(pid + 1, nslot).start()
+        in_dma(ti + 1, nslot).start()
 
-    in_dma(pid, slot).wait()
+    in_dma(ti, slot).wait()
 
     R = TR + 2 * G
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, Wd), 1)
     # interior mask on the linear flat map
     # f = ((row - G)*groups + lane//128)*S + lane%128 - h
-    # (valid for halo lanes too: they duplicate the neighbor's cells)
-    row = jax.lax.broadcasted_iota(jnp.int32, (R, Wd), 0) + pid * TR - G
+    # (valid for halo lanes too: they duplicate the neighbor's cells);
+    # dynamic [lo, hi) bounds when domain-decomposed
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, Wd), 0) + ti * TR - G
     jl = jax.lax.rem(lane, jnp.int32(LANE))
     if ngrp > 1:
         grp = jax.lax.div(lane, jnp.int32(LANE))
         flat = (row * ngrp + grp) * S + jl - h
     else:
         flat = row * S + jl - h
+    if has_bounds:
+        lo, hi = bounds_ref[0], bounds_ref[1]
+    else:
+        lo, hi = 0, n
 
     W = win[pl.ds(slot, 1)][0]
     # bf16 STATE (throughput tier): half the HBM bytes; compute fp32 in
     # VMEM, the out-tile store rounds back (~4e-3/step, PERF.md)
     if W.dtype == jnp.bfloat16:
         W = W.astype(jnp.float32)
-    wmask = ((flat >= 0) & (flat < n)).astype(W.dtype)
+    wmask = ((flat >= lo) & (flat < hi)).astype(W.dtype)
     # halo-lane fixup: HBM halo lanes are stale by contract; rebuild
     # them from the neighbor 128-group's payload lanes.  Left halo of
     # group k = group k-1 lanes [S, S+h) = global lane j - 2h; right
@@ -354,22 +368,23 @@ def _stencil1d_lanes_kernel(
 
     @pl.when(pid >= 2)
     def _():
-        out_dma(pid - 2, slot).wait()
+        out_dma(ti - 2, slot).wait()
 
     out_tile[pl.ds(slot, 1)] = acc.astype(out_tile.dtype)[None]
-    out_dma(pid, slot).start()
+    out_dma(ti, slot).start()
 
     @pl.when(pid == g - 1)
     def _():
-        out_dma(pid, slot).wait()
+        out_dma(ti, slot).wait()
 
     @pl.when((pid == g - 1) & (g >= 2))
     def _():
-        out_dma(pid - 1, nslot).wait()
+        out_dma(ti - 1, nslot).wait()
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spec", "layout", "interpret", "fused_steps")
+    jax.jit, static_argnames=("spec", "layout", "interpret", "fused_steps",
+                              "region")
 )
 def stencil1d_lanes_step(
     cur: jax.Array,
@@ -378,12 +393,19 @@ def stencil1d_lanes_step(
     layout,
     interpret: bool = False,
     fused_steps: int = 1,
+    bounds: "jax.Array | None" = None,
+    region=None,
 ) -> jax.Array:
     """``fused_steps`` timesteps on the overlapped-lane layout
     (Layout1DLanes) in one kernel.  Exact fp32: each tap is one aligned
     cyclic roll; wrap garbage creeps ``effective_radius`` lanes per
     substep into the ``lane_halo`` margin, which the start-of-call
-    fixup rebuilt from the neighbor rows."""
+    fixup rebuilt from the neighbor rows.
+
+    ``bounds`` (optional, (2,) int32): dynamic [lo, hi) interior mask in
+    local flat coordinates (domain-decomposed runs).  ``region``
+    (optional, (t0, t1)): restrict the call to a tile-index window (the
+    overlapped sharded engine's boundary/interior split)."""
     layout.validate()
     r_eff = effective_radius(spec)
     if fused_steps * r_eff > layout.lane_halo:
@@ -393,13 +415,22 @@ def stencil1d_lanes_step(
     kernel = functools.partial(
         _stencil1d_lanes_kernel, layout=layout, n=layout.interior,
         _taps=_dense_taps(spec), fused_steps=fused_steps,
+        has_bounds=bounds is not None, region=region,
     )
     TR = layout.tile_rows
+    grid = layout.grid
+    if region is not None:
+        t0, t1 = region
+        assert 0 <= t0 < t1 <= grid[0]
+        grid = (t1 - t0,)
+    bounds_args = [] if bounds is None else [jnp.asarray(bounds, jnp.int32)]
+    bounds_specs = [] if bounds is None else [
+        pl.BlockSpec(memory_space=pltpu.SMEM)]
     return pl.pallas_call(
         kernel,
-        grid=layout.grid,
+        grid=grid,
         out_shape=jax.ShapeDtypeStruct(cur.shape, cur.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2 + bounds_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, TR + 2 * layout.guard_rows, layout.width),
@@ -417,7 +448,7 @@ def stencil1d_lanes_step(
         ],
         input_output_aliases={1: 0},
         interpret=interpret,
-    )(cur, donor)
+    )(cur, donor, *bounds_args)
 
 
 def _stencil1d_resident_kernel(in_ref, out_ref, *, n: int, _taps,

@@ -632,7 +632,8 @@ class ShardedStencil1D:
     def __init__(self, spec: StencilSpec, interior: int,
                  config: ShardedConfig, mesh: Optional[Mesh] = None):
         assert spec.ndim == 1
-        from ..ops.layout import LANE, SUBLANE, Layout1D
+        from ..ops import pallas_1d
+        from ..ops.layout import LANE, SUBLANE, Layout1D, Layout1DLanes
 
         self.spec = spec
         self.config = config
@@ -653,33 +654,132 @@ class ShardedStencil1D:
         assert self.depth <= guard_rows * LANE
         self.mesh = mesh if mesh is not None else make_mesh((dx,), ("x",))
         rows = max(8, min(512, 8 * (-(-self.local_interior // (8 * 128)))))
-        self.layout = Layout1D(interior=self.local_interior,
-                               halo=spec.halo[0], tile_rows=rows,
-                               guard_rows=guard_rows)
+        flat = Layout1D(interior=self.local_interior,
+                        halo=spec.halo[0], tile_rows=rows,
+                        guard_rows=guard_rows)
+        # large local blocks use the overlapped-lane layout (one aligned
+        # roll per tap -- the same ~1.3x as the single-chip engine, round
+        # 3); resident-size blocks and wide radii keep the flat layout
+        r_eff = pallas_1d.effective_radius(spec)
+        k_l = max(1, min(self.fused_steps, 32 // max(1, r_eff)))
+        h = k_l * max(1, r_eff)
+        d_l = max(spec.halo[0], k_l * spec.radius)
+        self.lanes = (not pallas_1d.fits_resident(flat)
+                      and 1 <= r_eff <= 16 and d_l <= LANE - 2 * h)
+        if self.lanes:
+            self.fused_steps = k_l
+            self.depth = d_l
+            S = LANE - 2 * h
+            width = 2048
+            nl = self.local_interior
+            while width > LANE and nl < (S * width // LANE) * 4 * SUBLANE:
+                width //= 2
+            groups = width // LANE
+            narrow_rows = -(-nl // S)
+            rows_w = -(-narrow_rows // groups)
+            max_tr = max(SUBLANE, (2**20 // (width * 4) - 2 * SUBLANE)
+                         // SUBLANE * SUBLANE)
+            rows_l = max(SUBLANE,
+                         min(max_tr, SUBLANE * (-(-rows_w // SUBLANE))))
+            if config.overlap and rows_w >= 3 * SUBLANE:
+                # keep >= 3 tiles so the exchange can hide under the
+                # interior-region kernel
+                rows_l = min(rows_l,
+                             max(SUBLANE,
+                                 SUBLANE * (rows_w // (3 * SUBLANE))))
+            self.layout = Layout1DLanes(
+                interior=nl, halo=d_l, lane_halo=h, tile_rows=rows_l,
+                width=width)
+        else:
+            self.layout = flat
         self.interpret = (config.interpret if config.interpret is not None
                           else jax.default_backend() != "tpu")
         self._run_jit = jax.jit(self._run, static_argnames=("steps",))
 
-    def _exchange(self, buf):
+    # -- lanes-layout coordinate helpers ---------------------------------
+    def _lane_pos(self, f: int):
+        """(stored_row, lane_start) of flat cell f in the lanes layout
+        (valid for negative f: guard rows hold the pre-interior cells)."""
+        lay = self.layout
+        q, off = divmod(f, lay.stride)
+        wr, g = divmod(lay.guard_rows * lay.groups + q, lay.groups)
+        from ..ops.layout import LANE
+        return wr, g * LANE + lay.lane_halo + off
+
+    def _lane_read(self, buf, f0: int, d: int):
+        """Gather flat cells [f0, f0+d) from a lanes buffer via static
+        slices (at most ceil(d/stride)+1 pieces)."""
+        lay = self.layout
+        parts = []
+        f, left = f0, d
+        while left > 0:
+            wr, ls = self._lane_pos(f)
+            take = min(left, lay.stride - (f % lay.stride))
+            parts.append(buf[wr, ls: ls + take])
+            f += take
+            left -= take
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    def _lane_write(self, buf, f0: int, vals):
+        """Scatter flat cells [f0, f0+len) into a lanes buffer (payload
+        lanes only; the duplicated halo lanes are stale-by-contract and
+        rebuilt by the kernel's start-of-call fixup)."""
+        lay = self.layout
+        f, pos, left = f0, 0, vals.shape[0]
+        while left > 0:
+            wr, ls = self._lane_pos(f)
+            take = min(left, lay.stride - (f % lay.stride))
+            buf = buf.at[wr, ls: ls + take].set(vals[pos: pos + take])
+            f += take
+            pos += take
+            left -= take
+        return buf
+
+    def _read_edges(self, buf):
+        """(head, tail): the depth-deep edge strips in flat order."""
         h = self.depth
         n = self.local_interior
+        if self.lanes:
+            return (self._lane_read(buf, 0, h),
+                    self._lane_read(buf, n - h, h))
         o = self.layout.origin
-        dx = self.dx
         flat = buf.reshape(-1)
-        ix = jax.lax.axis_index("x")
+        return flat[o: o + h], flat[o + n - h: o + n]
 
-        def shift(x, fwd):
-            return _shift(x, "x", fwd, dx)
-
-        head = flat[o: o + h]
-        tail = flat[o + n - h: o + n]
-        from_left = shift(tail, True)
-        from_right = shift(head, False)
-        flat = flat.at[o - h: o].set(
-            jnp.where(ix > 0, from_left, flat[o - h: o]))
-        flat = flat.at[o + n: o + n + h].set(
-            jnp.where(ix < dx - 1, from_right, flat[o + n: o + n + h]))
+    def _set_ring(self, buf, left_vals, right_vals):
+        """Write the ring cells (flat [-depth, 0) and [n, n+depth))."""
+        h = self.depth
+        n = self.local_interior
+        if self.lanes:
+            buf = self._lane_write(buf, -h, left_vals)
+            return self._lane_write(buf, n, right_vals)
+        o = self.layout.origin
+        flat = buf.reshape(-1)
+        flat = flat.at[o - h: o].set(left_vals)
+        flat = flat.at[o + n: o + n + h].set(right_vals)
         return flat.reshape(buf.shape)
+
+    def _read_ring(self, buf):
+        h = self.depth
+        n = self.local_interior
+        if self.lanes:
+            return (self._lane_read(buf, -h, h),
+                    self._lane_read(buf, n, h))
+        o = self.layout.origin
+        flat = buf.reshape(-1)
+        return flat[o - h: o], flat[o + n: o + n + h]
+
+    def _exchange(self, buf):
+        dx = self.dx
+        ix = jax.lax.axis_index("x")
+        head, tail = self._read_edges(buf)
+        from_left = _shift(tail, "x", True, dx)
+        from_right = _shift(head, "x", False, dx)
+        old_left, old_right = self._read_ring(buf)
+        return self._set_ring(
+            buf,
+            jnp.where(ix > 0, from_left, old_left),
+            jnp.where(ix < dx - 1, from_right, old_right))
 
     def _bounds(self):
         nl = self.local_interior
@@ -690,65 +790,61 @@ class ShardedStencil1D:
     def _exchange_strips(self, buf):
         """Neighbor ppermute of the depth-deep edge strips WITHOUT
         writing into ``buf`` (overlap mode)."""
-        h = self.depth
-        n = self.local_interior
-        o = self.layout.origin
-        flat = buf.reshape(-1)
-        head = flat[o: o + h]
-        tail = flat[o + n - h: o + n]
+        head, tail = self._read_edges(buf)
         from_left = _shift(tail, "x", True, self.dx)
         from_right = _shift(head, "x", False, self.dx)
         return from_left, from_right
 
     def _write_ring(self, buf, parts):
-        h = self.depth
-        n = self.local_interior
-        o = self.layout.origin
         ix = jax.lax.axis_index("x")
         from_left, from_right = parts
-        flat = buf.reshape(-1)
-        flat = flat.at[o - h: o].set(
-            jnp.where(ix > 0, from_left, jnp.zeros_like(from_left)))
-        flat = flat.at[o + n: o + n + h].set(
+        return self._set_ring(
+            buf,
+            jnp.where(ix > 0, from_left, jnp.zeros_like(from_left)),
             jnp.where(ix < self.dx - 1, from_right,
                       jnp.zeros_like(from_right)))
-        return flat.reshape(buf.shape)
 
     def _can_overlap(self) -> bool:
         from ..ops.layout import LANE
 
         (g,) = self.layout.grid
         TR = self.layout.tile_rows
+        if self.lanes:
+            # edge strips must live inside the first/last tile's rows
+            lay = self.layout
+            per_tile = TR * lay.groups * lay.stride
+            return (self.config.overlap and g >= 3
+                    and self.depth <= per_tile)
         return (self.config.overlap and g >= 3
                 and self.layout.guard_rows <= TR
                 and self.depth <= TR * LANE)
 
-    def _local_step(self, cur, donor, fused_k):
+    def _kernel_step(self, cur, donor, fused_k, bounds, region=None):
         from ..ops import pallas_1d
 
-        cur = self._exchange(cur)
+        if self.lanes:
+            return pallas_1d.stencil1d_lanes_step(
+                cur, donor, self.spec, self.layout,
+                interpret=self.interpret, fused_steps=fused_k,
+                bounds=bounds, region=region)
         return pallas_1d.stencil1d_step(
             cur, donor, self.spec, self.layout, interpret=self.interpret,
-            fused_steps=fused_k, bounds=self._bounds())
+            fused_steps=fused_k, bounds=bounds, region=region)
+
+    def _local_step(self, cur, donor, fused_k):
+        cur = self._exchange(cur)
+        return self._kernel_step(cur, donor, fused_k, self._bounds())
 
     def _local_step_overlap(self, cur, donor, fused_k):
         """Boundary-first pass: the edge-strip ppermute rides under the
         interior-tile kernel (see the 2-D twin)."""
-        from ..ops import pallas_1d
-
         (g,) = self.layout.grid
         bounds = self._bounds()
 
-        def step(inp, out_buf, region):
-            return pallas_1d.stencil1d_step(
-                inp, out_buf, self.spec, self.layout,
-                interpret=self.interpret, fused_steps=fused_k,
-                bounds=bounds, region=region)
-
-        out = step(cur, donor, (0, 1))
-        out = step(cur, out, (g - 1, g))
+        out = self._kernel_step(cur, donor, fused_k, bounds, (0, 1))
+        out = self._kernel_step(cur, out, fused_k, bounds, (g - 1, g))
         parts = self._exchange_strips(out)
-        out = step(cur, out, (1, g - 1))
+        out = self._kernel_step(cur, out, fused_k, bounds, (1, g - 1))
         return self._write_ring(out, parts)
 
     def _run(self, state, steps: int):
@@ -774,30 +870,42 @@ class ShardedStencil1D:
         h = self.spec.halo[0]
         d = self.depth
         n = self.local_interior
-        o = self.layout.origin
         R, L = self.layout.shape
         N = self.interior
         padded = jnp.asarray(padded, jnp.float32)
         gpad = jnp.zeros((N + 2 * d,), jnp.float32)
         gpad = gpad.at[d - h: d + N + h].set(padded)
-        out = jnp.zeros((self.dx * R * L,), jnp.float32)
-        for i in range(self.dx):
-            src = gpad[i * n: i * n + n + 2 * d]
-            out = out.at[i * R * L + o - d: i * R * L + o + n + d].set(src)
+        if self.lanes:
+            # per-shard lanes embedding (layout halo == depth)
+            blocks = [self.layout.to_internal(
+                gpad[i * n: i * n + n + 2 * d]) for i in range(self.dx)]
+            out2 = jnp.concatenate(blocks, axis=0)
+        else:
+            o = self.layout.origin
+            out = jnp.zeros((self.dx * R * L,), jnp.float32)
+            for i in range(self.dx):
+                src = gpad[i * n: i * n + n + 2 * d]
+                out = out.at[i * R * L + o - d:
+                             i * R * L + o + n + d].set(src)
+            out2 = out.reshape(self.dx * R, L)
         return jax.lax.with_sharding_constraint(
-            out.reshape(self.dx * R, L),
-            NamedSharding(self.mesh, P("x", None)))
+            out2, NamedSharding(self.mesh, P("x", None)))
 
     def from_sharded(self, state):
         h = self.spec.halo[0]
+        d = self.depth
         n = self.local_interior
-        o = self.layout.origin
         R, L = self.layout.shape
-        flat = state.reshape(-1)
         out = jnp.zeros((self.interior + 2 * h,), state.dtype)
         for i in range(self.dx):
-            out = out.at[h + i * n: h + (i + 1) * n].set(
-                flat[i * R * L + o: i * R * L + o + n])
+            if self.lanes:
+                loc = self.layout.from_internal(
+                    state[i * R: (i + 1) * R])[d: d + n]
+            else:
+                o = self.layout.origin
+                flat = state.reshape(-1)
+                loc = flat[i * R * L + o: i * R * L + o + n]
+            out = out.at[h + i * n: h + (i + 1) * n].set(loc)
         return out
 
     def run(self, padded, steps: int):

@@ -104,6 +104,24 @@ def test_sharded_1d_fused(name, k):
         assert err < 1e-6, (name, k, steps, err)
 
 
+def test_sharded_1d_lanes_sequential_exchange():
+    """Lanes-layout sharded path with the sequential exchange (overlap
+    off) and a depth that straddles a payload-row boundary."""
+    from lorastencil_tpu.ops.layout import Layout1DLanes
+
+    spec = shapes.get_shape("1d1r")
+    interior = 4 * 170 * 1024  # local 174080 cells: beyond resident fit
+    g0 = reference.random_padded(spec, (interior,), seed=82)
+    sh = domain.sharded_engine("1d1r", interior, (4,), fused_steps=2,
+                               overlap=False)
+    assert sh.lanes and isinstance(sh.layout, Layout1DLanes)
+    for steps in (1, 5):
+        got = np.asarray(sh.run(g0, steps), np.float64)
+        want = reference.run(g0, spec, steps)
+        err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+        assert err < 1e-6, (steps, err)
+
+
 @pytest.mark.parametrize("name,k", [("star3d1r", 2), ("box3d1r", 4)])
 def test_sharded_3d_fused(name, k):
     """3-D fused sharded exchange (fused z-slab kernel per device)."""
@@ -194,6 +212,9 @@ def test_sharded_1d_overlap_exchange(k):
     interior = 4 * 3 * 512 * 128  # 3 tiles of 512 rows per device
     g0 = reference.random_padded(spec, (interior,), seed=81) * 1e-20
     sh = domain.sharded_engine("1d2r", interior, (4,), fused_steps=k)
+    # large local blocks ride the overlapped-lane layout (round 3)
+    from lorastencil_tpu.ops.layout import Layout1DLanes
+    assert sh.lanes and isinstance(sh.layout, Layout1DLanes)
     assert sh._can_overlap()
     for steps in (1, 2 * k + 1):
         got = np.asarray(sh.run(g0, steps), np.float64)
