@@ -295,6 +295,13 @@ def default_tile_2d(m: int, n: int) -> Tuple[int, int]:
 
 
 def default_tile_3d(m: int, n: int) -> Tuple[int, int]:
+    """Measured v5e (round 3, sync-calibrated): (64, 512) wins for both
+    3-D shapes at 512^3 (box 48.2, star 43.7 GCells/s; star was 35.2 at
+    (64, 256)); at 256^3 the shapes disagree ((128, 256) for star,
+    (64, 256) for box -- within ~5%), so the small-extent default stays
+    (128, 256) and --autotune resolves per shape."""
+    if n >= 512 and m >= 64:
+        return (64, 512)
     tn = 256 if n >= 256 else LANE * max(1, _cdiv(n, LANE))
     tm = 128 if m >= 128 else SUBLANE * max(1, _cdiv(m, SUBLANE))
     return (tm, tn)
