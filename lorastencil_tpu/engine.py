@@ -26,6 +26,7 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -419,6 +420,54 @@ class StencilEngine:
     def run_checksum(self, padded, steps: int):
         """Like run() but returns only a scalar checksum (for timing)."""
         return self._run_checksum_jit(padded, steps=steps)
+
+    # -- differentiation ---------------------------------------------------
+    def adjoint(self) -> "StencilEngine":
+        """Engine of the point-reflected (transposed) stencil.
+
+        A stencil step is linear: out = M C x with C the correlation by
+        the coefficients and M the interior mask (reference halo-decay
+        semantics).  Its transpose is (M C)^T = C' M with C' the FLIPPED
+        stencil's correlation (models/shapes.StencilSpec.flipped) -- so
+        the adjoint of k steps is C'^T-chained through the SAME engine
+        machinery.  Cached per engine."""
+        if not hasattr(self, "_adjoint"):
+            self._adjoint = StencilEngine(
+                self.spec.flipped(), self.interior, self.config)
+        return self._adjoint
+
+    def run_diff(self, padded, steps: int):
+        """Differentiable run(): identical forward values, with an EXACT
+        custom VJP through the adjoint stencil ((MC)^T)^k = C'(MC')^{k-1}M
+        -- k-1 passes of the flipped-spec engine on the interior-masked
+        cotangent, then one unmasked correlation (which recovers the
+        gradient with respect to the input halo cells that step one
+        reads).  Enables gradient-based PDE-constrained optimization
+        through the production Pallas kernels without differentiating
+        kernel internals (the operator is linear; no residuals stored)."""
+        return _run_linear(self, padded, steps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 2))
+def _run_linear(eng: StencilEngine, padded, steps: int):
+    return eng.run(padded, steps)
+
+
+def _run_linear_fwd(eng, padded, steps):
+    return _run_linear(eng, padded, steps), None
+
+
+def _run_linear_bwd(eng, steps, _res, g):
+    if steps == 0:
+        return (g,)
+    it = tuple(slice(h, s - h) for h, s in zip(eng.spec.halo, g.shape))
+    mg = jnp.zeros_like(g).at[it].set(g[it])
+    adj = eng.adjoint()
+    lam = adj.run(mg, steps - 1) if steps > 1 else mg
+    return (xla_ref.conv_full(lam, adj.spec),)
+
+
+_run_linear.defvjp(_run_linear_fwd, _run_linear_bwd)
 
 
 def run(padded, spec: StencilSpec, steps: int, **kw):

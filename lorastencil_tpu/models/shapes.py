@@ -107,6 +107,23 @@ class StencilSpec:
     def padded_shape(self, interior: Sequence[int]) -> Tuple[int, ...]:
         return tuple(s + 2 * h for s, h in zip(interior, self.halo))
 
+    def flipped(self) -> "StencilSpec":
+        """The point-reflected stencil S'[o] = S[-o]: per-axis taps
+        reversed, residue offsets negated.  The adjoint (transpose) of
+        the linear stencil operator is the flipped stencil -- the basis
+        of the exact custom VJP (engine.run_diff).  All eight reference
+        shapes are symmetric, so their flip is themselves; custom
+        coefficients need the real flip."""
+        terms = tuple(
+            SeparableTerm(taps=tuple(
+                None if t is None else tuple(reversed(t))
+                for t in term.taps))
+            for term in self.terms)
+        residue = tuple(
+            (tuple(-o for o in off), w) for off, w in self.residue)
+        return dataclasses.replace(
+            self, name=self.name + "_adj", terms=terms, residue=residue)
+
 
 def _pyramid_star2d1r() -> np.ndarray:
     """The 7x7 star2d1r coefficients (src/2d/main.cu:187-195)."""

@@ -55,6 +55,28 @@ def dense_step(grid: jax.Array, spec: StencilSpec) -> jax.Array:
     return out.at[it].set(acc.astype(grid.dtype))
 
 
+def conv_full(grid: jax.Array, spec: StencilSpec) -> jax.Array:
+    """Unmasked correlation over the FULL padded extent (zero boundary):
+    out[p] = sum_o S[o] * grid[p+o] for every p, reads beyond the array
+    treated as zero.  This is the final factor of the adjoint chain
+    (engine.run_diff): unlike dense_step it writes halo positions too
+    (the gradient with respect to the input halo is nonzero -- step one
+    of the forward pass reads it)."""
+    S = spec.dense_coeffs()
+    r = spec.radius
+    gp = jnp.pad(grid, r)
+    acc = None
+    for idx in np.argwhere(np.abs(S) > 0):
+        w = float(S[tuple(idx)])
+        src = tuple(slice(int(i), int(i) + s)
+                    for i, s in zip(idx, grid.shape))
+        contrib = w * gp[src]
+        acc = contrib if acc is None else acc + contrib
+    if acc is None:
+        acc = jnp.zeros_like(grid)
+    return acc.astype(grid.dtype)
+
+
 def _axis_conv(x, taps, axis, out_extent_slices):
     """Valid 1-D correlation along `axis`: out has the extent of
     `out_extent_slices` (a per-axis slice tuple into x)."""
