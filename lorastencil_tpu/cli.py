@@ -73,6 +73,12 @@ def main(argv=None) -> int:
                         "(~4e-3/step storage rounding); float64 enables "
                         "x64 and runs the reference's fp64 regime (CPU "
                         "tier)")
+    p.add_argument("--boundary", choices=["dirichlet0", "periodic"],
+                   default="dirichlet0",
+                   help="dirichlet0 = reference halo-decay semantics; "
+                        "periodic = the grid wraps (beyond-reference "
+                        "capability; --check compares against the "
+                        "np.roll wrap truth)")
     p.add_argument("--tile", type=int, nargs=2, default=None)
     p.add_argument("--autotune", action="store_true",
                    help="measure candidate tiles on this device and use "
@@ -122,6 +128,7 @@ def main(argv=None) -> int:
         args.shape, interior, backend=args.backend, dtype=args.dtype,
         precision=args.precision, algorithm=args.algorithm,
         fused_steps=args.fused_steps, tile=tile,
+        boundary=args.boundary,
     )
 
     secs, _ = metrics.time_run(
@@ -137,7 +144,10 @@ def main(argv=None) -> int:
 
     if args.check:
         print("\nChecking correctness ...", flush=True)
-        want = reference.run(grid0, spec, steps)
+        if args.boundary == "periodic":
+            want = reference.run_periodic(grid0, spec, steps)
+        else:
+            want = reference.run(grid0, spec, steps)
         got = np.asarray(eng.run(grid0, steps), dtype=np.float64)
         scale = max(1.0, float(np.abs(want).max()))
         if not np.isfinite(scale):

@@ -140,6 +140,15 @@ class EngineConfig:
     # best at 256^3 (23.3 vs 21.5 GCells/s unfused); deeper fusion loses
     # to VMEM pressure.
     fused_steps_3d: int = 2
+    # boundary condition: "dirichlet0" (reference semantics: the halo
+    # decays to zero -- SURVEY.md section 4) or "periodic" (the grid
+    # wraps; the guard ring is refreshed from the opposite interior edge
+    # before every pass and the kernels' validity bounds extend over the
+    # ring -- the same machinery that keeps exchanged neighbor data
+    # alive on interior devices of a sharded run).  Periodic runs ignore
+    # the supplied halo cells (the wrap defines them) and require the
+    # Pallas backend.
+    boundary: str = "dirichlet0"
 
 
 class StencilEngine:
@@ -164,6 +173,15 @@ class StencilEngine:
             raise ValueError(
                 "bfloat16 state is a Pallas-kernel throughput tier; the "
                 "XLA reference backend runs float32")
+        if config.boundary not in ("dirichlet0", "periodic"):
+            raise ValueError(
+                f"boundary must be 'dirichlet0' or 'periodic', got "
+                f"{config.boundary!r}")
+        if config.boundary == "periodic" and config.backend == "xla":
+            raise ValueError(
+                "periodic boundaries need the Pallas backend (the XLA "
+                "reference path implements the reference's "
+                "halo-decay semantics only)")
         if config.precision not in ("highest", "default"):
             raise ValueError(
                 f"precision must be 'highest' or 'default', got "
@@ -183,6 +201,12 @@ class StencilEngine:
             config.interpret if config.interpret is not None else not _on_tpu()
         )
         self.layout = self._build_layout()
+        self.periodic = config.boundary == "periodic"
+        if self.periodic and min(self.interior) < self._ring_depth():
+            raise ValueError(
+                f"periodic wrap needs every interior dim >= the ring "
+                f"depth {self._ring_depth()} (= fused_steps * radius); "
+                f"got {self.interior}")
         self._run_jit = jax.jit(
             self._run_internal, static_argnames=("steps",), donate_argnums=(0,)
         )
@@ -315,6 +339,82 @@ class StencilEngine:
                         zguard=zg)
 
     # -- single pass (fused_k timesteps) on the internal layout -----------
+    def _ring_depth(self) -> int:
+        return max(1, self._fused_k() * self.spec.radius)
+
+    def _periodic_refresh(self, state, zero: bool = False):
+        """Copy the opposite interior edges into the guard ring (depth =
+        fused_steps * radius), so one kernel pass sees wrapped
+        neighbors -- the single-chip analog of the sharded ring
+        exchange.  2-D/3-D phases run axis by axis with the later axes
+        copying the already-written rings, so corners (and 3-D edges)
+        propagate exactly like the sharded two-phase exchange.
+
+        ``zero=True`` clears the same ring positions instead (the final
+        output's halo contract matches Dirichlet runs: zeros -- ring
+        cells inside the tile round-up region DO get written by the
+        masked kernels)."""
+        from .ops.layout import Layout1DLanes
+
+        d = self._ring_depth()
+        lay = self.layout
+
+        def src(x):
+            return jnp.zeros_like(x) if zero else x
+
+        if self.spec.ndim == 1:
+            n = lay.interior
+            if isinstance(lay, Layout1DLanes):
+                head = src(lay.read_flat(state, 0, d))
+                tail = src(lay.read_flat(state, n - d, d))
+                state = lay.write_flat(state, -d, tail)
+                return lay.write_flat(state, n, head)
+            o = lay.origin
+            flat = state.reshape(-1)
+            flat = flat.at[o - d: o].set(src(flat[o + n - d: o + n]))
+            flat = flat.at[o + n: o + n + d].set(src(flat[o: o + d]))
+            return flat.reshape(state.shape)
+        if self.spec.ndim == 2:
+            m, n = lay.interior
+            r0, c0 = lay.origin
+            s = state
+            s = s.at[r0 - d: r0, c0: c0 + n].set(
+                src(s[r0 + m - d: r0 + m, c0: c0 + n]))
+            s = s.at[r0 + m: r0 + m + d, c0: c0 + n].set(
+                src(s[r0: r0 + d, c0: c0 + n]))
+            s = s.at[r0 - d: r0 + m + d, c0 - d: c0].set(
+                src(s[r0 - d: r0 + m + d, c0 + n - d: c0 + n]))
+            return s.at[r0 - d: r0 + m + d, c0 + n: c0 + n + d].set(
+                src(s[r0 - d: r0 + m + d, c0: c0 + d]))
+        H, m, n = lay.interior
+        z0, r0, c0 = lay.origin
+        s = state
+        s = s.at[z0 - d: z0, r0: r0 + m, c0: c0 + n].set(
+            src(s[z0 + H - d: z0 + H, r0: r0 + m, c0: c0 + n]))
+        s = s.at[z0 + H: z0 + H + d, r0: r0 + m, c0: c0 + n].set(
+            src(s[z0: z0 + d, r0: r0 + m, c0: c0 + n]))
+        zs = slice(z0 - d, z0 + H + d)
+        s = s.at[zs, r0 - d: r0, c0: c0 + n].set(
+            src(s[zs, r0 + m - d: r0 + m, c0: c0 + n]))
+        s = s.at[zs, r0 + m: r0 + m + d, c0: c0 + n].set(
+            src(s[zs, r0: r0 + d, c0: c0 + n]))
+        rs = slice(r0 - d, r0 + m + d)
+        s = s.at[zs, rs, c0 - d: c0].set(
+            src(s[zs, rs, c0 + n - d: c0 + n]))
+        return s.at[zs, rs, c0 + n: c0 + n + d].set(
+            src(s[zs, rs, c0: c0 + d]))
+
+    def _periodic_bounds(self):
+        """Validity bounds that keep the wrapped ring alive through every
+        fused substep's mask (and still zero tile round-up garbage)."""
+        d = self._ring_depth()
+        dims = self.layout.interior if self.spec.ndim > 1 \
+            else (self.layout.interior,)
+        lo_hi = []
+        for s in dims:
+            lo_hi += [-d, s + d]
+        return jnp.asarray(lo_hi, jnp.int32)
+
     def _step_internal(self, cur, donor, fused_k: int = 1):
         if self.backend == "xla":
             del donor
@@ -322,30 +422,36 @@ class StencilEngine:
             for _ in range(fused_k):
                 out = xla_ref.separable_step(out, self.spec)
             return out
+        bounds = None
+        if self.periodic:
+            cur = self._periodic_refresh(cur)
+            bounds = self._periodic_bounds()
         if self.spec.ndim == 1:
             from .ops import pallas_1d
             from .ops.layout import Layout1DLanes
             if isinstance(self.layout, Layout1DLanes):
                 return pallas_1d.stencil1d_lanes_step(
                     cur, donor, self.spec, self.layout,
-                    interpret=self.interpret, fused_steps=fused_k)
+                    interpret=self.interpret, fused_steps=fused_k,
+                    bounds=bounds)
             return pallas_1d.stencil1d_step(
                 cur, donor, self.spec, self.layout,
                 precision=self.precision, interpret=self.interpret,
-                fused_steps=fused_k)
+                fused_steps=fused_k, bounds=bounds)
         if self.spec.ndim == 2:
             from .ops import pallas_2d
             return pallas_2d.stencil2d_step(
                 cur, donor, self.spec, self.layout,
                 precision=self.precision, interpret=self.interpret,
-                algorithm=self.algorithm, fused_steps=fused_k)
+                algorithm=self.algorithm, fused_steps=fused_k,
+                bounds=bounds)
         from .ops import pallas_3d
         alg3 = ("vpu" if self.algorithm.startswith("vpu")
                 else self.algorithm)
         return pallas_3d.stencil3d_step(
             cur, donor, self.spec, self.layout,
             precision=self.precision, interpret=self.interpret,
-            algorithm=alg3, fused_steps=fused_k)
+            algorithm=alg3, fused_steps=fused_k, bounds=bounds)
 
     def _fused_k(self) -> int:
         if self.backend == "xla":
@@ -384,7 +490,8 @@ class StencilEngine:
         return min(k, LANE // max(1, self.spec.radius))
 
     def _run_internal(self, state, steps: int):
-        if self.backend != "xla" and self.spec.ndim == 1 and steps > 0:
+        if (self.backend != "xla" and self.spec.ndim == 1 and steps > 0
+                and not self.periodic):
             from .ops import pallas_1d
             if pallas_1d.fits_resident(self.layout, self.dtype.itemsize):
                 # whole-grid-resident fast path: ALL steps in ONE kernel
@@ -392,8 +499,13 @@ class StencilEngine:
                 return pallas_1d.stencil1d_resident(
                     state, self.spec, self.layout, steps,
                     interpret=self.interpret)
-        return ping_pong_loop(self._step_internal, state, steps,
-                              self._fused_k())
+        out = ping_pong_loop(self._step_internal, state, steps,
+                             self._fused_k())
+        if self.periodic and steps > 0:
+            # ring cells inside the tile round-up region were written by
+            # the masked kernels; the output halo contract is zeros
+            out = self._periodic_refresh(out, zero=True)
+        return out
 
     # -- public API -------------------------------------------------------
     def to_internal(self, padded):

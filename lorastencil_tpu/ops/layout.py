@@ -227,6 +227,40 @@ class Layout1DLanes:
         base = self.guard_rows * self.groups * S
         return core[base - uh: base + n + uh]
 
+    def flat_pos(self, f: int) -> Tuple[int, int]:
+        """(stored_row, lane_start) of flat cell f (valid for negative
+        f: the guard rows hold the pre-interior cells)."""
+        q, off = divmod(f, self.stride)
+        wr, g = divmod(self.guard_rows * self.groups + q, self.groups)
+        return wr, g * LANE + self.lane_halo + off
+
+    def read_flat(self, buf, f0: int, d: int):
+        """Gather flat cells [f0, f0+d) via static payload-lane slices
+        (at most ceil(d/stride)+1 pieces)."""
+        parts = []
+        f, left = f0, d
+        while left > 0:
+            wr, ls = self.flat_pos(f)
+            take = min(left, self.stride - (f % self.stride))
+            parts.append(buf[wr, ls: ls + take])
+            f += take
+            left -= take
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    def write_flat(self, buf, f0: int, vals):
+        """Scatter flat cells [f0, f0+len) (payload lanes only; the
+        duplicated halo lanes are stale-by-contract and rebuilt by the
+        kernel's start-of-call fixup)."""
+        f, pos, left = f0, 0, int(vals.shape[0])
+        while left > 0:
+            wr, ls = self.flat_pos(f)
+            take = min(left, self.stride - (f % self.stride))
+            buf = buf.at[wr, ls: ls + take].set(vals[pos: pos + take])
+            f += take
+            pos += take
+            left -= take
+        return buf
+
 
 @dataclasses.dataclass(frozen=True)
 class Layout3D:

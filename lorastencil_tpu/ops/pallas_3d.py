@@ -184,11 +184,17 @@ def _stencil3d_kernel(
                           compute_dtype, precision)
 
     if has_bounds:
-        # global-interior bounds in local (row, col) coordinates when
-        # domain-decomposed (z is never sharded)
-        b_rlo, b_rhi = bounds_ref[0], bounds_ref[1]
-        b_clo, b_chi = bounds_ref[2], bounds_ref[3]
+        # dynamic validity box: (4,) = (rlo, rhi, clo, chi) in local
+        # coordinates (domain decomposition -- z is never sharded), or
+        # (6,) = (zlo, zhi, rlo, rhi, clo, chi) (periodic z rings must
+        # survive the intermediate-level mask)
+        six = bounds_ref.shape[0] == 6
+        b_zlo, b_zhi = (bounds_ref[0], bounds_ref[1]) if six else (0, H)
+        off = 2 if six else 0
+        b_rlo, b_rhi = bounds_ref[off], bounds_ref[off + 1]
+        b_clo, b_chi = bounds_ref[off + 2], bounds_ref[off + 3]
     else:
+        b_zlo, b_zhi = 0, H
         b_rlo, b_rhi, b_clo, b_chi = 0, m, 0, n
 
     def interior_mask(er, ec):
@@ -286,7 +292,7 @@ def _stencil3d_kernel(
                 acc = combine_plane(src, j, e_in, e_out, get_conv)
                 # z-validity: interior plane index of this output
                 zz = si * slab - (K - lvl) * r + j
-                zok = ((zz >= 0) & (zz < H)).astype(acc_dt)
+                zok = ((zz >= b_zlo) & (zz < b_zhi)).astype(acc_dt)
                 acc = acc * rme * cme * zok
                 if lvl == K:
                     out_sl[sslot, j] = acc.astype(out_sl.dtype)

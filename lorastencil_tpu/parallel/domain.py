@@ -696,44 +696,12 @@ class ShardedStencil1D:
                           else jax.default_backend() != "tpu")
         self._run_jit = jax.jit(self._run, static_argnames=("steps",))
 
-    # -- lanes-layout coordinate helpers ---------------------------------
-    def _lane_pos(self, f: int):
-        """(stored_row, lane_start) of flat cell f in the lanes layout
-        (valid for negative f: guard rows hold the pre-interior cells)."""
-        lay = self.layout
-        q, off = divmod(f, lay.stride)
-        wr, g = divmod(lay.guard_rows * lay.groups + q, lay.groups)
-        from ..ops.layout import LANE
-        return wr, g * LANE + lay.lane_halo + off
-
+    # lanes-layout coordinate helpers live on Layout1DLanes
     def _lane_read(self, buf, f0: int, d: int):
-        """Gather flat cells [f0, f0+d) from a lanes buffer via static
-        slices (at most ceil(d/stride)+1 pieces)."""
-        lay = self.layout
-        parts = []
-        f, left = f0, d
-        while left > 0:
-            wr, ls = self._lane_pos(f)
-            take = min(left, lay.stride - (f % lay.stride))
-            parts.append(buf[wr, ls: ls + take])
-            f += take
-            left -= take
-        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        return self.layout.read_flat(buf, f0, d)
 
     def _lane_write(self, buf, f0: int, vals):
-        """Scatter flat cells [f0, f0+len) into a lanes buffer (payload
-        lanes only; the duplicated halo lanes are stale-by-contract and
-        rebuilt by the kernel's start-of-call fixup)."""
-        lay = self.layout
-        f, pos, left = f0, 0, vals.shape[0]
-        while left > 0:
-            wr, ls = self._lane_pos(f)
-            take = min(left, lay.stride - (f % lay.stride))
-            buf = buf.at[wr, ls: ls + take].set(vals[pos: pos + take])
-            f += take
-            pos += take
-            left -= take
-        return buf
+        return self.layout.write_flat(buf, f0, vals)
 
     def _read_edges(self, buf):
         """(head, tail): the depth-deep edge strips in flat order."""

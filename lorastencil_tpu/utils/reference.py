@@ -68,6 +68,30 @@ def run(grid0: np.ndarray, spec: StencilSpec, steps: int) -> np.ndarray:
     return g
 
 
+def run_periodic(grid0: np.ndarray, spec: StencilSpec,
+                 steps: int) -> np.ndarray:
+    """Periodic-wrap ground truth over the padded layout: the interior
+    evolves as out[p] = sum_o S[o] * in[(p+o) mod n] (np.roll); the halo
+    cells of the result are zero (the engine's output guard ring is the
+    zero donor ring -- only the interior is written).  The input halo is
+    ignored (the wrap defines the neighbors)."""
+    shape = grid0.shape
+    it = interior_slices(spec, shape)
+    g = np.asarray(grid0, np.float64)[it]
+    S = spec.dense_coeffs()
+    r = spec.radius
+    for _ in range(steps):
+        acc = np.zeros_like(g)
+        for idx in np.argwhere(np.abs(S) > 0):
+            off = tuple(int(i) - r for i in idx)
+            acc += float(S[tuple(idx)]) * np.roll(
+                g, tuple(-o for o in off), axis=tuple(range(g.ndim)))
+        g = acc
+    out = np.zeros(shape, np.float64)
+    out[it] = g
+    return out
+
+
 def random_padded(spec: StencilSpec, interior, seed: int = 0,
                   lo: int = 0, hi: int = 100) -> np.ndarray:
     """Random integer-valued padded grid, mirroring the reference's
