@@ -73,12 +73,14 @@ def main(argv=None) -> int:
                         "(~4e-3/step storage rounding); float64 enables "
                         "x64 and runs the reference's fp64 regime (CPU "
                         "tier)")
-    p.add_argument("--boundary", choices=["dirichlet0", "periodic"],
+    p.add_argument("--boundary",
+                   choices=["dirichlet0", "periodic", "reflect"],
                    default="dirichlet0",
                    help="dirichlet0 = reference halo-decay semantics; "
-                        "periodic = the grid wraps (beyond-reference "
-                        "capability; --check compares against the "
-                        "np.roll wrap truth)")
+                        "periodic = the grid wraps; reflect = "
+                        "symmetric (zero-flux) mirror padding "
+                        "(beyond-reference capabilities; --check "
+                        "compares against the matching NumPy truth)")
     p.add_argument("--tile", type=int, nargs=2, default=None)
     p.add_argument("--autotune", action="store_true",
                    help="measure candidate tiles on this device and use "
@@ -146,6 +148,8 @@ def main(argv=None) -> int:
         print("\nChecking correctness ...", flush=True)
         if args.boundary == "periodic":
             want = reference.run_periodic(grid0, spec, steps)
+        elif args.boundary == "reflect":
+            want = reference.run_reflect(grid0, spec, steps)
         else:
             want = reference.run(grid0, spec, steps)
         got = np.asarray(eng.run(grid0, steps), dtype=np.float64)

@@ -141,13 +141,15 @@ class EngineConfig:
     # to VMEM pressure.
     fused_steps_3d: int = 2
     # boundary condition: "dirichlet0" (reference semantics: the halo
-    # decays to zero -- SURVEY.md section 4) or "periodic" (the grid
-    # wraps; the guard ring is refreshed from the opposite interior edge
-    # before every pass and the kernels' validity bounds extend over the
-    # ring -- the same machinery that keeps exchanged neighbor data
-    # alive on interior devices of a sharded run).  Periodic runs ignore
-    # the supplied halo cells (the wrap defines them) and require the
-    # Pallas backend.
+    # decays to zero -- SURVEY.md section 4), "periodic" (the grid
+    # wraps) or "reflect" (symmetric / zero-flux mirror padding).  For
+    # the ghost modes the guard ring is refreshed before every pass and
+    # the kernels' validity bounds extend over the ring -- the same
+    # machinery that keeps exchanged neighbor data alive on interior
+    # devices of a sharded run.  Ghost modes ignore the supplied halo
+    # cells and need the Pallas backend; reflect with fused_steps > 1
+    # additionally needs per-axis symmetric coefficients (mirror
+    # symmetry must commute with the stencil).
     boundary: str = "dirichlet0"
 
 
@@ -173,15 +175,15 @@ class StencilEngine:
             raise ValueError(
                 "bfloat16 state is a Pallas-kernel throughput tier; the "
                 "XLA reference backend runs float32")
-        if config.boundary not in ("dirichlet0", "periodic"):
+        if config.boundary not in ("dirichlet0", "periodic", "reflect"):
             raise ValueError(
-                f"boundary must be 'dirichlet0' or 'periodic', got "
-                f"{config.boundary!r}")
-        if config.boundary == "periodic" and config.backend == "xla":
+                f"boundary must be 'dirichlet0', 'periodic' or "
+                f"'reflect', got {config.boundary!r}")
+        if config.boundary != "dirichlet0" and config.backend == "xla":
             raise ValueError(
-                "periodic boundaries need the Pallas backend (the XLA "
-                "reference path implements the reference's "
-                "halo-decay semantics only)")
+                f"{config.boundary} boundaries need the Pallas backend "
+                f"(the XLA reference path implements the reference's "
+                f"halo-decay semantics only)")
         if config.precision not in ("highest", "default"):
             raise ValueError(
                 f"precision must be 'highest' or 'default', got "
@@ -201,12 +203,19 @@ class StencilEngine:
             config.interpret if config.interpret is not None else not _on_tpu()
         )
         self.layout = self._build_layout()
-        self.periodic = config.boundary == "periodic"
-        if self.periodic and min(self.interior) < self._ring_depth():
+        self.ghost = config.boundary != "dirichlet0"
+        if self.ghost and min(self.interior) < self._ring_depth():
             raise ValueError(
-                f"periodic wrap needs every interior dim >= the ring "
-                f"depth {self._ring_depth()} (= fused_steps * radius); "
-                f"got {self.interior}")
+                f"{config.boundary} boundaries need every interior dim "
+                f">= the ring depth {self._ring_depth()} "
+                f"(= fused_steps * radius); got {self.interior}")
+        if (config.boundary == "reflect" and self._fused_k() > 1
+                and not self._axis_symmetric()):
+            raise ValueError(
+                "reflect boundaries with fused_steps > 1 need per-axis "
+                "symmetric coefficients (mirror symmetry must commute "
+                "with the stencil for the once-per-pass ring refresh to "
+                "be exact); use fused_steps=1 for this spec")
         self._run_jit = jax.jit(
             self._run_internal, static_argnames=("steps",), donate_argnums=(0,)
         )
@@ -342,70 +351,83 @@ class StencilEngine:
     def _ring_depth(self) -> int:
         return max(1, self._fused_k() * self.spec.radius)
 
-    def _periodic_refresh(self, state, zero: bool = False):
-        """Copy the opposite interior edges into the guard ring (depth =
-        fused_steps * radius), so one kernel pass sees wrapped
-        neighbors -- the single-chip analog of the sharded ring
-        exchange.  2-D/3-D phases run axis by axis with the later axes
-        copying the already-written rings, so corners (and 3-D edges)
-        propagate exactly like the sharded two-phase exchange.
+    def _ring_refresh(self, state, mode: str):
+        """Fill the guard ring (depth = fused_steps * radius) so one
+        kernel pass sees the boundary condition's ghost cells -- the
+        single-chip analog of the sharded ring exchange:
 
-        ``zero=True`` clears the same ring positions instead (the final
-        output's halo contract matches Dirichlet runs: zeros -- ring
-        cells inside the tile round-up region DO get written by the
-        masked kernels)."""
+          * ``periodic``: the opposite interior edge (wrap);
+          * ``reflect``: the SAME interior edge mirrored (symmetric /
+            zero-flux padding);
+          * ``zero``: clears the ring (final-output halo contract).
+
+        2-D/3-D phases run axis by axis with later axes copying the
+        already-written rings, so corners (and 3-D edges) compose
+        exactly like the sharded two-phase exchange / np.pad."""
         from .ops.layout import Layout1DLanes
 
         d = self._ring_depth()
         lay = self.layout
-
-        def src(x):
-            return jnp.zeros_like(x) if zero else x
-
         if self.spec.ndim == 1:
             n = lay.interior
             if isinstance(lay, Layout1DLanes):
-                head = src(lay.read_flat(state, 0, d))
-                tail = src(lay.read_flat(state, n - d, d))
-                state = lay.write_flat(state, -d, tail)
-                return lay.write_flat(state, n, head)
+                head = lay.read_flat(state, 0, d)
+                tail = lay.read_flat(state, n - d, d)
+                if mode == "reflect":
+                    lsrc, rsrc = head[::-1], tail[::-1]
+                elif mode == "periodic":
+                    lsrc, rsrc = tail, head
+                else:
+                    lsrc = rsrc = jnp.zeros_like(head)
+                state = lay.write_flat(state, -d, lsrc)
+                return lay.write_flat(state, n, rsrc)
             o = lay.origin
             flat = state.reshape(-1)
-            flat = flat.at[o - d: o].set(src(flat[o + n - d: o + n]))
-            flat = flat.at[o + n: o + n + d].set(src(flat[o: o + d]))
+            head = flat[o: o + d]
+            tail = flat[o + n - d: o + n]
+            if mode == "reflect":
+                lsrc, rsrc = head[::-1], tail[::-1]
+            elif mode == "periodic":
+                lsrc, rsrc = tail, head
+            else:
+                lsrc = rsrc = jnp.zeros_like(head)
+            flat = flat.at[o - d: o].set(lsrc)
+            flat = flat.at[o + n: o + n + d].set(rsrc)
             return flat.reshape(state.shape)
-        if self.spec.ndim == 2:
-            m, n = lay.interior
-            r0, c0 = lay.origin
-            s = state
-            s = s.at[r0 - d: r0, c0: c0 + n].set(
-                src(s[r0 + m - d: r0 + m, c0: c0 + n]))
-            s = s.at[r0 + m: r0 + m + d, c0: c0 + n].set(
-                src(s[r0: r0 + d, c0: c0 + n]))
-            s = s.at[r0 - d: r0 + m + d, c0 - d: c0].set(
-                src(s[r0 - d: r0 + m + d, c0 + n - d: c0 + n]))
-            return s.at[r0 - d: r0 + m + d, c0 + n: c0 + n + d].set(
-                src(s[r0 - d: r0 + m + d, c0: c0 + d]))
-        H, m, n = lay.interior
-        z0, r0, c0 = lay.origin
-        s = state
-        s = s.at[z0 - d: z0, r0: r0 + m, c0: c0 + n].set(
-            src(s[z0 + H - d: z0 + H, r0: r0 + m, c0: c0 + n]))
-        s = s.at[z0 + H: z0 + H + d, r0: r0 + m, c0: c0 + n].set(
-            src(s[z0: z0 + d, r0: r0 + m, c0: c0 + n]))
-        zs = slice(z0 - d, z0 + H + d)
-        s = s.at[zs, r0 - d: r0, c0: c0 + n].set(
-            src(s[zs, r0 + m - d: r0 + m, c0: c0 + n]))
-        s = s.at[zs, r0 + m: r0 + m + d, c0: c0 + n].set(
-            src(s[zs, r0: r0 + d, c0: c0 + n]))
-        rs = slice(r0 - d, r0 + m + d)
-        s = s.at[zs, rs, c0 - d: c0].set(
-            src(s[zs, rs, c0 + n - d: c0 + n]))
-        return s.at[zs, rs, c0 + n: c0 + n + d].set(
-            src(s[zs, rs, c0: c0 + d]))
 
-    def _periodic_bounds(self):
-        """Validity bounds that keep the wrapped ring alive through every
+        origin = lay.origin
+        dims = lay.interior
+        ext = [slice(o, o + sdim) for o, sdim in zip(origin, dims)]
+        s = state
+        for a in range(self.spec.ndim):
+            o, nd = origin[a], dims[a]
+
+            def at(sl_a, ext=tuple(ext), a=a):
+                t = list(ext)
+                t[a] = sl_a
+                return tuple(t)
+
+            head = s[at(slice(o, o + d))]
+            tail = s[at(slice(o + nd - d, o + nd))]
+            if mode == "reflect":
+                lsrc = jnp.flip(head, axis=a)
+                rsrc = jnp.flip(tail, axis=a)
+            elif mode == "periodic":
+                lsrc, rsrc = tail, head
+            else:
+                lsrc = rsrc = jnp.zeros_like(head)
+            s = s.at[at(slice(o - d, o))].set(lsrc)
+            s = s.at[at(slice(o + nd, o + nd + d))].set(rsrc)
+            ext[a] = slice(o - d, o + nd + d)
+        return s
+
+    def _axis_symmetric(self) -> bool:
+        S = self.spec.dense_coeffs()
+        return all(bool(np.allclose(S, np.flip(S, axis=a)))
+                   for a in range(self.spec.ndim))
+
+    def _ghost_bounds(self):
+        """Validity bounds that keep the ghost ring alive through every
         fused substep's mask (and still zero tile round-up garbage)."""
         d = self._ring_depth()
         dims = self.layout.interior if self.spec.ndim > 1 \
@@ -423,9 +445,9 @@ class StencilEngine:
                 out = xla_ref.separable_step(out, self.spec)
             return out
         bounds = None
-        if self.periodic:
-            cur = self._periodic_refresh(cur)
-            bounds = self._periodic_bounds()
+        if self.ghost:
+            cur = self._ring_refresh(cur, self.config.boundary)
+            bounds = self._ghost_bounds()
         if self.spec.ndim == 1:
             from .ops import pallas_1d
             from .ops.layout import Layout1DLanes
@@ -491,7 +513,7 @@ class StencilEngine:
 
     def _run_internal(self, state, steps: int):
         if (self.backend != "xla" and self.spec.ndim == 1 and steps > 0
-                and not self.periodic):
+                and not self.ghost):
             from .ops import pallas_1d
             if pallas_1d.fits_resident(self.layout, self.dtype.itemsize):
                 # whole-grid-resident fast path: ALL steps in ONE kernel
@@ -501,10 +523,10 @@ class StencilEngine:
                     interpret=self.interpret)
         out = ping_pong_loop(self._step_internal, state, steps,
                              self._fused_k())
-        if self.periodic and steps > 0:
+        if self.ghost and steps > 0:
             # ring cells inside the tile round-up region were written by
             # the masked kernels; the output halo contract is zeros
-            out = self._periodic_refresh(out, zero=True)
+            out = self._ring_refresh(out, "zero")
         return out
 
     # -- public API -------------------------------------------------------

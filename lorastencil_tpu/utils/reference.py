@@ -92,6 +92,29 @@ def run_periodic(grid0: np.ndarray, spec: StencilSpec,
     return out
 
 
+def run_reflect(grid0: np.ndarray, spec: StencilSpec,
+                steps: int) -> np.ndarray:
+    """Reflect (symmetric / zero-flux) ground truth: each step pads the
+    interior with np.pad(mode='symmetric') by the radius, correlates,
+    and crops.  Result halo cells are zero (like run_periodic)."""
+    shape = grid0.shape
+    it = interior_slices(spec, shape)
+    g = np.asarray(grid0, np.float64)[it]
+    S = spec.dense_coeffs()
+    r = spec.radius
+    for _ in range(steps):
+        gp = np.pad(g, r, mode="symmetric")
+        acc = np.zeros_like(g)
+        for idx in np.argwhere(np.abs(S) > 0):
+            sl = tuple(slice(int(i), int(i) + s)
+                       for i, s in zip(idx, g.shape))
+            acc += float(S[tuple(idx)]) * gp[sl]
+        g = acc
+    out = np.zeros(shape, np.float64)
+    out[it] = g
+    return out
+
+
 def random_padded(spec: StencilSpec, interior, seed: int = 0,
                   lo: int = 0, hi: int = 100) -> np.ndarray:
     """Random integer-valued padded grid, mirroring the reference's

@@ -79,6 +79,69 @@ def test_periodic_rejects_tiny_interior():
         engine.StencilEngine.for_shape("1d2r", (2,), boundary="periodic")
 
 
+def reflect_reference(interior_grid, spec, steps):
+    from lorastencil_tpu.utils import reference as _ref
+
+    padded = np.zeros(spec.padded_shape(interior_grid.shape))
+    it = tuple(slice(h, h + s)
+               for h, s in zip(spec.halo, interior_grid.shape))
+    padded[it] = interior_grid
+    return _ref.run_reflect(padded, spec, steps)[it]
+
+
+@pytest.mark.parametrize("name", ["1d1r", "star2d1r", "box2d3r",
+                                  "box3d1r"])
+@pytest.mark.parametrize("steps", [1, 3])
+def test_reflect_shapes(name, steps):
+    spec = shapes.get_shape(name)
+    interior = INTERIORS[spec.ndim]
+    rng = np.random.default_rng(43)
+    gi = rng.uniform(0, 0.01, interior)
+    padded = np.zeros(spec.padded_shape(interior))
+    it = tuple(slice(h, h + s) for h, s in zip(spec.halo, interior))
+    padded[it] = gi
+    eng = engine.StencilEngine.for_shape(name, interior,
+                                         boundary="reflect")
+    out = np.asarray(eng.run(jnp.asarray(padded, jnp.float32), steps),
+                     np.float64)[it]
+    want = reflect_reference(gi, spec, steps)
+    err = np.abs(out - want).max() / max(1e-30, np.abs(want).max())
+    assert err < 1e-6, (name, steps, err)
+
+
+def test_reflect_fused_symmetric_ok_nonsymmetric_rejected():
+    # symmetric reference shape: fused reflect is exact
+    spec = shapes.get_shape("star2d1r")
+    rng = np.random.default_rng(44)
+    gi = rng.uniform(0, 0.01, (24, 200))
+    padded = np.zeros(spec.padded_shape((24, 200)))
+    it = tuple(slice(h, h + s) for h, s in zip(spec.halo, (24, 200)))
+    padded[it] = gi
+    eng = engine.StencilEngine.for_shape("star2d1r", (24, 200),
+                                         boundary="reflect",
+                                         fused_steps=2)
+    out = np.asarray(eng.run(jnp.asarray(padded, jnp.float32), 5),
+                     np.float64)[it]
+    want = reflect_reference(gi, spec, 5)
+    assert np.abs(out - want).max() / np.abs(want).max() < 1e-6
+    # non-symmetric custom taps: fused reflect is rejected loudly
+    with pytest.raises(ValueError, match="symmetric"):
+        engine.StencilEngine.for_coeffs(
+            np.array([0.25, 0.5, 0.125]), (3000,), halo=(1,),
+            boundary="reflect", fused_steps=2)
+    # ...but k=1 works (ring refresh per step = np.pad per step)
+    eng1 = engine.StencilEngine.for_coeffs(
+        np.array([0.25, 0.5, 0.125]), (3000,), halo=(1,),
+        boundary="reflect", fused_steps=1)
+    gi = rng.uniform(0, 0.01, 3000)
+    padded = np.zeros(3002)
+    padded[1:-1] = gi
+    out = np.asarray(eng1.run(jnp.asarray(padded, jnp.float32), 3),
+                     np.float64)[1:-1]
+    want = reflect_reference(gi, eng1.spec, 3)
+    assert np.abs(out - want).max() / np.abs(want).max() < 1e-6
+
+
 def test_periodic_mass_conservation():
     # a normalized stencil on a periodic domain conserves total mass
     taps = np.array([1.0, 2.0, 4.0, 2.0, 1.0]) / 10.0
