@@ -594,9 +594,21 @@ def _run_linear_fwd(eng, padded, steps):
 def _run_linear_bwd(eng, steps, _res, g):
     if steps == 0:
         return (g,)
+    if eng.config.boundary == "reflect":
+        raise NotImplementedError(
+            "run_diff with boundary='reflect': the transpose of "
+            "symmetric padding folds ghost contributions back onto the "
+            "edge (it is NOT the reflect stencil); use periodic or "
+            "dirichlet0, or differentiate the XLA backend")
     it = tuple(slice(h, s - h) for h, s in zip(eng.spec.halo, g.shape))
     mg = jnp.zeros_like(g).at[it].set(g[it])
     adj = eng.adjoint()
+    if eng.config.boundary == "periodic":
+        # the periodic operator is circulant: its transpose is the
+        # flipped-spec PERIODIC operator, applied all k steps; the input
+        # halo is ignored under periodic, so its gradient is zero
+        # (adj.run's output halo is zero by the ghost-ring contract)
+        return (adj.run(mg, steps),)
     lam = adj.run(mg, steps - 1) if steps > 1 else mg
     return (xla_ref.conv_full(lam, adj.spec),)
 

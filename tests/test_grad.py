@@ -73,6 +73,52 @@ def test_run_diff_forward_values_match_run():
                                   np.asarray(eng.run(x, 2)))
 
 
+def test_run_diff_periodic_grad():
+    """Periodic run_diff: the circulant transpose is the flipped
+    periodic operator; compare against autodiff of a jnp.roll model."""
+    spec = shapes.get_shape("star2d1r")
+    interior = (24, 200)
+    rng = np.random.default_rng(71)
+    S = spec.dense_coeffs()
+    r = spec.radius
+    offs = [(tuple(int(i) - r for i in idx), float(S[tuple(idx)]))
+            for idx in np.argwhere(np.abs(S) > 0)]
+    it = tuple(slice(h, h + s) for h, s in zip(spec.halo, interior))
+    w = jnp.asarray(rng.normal(size=spec.padded_shape(interior)),
+                    jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 0.01, spec.padded_shape(interior)),
+                    jnp.float32)
+    x = jnp.zeros_like(x).at[it].set(x[it])
+    eng = engine.StencilEngine.for_shape("star2d1r", interior,
+                                         boundary="periodic")
+
+    def loss_eng(v):
+        return jnp.sum(eng.run_diff(v, 3) * w)
+
+    def roll_model(v):
+        g = v[it]
+        for _ in range(3):
+            acc = jnp.zeros_like(g)
+            for off, wt in offs:
+                acc = acc + wt * jnp.roll(g, tuple(-o for o in off),
+                                          axis=(0, 1))
+            g = acc
+        return jnp.sum(g * w[it])
+
+    got = np.asarray(jax.grad(loss_eng)(x), np.float64)
+    want_i = np.asarray(jax.grad(roll_model)(x), np.float64)
+    scale = max(1.0, np.abs(want_i).max())
+    assert np.abs(got - want_i).max() / scale < 1e-5
+
+
+def test_run_diff_reflect_rejected():
+    eng = engine.StencilEngine.for_shape("star2d1r", (24, 200),
+                                         boundary="reflect")
+    x = jnp.zeros(eng.spec.padded_shape((24, 200)), jnp.float32)
+    with pytest.raises(NotImplementedError, match="reflect"):
+        jax.grad(lambda v: jnp.sum(eng.run_diff(v, 2)))(x)
+
+
 def test_flipped_spec_roundtrip():
     spec = shapes.get_shape("box2d3r")
     S = spec.dense_coeffs()
