@@ -30,13 +30,19 @@ from ..models.shapes import StencilSpec, get_shape
 from ..ops.layout import Layout2D, default_tile_2d
 
 
-def _shift(x, axis_name: str, fwd: bool, npairs: int):
-    """Neighbor ppermute along a mesh axis (non-wrapping; devices with no
-    source receive zeros)."""
+def _shift(x, axis_name: str, fwd: bool, npairs: int,
+           wrap: bool = False):
+    """Neighbor ppermute along a mesh axis.  Non-wrapping by default
+    (devices with no source receive zeros -- the reference's Dirichlet
+    edge); ``wrap=True`` closes the ring (periodic boundaries)."""
     if npairs == 1:
-        return jnp.zeros_like(x)
-    perm = ([(i, i + 1) for i in range(npairs - 1)] if fwd
-            else [(i + 1, i) for i in range(npairs - 1)])
+        return x if wrap else jnp.zeros_like(x)
+    if wrap:
+        perm = ([(i, (i + 1) % npairs) for i in range(npairs)] if fwd
+                else [((i + 1) % npairs, i) for i in range(npairs)])
+    else:
+        perm = ([(i, i + 1) for i in range(npairs - 1)] if fwd
+                else [(i + 1, i) for i in range(npairs - 1)])
     return jax.lax.ppermute(x, axis_name, perm)
 
 
@@ -69,8 +75,16 @@ class ShardedConfig:
     # NEXT pass.  Falls back to the sequential exchange when the local
     # tile grid is too small to split (< 3 tiles per axis).
     overlap: bool = True
+    # boundary condition: "dirichlet0" (reference halo-decay semantics)
+    # or "periodic" (the GLOBAL grid wraps: the ring ppermute closes
+    # into a torus and global-edge devices keep their received ring)
+    boundary: str = "dirichlet0"
 
     def __post_init__(self):
+        if self.boundary not in ("dirichlet0", "periodic"):
+            raise ValueError(
+                f"sharded boundary must be 'dirichlet0' or 'periodic', "
+                f"got {self.boundary!r}")
         if self.precision not in ("highest", "default"):
             raise ValueError(
                 f"precision must be 'highest' or 'default', got "
@@ -131,11 +145,13 @@ class ShardedStencil2D:
         r0, c0 = lay.origin
         dx, dy = self.config.mesh_shape
 
-        shift = _shift
+        wrap = self.config.boundary == "periodic"
 
-        # Devices on the global boundary keep their existing ring (the
-        # user-provided halo on step 1; zero afterwards), matching the
-        # single-device reference semantics exactly.
+        # Dirichlet: devices on the global boundary keep their existing
+        # ring (the user-provided halo on step 1; zero afterwards),
+        # matching the single-device reference semantics exactly.
+        # Periodic: the ppermute ring closes into a torus and every
+        # device takes the received strip.
         ix = jax.lax.axis_index("x")
         iy = jax.lax.axis_index("y")
 
@@ -143,22 +159,26 @@ class ShardedStencil2D:
         # north neighbor (it becomes their bottom ring) and vice versa.
         top = buf[r0: r0 + hm, :]
         bot = buf[r0 + m - hm: r0 + m, :]
-        from_north = shift(bot, "x", True, dx)    # north's bottom strip
-        from_south = shift(top, "x", False, dx)   # south's top strip
+        from_north = _shift(bot, "x", True, dx, wrap)
+        from_south = _shift(top, "x", False, dx, wrap)
         buf = buf.at[r0 - hm: r0, :].set(
+            from_north if wrap else
             jnp.where(ix > 0, from_north, buf[r0 - hm: r0, :]))
         buf = buf.at[r0 + m: r0 + m + hm, :].set(
+            from_south if wrap else
             jnp.where(ix < dx - 1, from_south, buf[r0 + m: r0 + m + hm, :]))
 
         # phase 2: cols (axis 'y'), strips include the just-filled ring
         # rows so corners propagate.
         left = buf[:, c0: c0 + hn]
         right = buf[:, c0 + n - hn: c0 + n]
-        from_west = shift(right, "y", True, dy)
-        from_east = shift(left, "y", False, dy)
+        from_west = _shift(right, "y", True, dy, wrap)
+        from_east = _shift(left, "y", False, dy, wrap)
         buf = buf.at[:, c0 - hn: c0].set(
+            from_west if wrap else
             jnp.where(iy > 0, from_west, buf[:, c0 - hn: c0]))
         buf = buf.at[:, c0 + n: c0 + n + hn].set(
+            from_east if wrap else
             jnp.where(iy < dy - 1, from_east, buf[:, c0 + n: c0 + n + hn]))
         return buf
 
@@ -173,25 +193,29 @@ class ShardedStencil2D:
         m, n = lay.interior
         r0, c0 = lay.origin
         dx, dy = self.config.mesh_shape
+        wrap = self.config.boundary == "periodic"
         ix = jax.lax.axis_index("x")
 
         top = buf[r0: r0 + hm, :]
         bot = buf[r0 + m - hm: r0 + m, :]
-        from_north = _shift(bot, "x", True, dx)
-        from_south = _shift(top, "x", False, dx)
+        from_north = _shift(bot, "x", True, dx, wrap)
+        from_south = _shift(top, "x", False, dx, wrap)
 
         def col_strip(c_lo, c_hi):
             s = buf[:, c_lo:c_hi]
+            fn = from_north[:, c_lo:c_hi]
+            fs = from_south[:, c_lo:c_hi]
             s = s.at[r0 - hm: r0, :].set(
-                jnp.where(ix > 0, from_north[:, c_lo:c_hi],
-                          jnp.zeros_like(from_north[:, c_lo:c_hi])))
+                fn if wrap else
+                jnp.where(ix > 0, fn, jnp.zeros_like(fn)))
             s = s.at[r0 + m: r0 + m + hm, :].set(
-                jnp.where(ix < dx - 1, from_south[:, c_lo:c_hi],
-                          jnp.zeros_like(from_south[:, c_lo:c_hi])))
+                fs if wrap else
+                jnp.where(ix < dx - 1, fs, jnp.zeros_like(fs)))
             return s
 
-        from_west = _shift(col_strip(c0 + n - hn, c0 + n), "y", True, dy)
-        from_east = _shift(col_strip(c0, c0 + hn), "y", False, dy)
+        from_west = _shift(col_strip(c0 + n - hn, c0 + n), "y", True, dy,
+                           wrap)
+        from_east = _shift(col_strip(c0, c0 + hn), "y", False, dy, wrap)
         return from_north, from_south, from_west, from_east
 
     def _write_ring(self, buf, parts):
@@ -202,18 +226,22 @@ class ShardedStencil2D:
         m, n = lay.interior
         r0, c0 = lay.origin
         dx, dy = self.config.mesh_shape
+        wrap = self.config.boundary == "periodic"
         ix = jax.lax.axis_index("x")
         iy = jax.lax.axis_index("y")
         from_north, from_south, from_west, from_east = parts
         buf = buf.at[r0 - hm: r0, :].set(
-            jnp.where(ix > 0, from_north,
-                      jnp.zeros_like(from_north)))
+            from_north if wrap else
+            jnp.where(ix > 0, from_north, jnp.zeros_like(from_north)))
         buf = buf.at[r0 + m: r0 + m + hm, :].set(
+            from_south if wrap else
             jnp.where(ix < dx - 1, from_south,
                       jnp.zeros_like(from_south)))
         buf = buf.at[:, c0 - hn: c0].set(
+            from_west if wrap else
             jnp.where(iy > 0, from_west, jnp.zeros_like(from_west)))
         buf = buf.at[:, c0 + n: c0 + n + hn].set(
+            from_east if wrap else
             jnp.where(iy < dy - 1, from_east, jnp.zeros_like(from_east)))
         return buf
 
@@ -223,9 +251,13 @@ class ShardedStencil2D:
         ix = jax.lax.axis_index("x")
         iy = jax.lax.axis_index("y")
         # global-interior bounds in local coordinates: interior devices
-        # must not mask ring intermediates holding exchanged data
+        # must not mask ring intermediates holding exchanged data; under
+        # periodic the global-edge rings hold wrapped data too, so the
+        # box widens by the exchange depth
+        d = self.depth if self.config.boundary == "periodic" else 0
         return jnp.stack([
-            -ix * lm, gm - ix * lm, -iy * ln, gn - iy * ln,
+            -ix * lm - d, gm - ix * lm + d,
+            -iy * ln - d, gn - iy * ln + d,
         ]).astype(jnp.int32)
 
     def _can_overlap(self) -> bool:
@@ -325,6 +357,13 @@ class ShardedStencil2D:
         padded = jnp.asarray(padded, jnp.float32)
         gpad = jnp.zeros((gm + 2 * d, gn + 2 * d), jnp.float32)
         gpad = gpad.at[d - hm: d + gm + hm, d - hn: d + gn + hn].set(padded)
+        if self.config.boundary == "periodic":
+            # global wrap ring (pass 1 of the overlapped engine reads it)
+            gpad = gpad.at[:d, d: d + gn].set(gpad[gm: gm + d, d: d + gn])
+            gpad = gpad.at[d + gm:, d: d + gn].set(gpad[d: 2 * d,
+                                                        d: d + gn])
+            gpad = gpad.at[:, :d].set(gpad[:, gn: gn + d])
+            gpad = gpad.at[:, d + gn:].set(gpad[:, d: 2 * d])
         out = jnp.zeros((dx * Mp, dy * Np), jnp.float32)
         for i in range(dx):
             for j in range(dy):
@@ -417,31 +456,47 @@ class ShardedStencil3D:
         _, r0, c0 = lay.origin
         dx, dy = self.config.mesh_shape
 
-        shift = _shift
-
+        wrap = self.config.boundary == "periodic"
         ix = jax.lax.axis_index("x")
         iy = jax.lax.axis_index("y")
 
+        if wrap:
+            buf = self._z_wrap(buf)
         top = buf[:, r0: r0 + hm, :]
         bot = buf[:, r0 + m - hm: r0 + m, :]
-        from_north = shift(bot, "x", True, dx)
-        from_south = shift(top, "x", False, dx)
+        from_north = _shift(bot, "x", True, dx, wrap)
+        from_south = _shift(top, "x", False, dx, wrap)
         buf = buf.at[:, r0 - hm: r0, :].set(
+            from_north if wrap else
             jnp.where(ix > 0, from_north, buf[:, r0 - hm: r0, :]))
         buf = buf.at[:, r0 + m: r0 + m + hm, :].set(
+            from_south if wrap else
             jnp.where(ix < dx - 1, from_south,
                       buf[:, r0 + m: r0 + m + hm, :]))
 
         left = buf[:, :, c0: c0 + hn]
         right = buf[:, :, c0 + n - hn: c0 + n]
-        from_west = shift(right, "y", True, dy)
-        from_east = shift(left, "y", False, dy)
+        from_west = _shift(right, "y", True, dy, wrap)
+        from_east = _shift(left, "y", False, dy, wrap)
         buf = buf.at[:, :, c0 - hn: c0].set(
+            from_west if wrap else
             jnp.where(iy > 0, from_west, buf[:, :, c0 - hn: c0]))
         buf = buf.at[:, :, c0 + n: c0 + n + hn].set(
+            from_east if wrap else
             jnp.where(iy < dy - 1, from_east,
                       buf[:, :, c0 + n: c0 + n + hn]))
         return buf
+
+    def _z_wrap(self, buf):
+        """Local periodic refresh of the z guard planes (z is never
+        sharded): guard planes take the opposite interior planes,
+        spanning the full (row, col) extent so the subsequent row/col
+        exchanges carry wrapped z rings too."""
+        h = self.local_interior[0]
+        z0 = self.layout.origin[0]
+        dz = self.layout.zguard
+        buf = buf.at[z0 - dz: z0].set(buf[z0 + h - dz: z0 + h])
+        return buf.at[z0 + h: z0 + h + dz].set(buf[z0: z0 + dz])
 
     def _exchange_strips(self, buf):
         """Plane-wise two-phase ppermute WITHOUT writing into ``buf``
@@ -451,25 +506,29 @@ class ShardedStencil3D:
         _, m, n = lay.interior
         _, r0, c0 = lay.origin
         dx, dy = self.config.mesh_shape
+        wrap = self.config.boundary == "periodic"
         ix = jax.lax.axis_index("x")
 
         top = buf[:, r0: r0 + hm, :]
         bot = buf[:, r0 + m - hm: r0 + m, :]
-        from_north = _shift(bot, "x", True, dx)
-        from_south = _shift(top, "x", False, dx)
+        from_north = _shift(bot, "x", True, dx, wrap)
+        from_south = _shift(top, "x", False, dx, wrap)
 
         def col_strip(c_lo, c_hi):
             s = buf[:, :, c_lo:c_hi]
+            fn = from_north[:, :, c_lo:c_hi]
+            fs = from_south[:, :, c_lo:c_hi]
             s = s.at[:, r0 - hm: r0, :].set(
-                jnp.where(ix > 0, from_north[:, :, c_lo:c_hi],
-                          jnp.zeros_like(from_north[:, :, c_lo:c_hi])))
+                fn if wrap else
+                jnp.where(ix > 0, fn, jnp.zeros_like(fn)))
             s = s.at[:, r0 + m: r0 + m + hm, :].set(
-                jnp.where(ix < dx - 1, from_south[:, :, c_lo:c_hi],
-                          jnp.zeros_like(from_south[:, :, c_lo:c_hi])))
+                fs if wrap else
+                jnp.where(ix < dx - 1, fs, jnp.zeros_like(fs)))
             return s
 
-        from_west = _shift(col_strip(c0 + n - hn, c0 + n), "y", True, dy)
-        from_east = _shift(col_strip(c0, c0 + hn), "y", False, dy)
+        from_west = _shift(col_strip(c0 + n - hn, c0 + n), "y", True, dy,
+                           wrap)
+        from_east = _shift(col_strip(c0, c0 + hn), "y", False, dy, wrap)
         return from_north, from_south, from_west, from_east
 
     def _write_ring(self, buf, parts):
@@ -480,23 +539,39 @@ class ShardedStencil3D:
         dx, dy = self.config.mesh_shape
         ix = jax.lax.axis_index("x")
         iy = jax.lax.axis_index("y")
+        wrap = self.config.boundary == "periodic"
         from_north, from_south, from_west, from_east = parts
         buf = buf.at[:, r0 - hm: r0, :].set(
+            from_north if wrap else
             jnp.where(ix > 0, from_north, jnp.zeros_like(from_north)))
         buf = buf.at[:, r0 + m: r0 + m + hm, :].set(
+            from_south if wrap else
             jnp.where(ix < dx - 1, from_south,
                       jnp.zeros_like(from_south)))
         buf = buf.at[:, :, c0 - hn: c0].set(
+            from_west if wrap else
             jnp.where(iy > 0, from_west, jnp.zeros_like(from_west)))
         buf = buf.at[:, :, c0 + n: c0 + n + hn].set(
+            from_east if wrap else
             jnp.where(iy < dy - 1, from_east, jnp.zeros_like(from_east)))
         return buf
 
     def _bounds(self):
         _, lm, ln = self.local_interior
-        _, gm, gn = self.interior
+        H, gm, gn = self.interior
         ix = jax.lax.axis_index("x")
         iy = jax.lax.axis_index("y")
+        if self.config.boundary == "periodic":
+            # 6-length box with a z range: the wrapped z guard planes
+            # and global-edge rings must survive the kernel's
+            # intermediate-level masks
+            d = self.depth
+            dz = self.layout.zguard
+            return jnp.stack([
+                jnp.int32(-dz), jnp.int32(H + dz),
+                -ix * lm - d, gm - ix * lm + d,
+                -iy * ln - d, gn - iy * ln + d,
+            ]).astype(jnp.int32)
         return jnp.stack([
             -ix * lm, gm - ix * lm, -iy * ln, gn - iy * ln,
         ]).astype(jnp.int32)
@@ -539,6 +614,8 @@ class ShardedStencil3D:
                 algorithm=self._alg3(), fused_steps=fused_k,
                 bounds=bounds, region=region)
 
+        if self.config.boundary == "periodic":
+            cur = self._z_wrap(cur)  # local; rows/cols ride the overlap
         out = step(cur, donor, ((0, 1), (0, gj)))
         out = step(cur, out, ((gi - 1, gi), (0, gj)))
         out = step(cur, out, ((1, gi - 1), (0, 1)))
@@ -579,6 +656,15 @@ class ShardedStencil3D:
         gpad = jnp.zeros((h + 2 * hz, gm + 2 * d, gn + 2 * d), jnp.float32)
         gpad = gpad.at[:, d - hm: d + gm + hm, d - hn: d + gn + hn].set(
             padded)
+        if self.config.boundary == "periodic":
+            # global row/col wrap ring (the z wrap is a per-pass local
+            # refresh -- z is never sharded)
+            gpad = gpad.at[:, :d, d: d + gn].set(
+                gpad[:, gm: gm + d, d: d + gn])
+            gpad = gpad.at[:, d + gm:, d: d + gn].set(
+                gpad[:, d: 2 * d, d: d + gn])
+            gpad = gpad.at[:, :, :d].set(gpad[:, :, gn: gn + d])
+            gpad = gpad.at[:, :, d + gn:].set(gpad[:, :, d: 2 * d])
         out = jnp.zeros((Hp, dx * Mp, dy * Np), jnp.float32)
         for i in range(dx):
             for j in range(dy):
@@ -739,10 +825,13 @@ class ShardedStencil1D:
 
     def _exchange(self, buf):
         dx = self.dx
+        wrap = self.config.boundary == "periodic"
         ix = jax.lax.axis_index("x")
         head, tail = self._read_edges(buf)
-        from_left = _shift(tail, "x", True, dx)
-        from_right = _shift(head, "x", False, dx)
+        from_left = _shift(tail, "x", True, dx, wrap)
+        from_right = _shift(head, "x", False, dx, wrap)
+        if wrap:
+            return self._set_ring(buf, from_left, from_right)
         old_left, old_right = self._read_ring(buf)
         return self._set_ring(
             buf,
@@ -752,20 +841,24 @@ class ShardedStencil1D:
     def _bounds(self):
         nl = self.local_interior
         ix = jax.lax.axis_index("x")
-        return jnp.stack([-ix * nl,
-                          self.interior - ix * nl]).astype(jnp.int32)
+        d = self.depth if self.config.boundary == "periodic" else 0
+        return jnp.stack([-ix * nl - d,
+                          self.interior - ix * nl + d]).astype(jnp.int32)
 
     def _exchange_strips(self, buf):
         """Neighbor ppermute of the depth-deep edge strips WITHOUT
         writing into ``buf`` (overlap mode)."""
+        wrap = self.config.boundary == "periodic"
         head, tail = self._read_edges(buf)
-        from_left = _shift(tail, "x", True, self.dx)
-        from_right = _shift(head, "x", False, self.dx)
+        from_left = _shift(tail, "x", True, self.dx, wrap)
+        from_right = _shift(head, "x", False, self.dx, wrap)
         return from_left, from_right
 
     def _write_ring(self, buf, parts):
         ix = jax.lax.axis_index("x")
         from_left, from_right = parts
+        if self.config.boundary == "periodic":
+            return self._set_ring(buf, from_left, from_right)
         return self._set_ring(
             buf,
             jnp.where(ix > 0, from_left, jnp.zeros_like(from_left)),
@@ -843,6 +936,9 @@ class ShardedStencil1D:
         padded = jnp.asarray(padded, jnp.float32)
         gpad = jnp.zeros((N + 2 * d,), jnp.float32)
         gpad = gpad.at[d - h: d + N + h].set(padded)
+        if self.config.boundary == "periodic":
+            gpad = gpad.at[:d].set(gpad[N: N + d])
+            gpad = gpad.at[d + N:].set(gpad[d: 2 * d])
         if self.lanes:
             # per-shard lanes embedding (layout halo == depth)
             blocks = [self.layout.to_internal(

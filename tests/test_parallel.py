@@ -122,6 +122,65 @@ def test_sharded_1d_lanes_sequential_exchange():
         assert err < 1e-6, (steps, err)
 
 
+def _periodic_truth(spec, interior, g0, steps):
+    padded = np.zeros(spec.padded_shape(interior))
+    it = tuple(slice(h, h + s) for h, s in zip(spec.halo, interior))
+    padded[it] = g0
+    return reference.run_periodic(padded, spec, steps)[it]
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+def test_sharded_periodic_2d(overlap):
+    """Sharded periodic: the ppermute ring closes into a torus."""
+    spec = shapes.get_shape("star2d1r")
+    interior = (48, 768) if overlap else (32, 512)
+    mesh = (2, 2)
+    rng = np.random.default_rng(61)
+    g0 = rng.uniform(0, 0.01, interior)
+    padded = np.zeros(spec.padded_shape(interior))
+    it = tuple(slice(h, h + s) for h, s in zip(spec.halo, interior))
+    padded[it] = g0
+    sh = domain.sharded_engine("star2d1r", interior, mesh,
+                               tile=(8, 128), fused_steps=2,
+                               boundary="periodic", overlap=overlap)
+    assert sh._can_overlap() == overlap or not overlap
+    got = np.asarray(sh.run(padded, 5), np.float64)[it]
+    want = _periodic_truth(spec, interior, g0, 5)
+    err = np.abs(got - want).max() / np.abs(want).max()
+    assert err < 1e-6, (overlap, err)
+
+
+def test_sharded_periodic_1d():
+    spec = shapes.get_shape("1d2r")
+    interior = (4096,)
+    rng = np.random.default_rng(62)
+    g0 = rng.uniform(0, 0.01, interior)
+    padded = np.zeros(spec.padded_shape(interior))
+    padded[4:-4] = g0
+    sh = domain.sharded_engine("1d2r", interior[0], (4,), fused_steps=2,
+                               boundary="periodic")
+    got = np.asarray(sh.run(padded, 5), np.float64)[4:-4]
+    want = _periodic_truth(spec, interior, g0, 5)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
+
+
+def test_sharded_periodic_3d():
+    spec = shapes.get_shape("box3d1r")
+    interior = (4, 16, 512)
+    rng = np.random.default_rng(63)
+    g0 = rng.uniform(0, 0.01, interior)
+    padded = np.zeros(spec.padded_shape(interior))
+    it = tuple(slice(h, h + s) for h, s in zip(spec.halo, interior))
+    padded[it] = g0
+    sh = domain.sharded_engine("box3d1r", interior, (2, 2),
+                               tile=(8, 128), fused_steps=2,
+                               boundary="periodic")
+    got = np.asarray(sh.run(padded, 3), np.float64)[it]
+    want = _periodic_truth(spec, interior, g0, 3)
+    err = np.abs(got - want).max() / np.abs(want).max()
+    assert err < 1e-6, err
+
+
 @pytest.mark.parametrize("name,k", [("star3d1r", 2), ("box3d1r", 4)])
 def test_sharded_3d_fused(name, k):
     """3-D fused sharded exchange (fused z-slab kernel per device)."""
