@@ -46,6 +46,18 @@ def _shift(x, axis_name: str, fwd: bool, npairs: int,
     return jax.lax.ppermute(x, axis_name, perm)
 
 
+def _check_reflect_fused(spec: StencilSpec, config) -> None:
+    if config.boundary != "reflect" or max(1, config.fused_steps) <= 1:
+        return
+    S = spec.dense_coeffs()
+    if not all(bool(np.allclose(S, np.flip(S, axis=a)))
+               for a in range(spec.ndim)):
+        raise ValueError(
+            "sharded reflect boundaries with fused_steps > 1 need "
+            "per-axis symmetric coefficients (mirror symmetry must "
+            "commute with the stencil); use fused_steps=1")
+
+
 def make_mesh(shape: Tuple[int, ...], axis_names=("x", "y"),
               devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
@@ -75,16 +87,17 @@ class ShardedConfig:
     # NEXT pass.  Falls back to the sequential exchange when the local
     # tile grid is too small to split (< 3 tiles per axis).
     overlap: bool = True
-    # boundary condition: "dirichlet0" (reference halo-decay semantics)
-    # or "periodic" (the GLOBAL grid wraps: the ring ppermute closes
-    # into a torus and global-edge devices keep their received ring)
+    # boundary condition: "dirichlet0" (reference halo-decay
+    # semantics), "periodic" (the GLOBAL grid wraps: the ring ppermute
+    # closes into a torus) or "reflect" (global-edge devices mirror
+    # their own edge strip; interior exchange is unchanged)
     boundary: str = "dirichlet0"
 
     def __post_init__(self):
-        if self.boundary not in ("dirichlet0", "periodic"):
+        if self.boundary not in ("dirichlet0", "periodic", "reflect"):
             raise ValueError(
-                f"sharded boundary must be 'dirichlet0' or 'periodic', "
-                f"got {self.boundary!r}")
+                f"sharded boundary must be 'dirichlet0', 'periodic' or "
+                f"'reflect', got {self.boundary!r}")
         if self.precision not in ("highest", "default"):
             raise ValueError(
                 f"precision must be 'highest' or 'default', got "
@@ -100,6 +113,7 @@ class ShardedStencil2D:
         assert spec.ndim == 2
         self.spec = spec
         self.config = config
+        _check_reflect_fused(spec, config)
         gm, gn = interior
         dx, dy = config.mesh_shape
         assert gm % dx == 0 and gn % dy == 0, (
@@ -161,12 +175,17 @@ class ShardedStencil2D:
         bot = buf[r0 + m - hm: r0 + m, :]
         from_north = _shift(bot, "x", True, dx, wrap)
         from_south = _shift(top, "x", False, dx, wrap)
+        refl = self.config.boundary == "reflect"
+        edge_n = (jnp.flip(top, axis=0) if refl
+                  else buf[r0 - hm: r0, :])
+        edge_s = (jnp.flip(bot, axis=0) if refl
+                  else buf[r0 + m: r0 + m + hm, :])
         buf = buf.at[r0 - hm: r0, :].set(
             from_north if wrap else
-            jnp.where(ix > 0, from_north, buf[r0 - hm: r0, :]))
+            jnp.where(ix > 0, from_north, edge_n))
         buf = buf.at[r0 + m: r0 + m + hm, :].set(
             from_south if wrap else
-            jnp.where(ix < dx - 1, from_south, buf[r0 + m: r0 + m + hm, :]))
+            jnp.where(ix < dx - 1, from_south, edge_s))
 
         # phase 2: cols (axis 'y'), strips include the just-filled ring
         # rows so corners propagate.
@@ -174,12 +193,16 @@ class ShardedStencil2D:
         right = buf[:, c0 + n - hn: c0 + n]
         from_west = _shift(right, "y", True, dy, wrap)
         from_east = _shift(left, "y", False, dy, wrap)
+        edge_w = (jnp.flip(left, axis=1) if refl
+                  else buf[:, c0 - hn: c0])
+        edge_e = (jnp.flip(right, axis=1) if refl
+                  else buf[:, c0 + n: c0 + n + hn])
         buf = buf.at[:, c0 - hn: c0].set(
             from_west if wrap else
-            jnp.where(iy > 0, from_west, buf[:, c0 - hn: c0]))
+            jnp.where(iy > 0, from_west, edge_w))
         buf = buf.at[:, c0 + n: c0 + n + hn].set(
             from_east if wrap else
-            jnp.where(iy < dy - 1, from_east, buf[:, c0 + n: c0 + n + hn]))
+            jnp.where(iy < dy - 1, from_east, edge_e))
         return buf
 
     def _exchange_strips(self, buf):
@@ -201,16 +224,20 @@ class ShardedStencil2D:
         from_north = _shift(bot, "x", True, dx, wrap)
         from_south = _shift(top, "x", False, dx, wrap)
 
+        refl = self.config.boundary == "reflect"
+
         def col_strip(c_lo, c_hi):
             s = buf[:, c_lo:c_hi]
             fn = from_north[:, c_lo:c_hi]
             fs = from_south[:, c_lo:c_hi]
+            en = (jnp.flip(top[:, c_lo:c_hi], axis=0) if refl
+                  else jnp.zeros_like(fn))
+            es = (jnp.flip(bot[:, c_lo:c_hi], axis=0) if refl
+                  else jnp.zeros_like(fs))
             s = s.at[r0 - hm: r0, :].set(
-                fn if wrap else
-                jnp.where(ix > 0, fn, jnp.zeros_like(fn)))
+                fn if wrap else jnp.where(ix > 0, fn, en))
             s = s.at[r0 + m: r0 + m + hm, :].set(
-                fs if wrap else
-                jnp.where(ix < dx - 1, fs, jnp.zeros_like(fs)))
+                fs if wrap else jnp.where(ix < dx - 1, fs, es))
             return s
 
         from_west = _shift(col_strip(c0 + n - hn, c0 + n), "y", True, dy,
@@ -227,22 +254,30 @@ class ShardedStencil2D:
         r0, c0 = lay.origin
         dx, dy = self.config.mesh_shape
         wrap = self.config.boundary == "periodic"
+        refl = self.config.boundary == "reflect"
         ix = jax.lax.axis_index("x")
         iy = jax.lax.axis_index("y")
         from_north, from_south, from_west, from_east = parts
+        en = (jnp.flip(buf[r0: r0 + hm, :], axis=0) if refl
+              else jnp.zeros_like(from_north))
+        es = (jnp.flip(buf[r0 + m - hm: r0 + m, :], axis=0) if refl
+              else jnp.zeros_like(from_south))
         buf = buf.at[r0 - hm: r0, :].set(
-            from_north if wrap else
-            jnp.where(ix > 0, from_north, jnp.zeros_like(from_north)))
+            from_north if wrap else jnp.where(ix > 0, from_north, en))
         buf = buf.at[r0 + m: r0 + m + hm, :].set(
             from_south if wrap else
-            jnp.where(ix < dx - 1, from_south,
-                      jnp.zeros_like(from_south)))
+            jnp.where(ix < dx - 1, from_south, es))
+        # col mirrors read the buffer AFTER the row-ring writes so the
+        # corners compose row-mirror x col-mirror (np.pad symmetric)
+        ew = (jnp.flip(buf[:, c0: c0 + hn], axis=1) if refl
+              else jnp.zeros_like(from_west))
+        ee = (jnp.flip(buf[:, c0 + n - hn: c0 + n], axis=1) if refl
+              else jnp.zeros_like(from_east))
         buf = buf.at[:, c0 - hn: c0].set(
-            from_west if wrap else
-            jnp.where(iy > 0, from_west, jnp.zeros_like(from_west)))
+            from_west if wrap else jnp.where(iy > 0, from_west, ew))
         buf = buf.at[:, c0 + n: c0 + n + hn].set(
             from_east if wrap else
-            jnp.where(iy < dy - 1, from_east, jnp.zeros_like(from_east)))
+            jnp.where(iy < dy - 1, from_east, ee))
         return buf
 
     def _bounds(self):
@@ -254,7 +289,7 @@ class ShardedStencil2D:
         # must not mask ring intermediates holding exchanged data; under
         # periodic the global-edge rings hold wrapped data too, so the
         # box widens by the exchange depth
-        d = self.depth if self.config.boundary == "periodic" else 0
+        d = self.depth if self.config.boundary != "dirichlet0" else 0
         return jnp.stack([
             -ix * lm - d, gm - ix * lm + d,
             -iy * ln - d, gn - iy * ln + d,
@@ -364,6 +399,14 @@ class ShardedStencil2D:
                                                         d: d + gn])
             gpad = gpad.at[:, :d].set(gpad[:, gn: gn + d])
             gpad = gpad.at[:, d + gn:].set(gpad[:, d: 2 * d])
+        elif self.config.boundary == "reflect":
+            gpad = gpad.at[:d, d: d + gn].set(
+                jnp.flip(gpad[d: 2 * d, d: d + gn], axis=0))
+            gpad = gpad.at[d + gm:, d: d + gn].set(
+                jnp.flip(gpad[gm: gm + d, d: d + gn], axis=0))
+            gpad = gpad.at[:, :d].set(jnp.flip(gpad[:, d: 2 * d], axis=1))
+            gpad = gpad.at[:, d + gn:].set(
+                jnp.flip(gpad[:, gn: gn + d], axis=1))
         out = jnp.zeros((dx * Mp, dy * Np), jnp.float32)
         for i in range(dx):
             for j in range(dy):
@@ -420,6 +463,7 @@ class ShardedStencil3D:
 
         self.spec = spec
         self.config = config
+        _check_reflect_fused(spec, config)
         h, gm, gn = interior
         dx, dy = config.mesh_shape
         assert gm % dx == 0 and gn % dy == 0
@@ -457,46 +501,55 @@ class ShardedStencil3D:
         dx, dy = self.config.mesh_shape
 
         wrap = self.config.boundary == "periodic"
+        refl = self.config.boundary == "reflect"
         ix = jax.lax.axis_index("x")
         iy = jax.lax.axis_index("y")
 
-        if wrap:
-            buf = self._z_wrap(buf)
+        if wrap or refl:
+            buf = self._z_ghost(buf)
         top = buf[:, r0: r0 + hm, :]
         bot = buf[:, r0 + m - hm: r0 + m, :]
         from_north = _shift(bot, "x", True, dx, wrap)
         from_south = _shift(top, "x", False, dx, wrap)
+        en = (jnp.flip(top, axis=1) if refl else buf[:, r0 - hm: r0, :])
+        es = (jnp.flip(bot, axis=1) if refl
+              else buf[:, r0 + m: r0 + m + hm, :])
         buf = buf.at[:, r0 - hm: r0, :].set(
-            from_north if wrap else
-            jnp.where(ix > 0, from_north, buf[:, r0 - hm: r0, :]))
+            from_north if wrap else jnp.where(ix > 0, from_north, en))
         buf = buf.at[:, r0 + m: r0 + m + hm, :].set(
             from_south if wrap else
-            jnp.where(ix < dx - 1, from_south,
-                      buf[:, r0 + m: r0 + m + hm, :]))
+            jnp.where(ix < dx - 1, from_south, es))
 
         left = buf[:, :, c0: c0 + hn]
         right = buf[:, :, c0 + n - hn: c0 + n]
         from_west = _shift(right, "y", True, dy, wrap)
         from_east = _shift(left, "y", False, dy, wrap)
+        ew = (jnp.flip(left, axis=2) if refl else buf[:, :, c0 - hn: c0])
+        ee = (jnp.flip(right, axis=2) if refl
+              else buf[:, :, c0 + n: c0 + n + hn])
         buf = buf.at[:, :, c0 - hn: c0].set(
-            from_west if wrap else
-            jnp.where(iy > 0, from_west, buf[:, :, c0 - hn: c0]))
+            from_west if wrap else jnp.where(iy > 0, from_west, ew))
         buf = buf.at[:, :, c0 + n: c0 + n + hn].set(
             from_east if wrap else
-            jnp.where(iy < dy - 1, from_east,
-                      buf[:, :, c0 + n: c0 + n + hn]))
+            jnp.where(iy < dy - 1, from_east, ee))
         return buf
 
-    def _z_wrap(self, buf):
-        """Local periodic refresh of the z guard planes (z is never
-        sharded): guard planes take the opposite interior planes,
-        spanning the full (row, col) extent so the subsequent row/col
-        exchanges carry wrapped z rings too."""
+    def _z_ghost(self, buf):
+        """Local ghost refresh of the z guard planes (z is never
+        sharded): wrap for periodic, mirror for reflect, spanning the
+        full (row, col) extent so the subsequent row/col exchanges
+        carry the z ghost rings too."""
         h = self.local_interior[0]
         z0 = self.layout.origin[0]
         dz = self.layout.zguard
-        buf = buf.at[z0 - dz: z0].set(buf[z0 + h - dz: z0 + h])
-        return buf.at[z0 + h: z0 + h + dz].set(buf[z0: z0 + dz])
+        if self.config.boundary == "reflect":
+            lo = jnp.flip(buf[z0: z0 + dz], axis=0)
+            hi = jnp.flip(buf[z0 + h - dz: z0 + h], axis=0)
+        else:
+            lo = buf[z0 + h - dz: z0 + h]
+            hi = buf[z0: z0 + dz]
+        buf = buf.at[z0 - dz: z0].set(lo)
+        return buf.at[z0 + h: z0 + h + dz].set(hi)
 
     def _exchange_strips(self, buf):
         """Plane-wise two-phase ppermute WITHOUT writing into ``buf``
@@ -507,6 +560,7 @@ class ShardedStencil3D:
         _, r0, c0 = lay.origin
         dx, dy = self.config.mesh_shape
         wrap = self.config.boundary == "periodic"
+        refl = self.config.boundary == "reflect"
         ix = jax.lax.axis_index("x")
 
         top = buf[:, r0: r0 + hm, :]
@@ -518,12 +572,14 @@ class ShardedStencil3D:
             s = buf[:, :, c_lo:c_hi]
             fn = from_north[:, :, c_lo:c_hi]
             fs = from_south[:, :, c_lo:c_hi]
+            en = (jnp.flip(top[:, :, c_lo:c_hi], axis=1) if refl
+                  else jnp.zeros_like(fn))
+            es = (jnp.flip(bot[:, :, c_lo:c_hi], axis=1) if refl
+                  else jnp.zeros_like(fs))
             s = s.at[:, r0 - hm: r0, :].set(
-                fn if wrap else
-                jnp.where(ix > 0, fn, jnp.zeros_like(fn)))
+                fn if wrap else jnp.where(ix > 0, fn, en))
             s = s.at[:, r0 + m: r0 + m + hm, :].set(
-                fs if wrap else
-                jnp.where(ix < dx - 1, fs, jnp.zeros_like(fs)))
+                fs if wrap else jnp.where(ix < dx - 1, fs, es))
             return s
 
         from_west = _shift(col_strip(c0 + n - hn, c0 + n), "y", True, dy,
@@ -540,20 +596,28 @@ class ShardedStencil3D:
         ix = jax.lax.axis_index("x")
         iy = jax.lax.axis_index("y")
         wrap = self.config.boundary == "periodic"
+        refl = self.config.boundary == "reflect"
         from_north, from_south, from_west, from_east = parts
+        en = (jnp.flip(buf[:, r0: r0 + hm, :], axis=1) if refl
+              else jnp.zeros_like(from_north))
+        es = (jnp.flip(buf[:, r0 + m - hm: r0 + m, :], axis=1) if refl
+              else jnp.zeros_like(from_south))
         buf = buf.at[:, r0 - hm: r0, :].set(
-            from_north if wrap else
-            jnp.where(ix > 0, from_north, jnp.zeros_like(from_north)))
+            from_north if wrap else jnp.where(ix > 0, from_north, en))
         buf = buf.at[:, r0 + m: r0 + m + hm, :].set(
             from_south if wrap else
-            jnp.where(ix < dx - 1, from_south,
-                      jnp.zeros_like(from_south)))
+            jnp.where(ix < dx - 1, from_south, es))
+        # col mirrors read the buffer AFTER the row-ring writes so the
+        # corners compose row-mirror x col-mirror (np.pad symmetric)
+        ew = (jnp.flip(buf[:, :, c0: c0 + hn], axis=2) if refl
+              else jnp.zeros_like(from_west))
+        ee = (jnp.flip(buf[:, :, c0 + n - hn: c0 + n], axis=2) if refl
+              else jnp.zeros_like(from_east))
         buf = buf.at[:, :, c0 - hn: c0].set(
-            from_west if wrap else
-            jnp.where(iy > 0, from_west, jnp.zeros_like(from_west)))
+            from_west if wrap else jnp.where(iy > 0, from_west, ew))
         buf = buf.at[:, :, c0 + n: c0 + n + hn].set(
             from_east if wrap else
-            jnp.where(iy < dy - 1, from_east, jnp.zeros_like(from_east)))
+            jnp.where(iy < dy - 1, from_east, ee))
         return buf
 
     def _bounds(self):
@@ -561,8 +625,8 @@ class ShardedStencil3D:
         H, gm, gn = self.interior
         ix = jax.lax.axis_index("x")
         iy = jax.lax.axis_index("y")
-        if self.config.boundary == "periodic":
-            # 6-length box with a z range: the wrapped z guard planes
+        if self.config.boundary != "dirichlet0":
+            # 6-length box with a z range: the ghost z guard planes
             # and global-edge rings must survive the kernel's
             # intermediate-level masks
             d = self.depth
@@ -614,8 +678,8 @@ class ShardedStencil3D:
                 algorithm=self._alg3(), fused_steps=fused_k,
                 bounds=bounds, region=region)
 
-        if self.config.boundary == "periodic":
-            cur = self._z_wrap(cur)  # local; rows/cols ride the overlap
+        if self.config.boundary != "dirichlet0":
+            cur = self._z_ghost(cur)  # local; rows/cols ride the overlap
         out = step(cur, donor, ((0, 1), (0, gj)))
         out = step(cur, out, ((gi - 1, gi), (0, gj)))
         out = step(cur, out, ((1, gi - 1), (0, 1)))
@@ -657,7 +721,7 @@ class ShardedStencil3D:
         gpad = gpad.at[:, d - hm: d + gm + hm, d - hn: d + gn + hn].set(
             padded)
         if self.config.boundary == "periodic":
-            # global row/col wrap ring (the z wrap is a per-pass local
+            # global row/col wrap ring (the z ghost is a per-pass local
             # refresh -- z is never sharded)
             gpad = gpad.at[:, :d, d: d + gn].set(
                 gpad[:, gm: gm + d, d: d + gn])
@@ -665,6 +729,15 @@ class ShardedStencil3D:
                 gpad[:, d: 2 * d, d: d + gn])
             gpad = gpad.at[:, :, :d].set(gpad[:, :, gn: gn + d])
             gpad = gpad.at[:, :, d + gn:].set(gpad[:, :, d: 2 * d])
+        elif self.config.boundary == "reflect":
+            gpad = gpad.at[:, :d, d: d + gn].set(
+                jnp.flip(gpad[:, d: 2 * d, d: d + gn], axis=1))
+            gpad = gpad.at[:, d + gm:, d: d + gn].set(
+                jnp.flip(gpad[:, gm: gm + d, d: d + gn], axis=1))
+            gpad = gpad.at[:, :, :d].set(
+                jnp.flip(gpad[:, :, d: 2 * d], axis=2))
+            gpad = gpad.at[:, :, d + gn:].set(
+                jnp.flip(gpad[:, :, gn: gn + d], axis=2))
         out = jnp.zeros((Hp, dx * Mp, dy * Np), jnp.float32)
         for i in range(dx):
             for j in range(dy):
@@ -723,6 +796,7 @@ class ShardedStencil1D:
 
         self.spec = spec
         self.config = config
+        _check_reflect_fused(spec, config)
         (dx,) = config.mesh_shape[:1]
         assert interior % dx == 0 and (interior // dx) % LANE == 0, (
             "local block must be lane-aligned")
@@ -826,22 +900,26 @@ class ShardedStencil1D:
     def _exchange(self, buf):
         dx = self.dx
         wrap = self.config.boundary == "periodic"
+        refl = self.config.boundary == "reflect"
         ix = jax.lax.axis_index("x")
         head, tail = self._read_edges(buf)
         from_left = _shift(tail, "x", True, dx, wrap)
         from_right = _shift(head, "x", False, dx, wrap)
         if wrap:
             return self._set_ring(buf, from_left, from_right)
-        old_left, old_right = self._read_ring(buf)
+        if refl:
+            el, er = head[::-1], tail[::-1]
+        else:
+            el, er = self._read_ring(buf)
         return self._set_ring(
             buf,
-            jnp.where(ix > 0, from_left, old_left),
-            jnp.where(ix < dx - 1, from_right, old_right))
+            jnp.where(ix > 0, from_left, el),
+            jnp.where(ix < dx - 1, from_right, er))
 
     def _bounds(self):
         nl = self.local_interior
         ix = jax.lax.axis_index("x")
-        d = self.depth if self.config.boundary == "periodic" else 0
+        d = self.depth if self.config.boundary != "dirichlet0" else 0
         return jnp.stack([-ix * nl - d,
                           self.interior - ix * nl + d]).astype(jnp.int32)
 
@@ -859,11 +937,16 @@ class ShardedStencil1D:
         from_left, from_right = parts
         if self.config.boundary == "periodic":
             return self._set_ring(buf, from_left, from_right)
+        if self.config.boundary == "reflect":
+            head, tail = self._read_edges(buf)
+            el, er = head[::-1], tail[::-1]
+        else:
+            el = jnp.zeros_like(from_left)
+            er = jnp.zeros_like(from_right)
         return self._set_ring(
             buf,
-            jnp.where(ix > 0, from_left, jnp.zeros_like(from_left)),
-            jnp.where(ix < self.dx - 1, from_right,
-                      jnp.zeros_like(from_right)))
+            jnp.where(ix > 0, from_left, el),
+            jnp.where(ix < self.dx - 1, from_right, er))
 
     def _can_overlap(self) -> bool:
         from ..ops.layout import LANE
@@ -939,6 +1022,9 @@ class ShardedStencil1D:
         if self.config.boundary == "periodic":
             gpad = gpad.at[:d].set(gpad[N: N + d])
             gpad = gpad.at[d + N:].set(gpad[d: 2 * d])
+        elif self.config.boundary == "reflect":
+            gpad = gpad.at[:d].set(gpad[d: 2 * d][::-1])
+            gpad = gpad.at[d + N:].set(gpad[N: N + d][::-1])
         if self.lanes:
             # per-shard lanes embedding (layout halo == depth)
             blocks = [self.layout.to_internal(

@@ -181,6 +181,59 @@ def test_sharded_periodic_3d():
     assert err < 1e-6, err
 
 
+@pytest.mark.parametrize("overlap", [False, True])
+def test_sharded_reflect_2d(overlap):
+    """Sharded reflect: global-edge devices mirror their own edge."""
+    spec = shapes.get_shape("star2d1r")
+    interior = (48, 768) if overlap else (32, 512)
+    rng = np.random.default_rng(64)
+    g0 = rng.uniform(0, 0.01, interior)
+    padded = np.zeros(spec.padded_shape(interior))
+    it = tuple(slice(h, h + s) for h, s in zip(spec.halo, interior))
+    padded[it] = g0
+    sh = domain.sharded_engine("star2d1r", interior, (2, 2),
+                               tile=(8, 128), fused_steps=2,
+                               boundary="reflect", overlap=overlap)
+    got = np.asarray(sh.run(padded, 5), np.float64)[it]
+    want = reference.run_reflect(padded, spec, 5)[it]
+    err = np.abs(got - want).max() / np.abs(want).max()
+    assert err < 1e-6, (overlap, err)
+
+
+def test_sharded_reflect_1d_and_3d():
+    spec = shapes.get_shape("1d1r")
+    rng = np.random.default_rng(65)
+    padded = np.zeros(4104)
+    padded[4:-4] = rng.uniform(0, 0.01, 4096)
+    sh = domain.sharded_engine("1d1r", 4096, (4,), fused_steps=2,
+                               boundary="reflect")
+    got = np.asarray(sh.run(padded, 5), np.float64)[4:-4]
+    want = reference.run_reflect(padded, spec, 5)[4:-4]
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
+
+    spec3 = shapes.get_shape("star3d1r")
+    interior = (4, 16, 512)
+    padded = np.zeros(spec3.padded_shape(interior))
+    it = tuple(slice(h, h + s) for h, s in zip(spec3.halo, interior))
+    padded[it] = rng.uniform(0, 0.01, interior)
+    sh3 = domain.sharded_engine("star3d1r", interior, (2, 2),
+                                tile=(8, 128), fused_steps=2,
+                                boundary="reflect")
+    got = np.asarray(sh3.run(padded, 3), np.float64)[it]
+    want = reference.run_reflect(padded, spec3, 3)[it]
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
+
+
+def test_sharded_reflect_fused_nonsymmetric_rejected():
+    S = np.array([[0.0, 0.5, -0.25],
+                  [1.0, 2.0, 0.0],
+                  [0.0, -0.5, 0.125]])
+    with pytest.raises(ValueError, match="symmetric"):
+        domain.sharded_engine_for_coeffs(
+            S, (32, 512), (2, 2), halo=(1, 1), fused_steps=2,
+            boundary="reflect")
+
+
 @pytest.mark.parametrize("name,k", [("star3d1r", 2), ("box3d1r", 4)])
 def test_sharded_3d_fused(name, k):
     """3-D fused sharded exchange (fused z-slab kernel per device)."""
