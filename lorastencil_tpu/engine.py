@@ -334,7 +334,17 @@ class StencilEngine:
                                  lane_halo=h, tile_rows=rows_l,
                                  width=width)
         if spec.ndim == 2:
-            tile = self.config.tile or default_tile_2d(*interior)
+            tile = self.config.tile
+            if tile is None:
+                tile = default_tile_2d(*interior)
+                if (self.algorithm.startswith("mxu") and spec.residue
+                        and tile == (192, 2048)):
+                    # split-GEMM paths carry bf16 parts + the VPU residue
+                    # stream: (192, 2048) overflows scoped VMEM by ~2%
+                    # (measured round 3); (128, 2048) is also their
+                    # measured optimum (star2d1r mxu_hybrid 63.0 vs 56.1
+                    # GCells/s at (256, 1024))
+                    tile = (128, 2048)
             k = self._fused_k() if self.backend != "xla" else 1
             need = max(spec.halo[0], k * spec.radius)
             guard_r = SUBLANE * (-(-need // SUBLANE))
