@@ -71,6 +71,10 @@ def make_mesh(shape: Tuple[int, ...], axis_names=("x", "y"),
 class ShardedConfig:
     mesh_shape: Tuple[int, int]  # (devices along rows, along cols)
     tile: Optional[Tuple[int, int]] = None
+    # state dtype in HBM: "float32" (exact) or "bfloat16" (throughput
+    # tier: half the HBM traffic AND half the exchanged halo bytes;
+    # compute stays fp32 in VMEM, ~4e-3/step storage rounding)
+    dtype: str = "float32"
     precision: str = "highest"
     interpret: Optional[bool] = None
     # 'auto' resolves per shape exactly like the single-chip engine
@@ -94,6 +98,10 @@ class ShardedConfig:
     boundary: str = "dirichlet0"
 
     def __post_init__(self):
+        if self.dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"sharded dtype must be 'float32' or 'bfloat16', got "
+                f"{self.dtype!r}")
         if self.boundary not in ("dirichlet0", "periodic", "reflect"):
             raise ValueError(
                 f"sharded boundary must be 'dirichlet0', 'periodic' or "
@@ -417,7 +425,8 @@ class ShardedStencil2D:
                     j * Np + c0 - d: j * Np + c0 + ln + d,
                 ].set(src)
         return jax.lax.with_sharding_constraint(
-            out, NamedSharding(self.mesh, P("x", "y")))
+            out.astype(jnp.dtype(self.config.dtype)),
+            NamedSharding(self.mesh, P("x", "y")))
 
     def from_sharded(self, state):
         """Sharded local buffers -> user global padded array."""
@@ -749,7 +758,8 @@ class ShardedStencil3D:
                     j * Np + c0 - d: j * Np + c0 + ln + d,
                 ].set(src)
         return jax.lax.with_sharding_constraint(
-            out, NamedSharding(self.mesh, P(None, "x", "y")))
+            out.astype(jnp.dtype(self.config.dtype)),
+            NamedSharding(self.mesh, P(None, "x", "y")))
 
     def from_sharded(self, state):
         spec, lay = self.spec, self.layout
@@ -1039,7 +1049,8 @@ class ShardedStencil1D:
                              i * R * L + o + n + d].set(src)
             out2 = out.reshape(self.dx * R, L)
         return jax.lax.with_sharding_constraint(
-            out2, NamedSharding(self.mesh, P("x", None)))
+            out2.astype(jnp.dtype(self.config.dtype)),
+            NamedSharding(self.mesh, P("x", None)))
 
     def from_sharded(self, state):
         h = self.spec.halo[0]

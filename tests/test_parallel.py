@@ -2,6 +2,7 @@
 halo exchange over ppermute must reproduce single-device reference
 semantics exactly, including corners and the global-boundary decay."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -222,6 +223,27 @@ def test_sharded_reflect_1d_and_3d():
     got = np.asarray(sh3.run(padded, 3), np.float64)[it]
     want = reference.run_reflect(padded, spec3, 3)[it]
     assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
+
+
+@pytest.mark.parametrize("name,interior,mesh,tile", [
+    ("star2d1r", (32, 512), (2, 2), (8, 128)),
+    ("1d2r", (4 * 170 * 1024,), (4,), None),     # lanes layout
+    ("box3d1r", (4, 16, 256), (2, 2), (8, 128)),
+])
+def test_sharded_bf16_state(name, interior, mesh, tile):
+    """bf16 HBM state for the sharded engines: half the traffic AND
+    half the exchanged halo bytes (compute fp32 in VMEM)."""
+    spec = shapes.get_shape(name)
+    g0 = reference.random_padded(spec, interior, seed=91) * 0.01
+    kw = dict(fused_steps=2, dtype="bfloat16")
+    if tile is not None:
+        kw["tile"] = tile
+    arg = interior[0] if spec.ndim == 1 else interior
+    sh = domain.sharded_engine(name, arg, mesh, **kw)
+    got = np.asarray(sh.run(g0, 3).astype(jnp.float32), np.float64)
+    want = reference.run(g0, spec, 3)
+    err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert err < 5e-2, (name, err)
 
 
 def test_sharded_reflect_fused_nonsymmetric_rejected():
