@@ -601,16 +601,44 @@ def _run_linear_fwd(eng, padded, steps):
     return _run_linear(eng, padded, steps), None
 
 
+def _fold_adjoint_step(y, spec_flipped):
+    """One adjoint step of the reflect operator R = crop-conv o pad_sym:
+    R^T = pad_sym^T o conv^T.  conv^T = flipped correlation scattered
+    onto the padded extent; pad_sym^T FOLDS each ghost strip back onto
+    the interior cells it mirrored.  ``y`` is an interior-extent array.
+    XLA shift-adds (this backward runs once per step -- inversion
+    workloads, not the hot loop)."""
+    r = spec_flipped.radius
+    ndim = y.ndim
+    z = xla_ref.conv_full(jnp.pad(y, r), spec_flipped)
+    for a in range(ndim):
+
+        def at(sl):
+            t = [slice(None)] * z.ndim
+            t[a] = sl
+            return tuple(t)
+
+        core = z[at(slice(r, z.shape[a] - r))]
+        left = jnp.flip(z[at(slice(0, r))], axis=a)
+        right = jnp.flip(z[at(slice(z.shape[a] - r, None))], axis=a)
+        na = core.shape[a]
+        core = core.at[at(slice(0, r))].add(left)
+        z = core.at[at(slice(na - r, None))].add(right)
+    return z
+
+
 def _run_linear_bwd(eng, steps, _res, g):
     if steps == 0:
         return (g,)
-    if eng.config.boundary == "reflect":
-        raise NotImplementedError(
-            "run_diff with boundary='reflect': the transpose of "
-            "symmetric padding folds ghost contributions back onto the "
-            "edge (it is NOT the reflect stencil); use periodic or "
-            "dirichlet0, or differentiate the XLA backend")
     it = tuple(slice(h, s - h) for h, s in zip(eng.spec.halo, g.shape))
+    if eng.config.boundary == "reflect":
+        # per-step fold-back adjoint on the interior extent; the input
+        # halo is ignored under reflect, so its gradient is zero
+        flipped = eng.spec.flipped()
+        y = g[it]
+        for _ in range(steps):
+            y = _fold_adjoint_step(y, flipped)
+        return (jnp.zeros_like(g).at[it].set(y),)
     mg = jnp.zeros_like(g).at[it].set(g[it])
     adj = eng.adjoint()
     if eng.config.boundary == "periodic":

@@ -111,12 +111,74 @@ def test_run_diff_periodic_grad():
     assert np.abs(got - want_i).max() / scale < 1e-5
 
 
-def test_run_diff_reflect_rejected():
-    eng = engine.StencilEngine.for_shape("star2d1r", (24, 200),
+@pytest.mark.parametrize("name,steps", [("star2d1r", 1),
+                                        ("star2d1r", 3), ("1d2r", 2)])
+def test_run_diff_reflect_grad(name, steps):
+    """Reflect run_diff: fold-back adjoint (pad_sym^T) vs autodiff of a
+    jnp pad-symmetric model."""
+    spec = shapes.get_shape(name)
+    interior = INTERIORS[spec.ndim]
+    rng = np.random.default_rng(73)
+    S = spec.dense_coeffs()
+    r = spec.radius
+    offs = [(tuple(int(i) for i in idx), float(S[tuple(idx)]))
+            for idx in np.argwhere(np.abs(S) > 0)]
+    it = tuple(slice(h, h + s) for h, s in zip(spec.halo, interior))
+    shape = spec.padded_shape(interior)
+    w = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    w = jnp.zeros_like(w).at[it].set(w[it])
+    x = jnp.asarray(rng.uniform(0, 0.01, shape), jnp.float32)
+    x = jnp.zeros_like(x).at[it].set(x[it])
+    eng = engine.StencilEngine.for_shape(name, interior,
                                          boundary="reflect")
-    x = jnp.zeros(eng.spec.padded_shape((24, 200)), jnp.float32)
-    with pytest.raises(NotImplementedError, match="reflect"):
-        jax.grad(lambda v: jnp.sum(eng.run_diff(v, 2)))(x)
+
+    def loss_eng(v):
+        return jnp.sum(eng.run_diff(v, steps) * w)
+
+    def pad_model(v):
+        g = v[it]
+        for _ in range(steps):
+            gp = jnp.pad(g, r, mode="symmetric")
+            acc = jnp.zeros_like(g)
+            for idx, wt in offs:
+                sl = tuple(slice(i, i + s)
+                           for i, s in zip(idx, g.shape))
+                acc = acc + wt * gp[sl]
+            g = acc
+        return jnp.sum(g * w[it])
+
+    got = np.asarray(jax.grad(loss_eng)(x), np.float64)
+    want = np.asarray(jax.grad(pad_model)(x), np.float64)
+    scale = max(1.0, np.abs(want).max())
+    assert np.abs(got - want).max() / scale < 1e-5, (name, steps)
+
+
+def test_run_diff_reflect_nonsymmetric_k1():
+    # non-symmetric custom taps at fused_steps=1: fold adjoint is exact
+    taps = np.array([0.25, 0.5, 0.125])
+    eng = engine.StencilEngine.for_coeffs(taps, (300,), halo=(1,),
+                                          boundary="reflect",
+                                          fused_steps=1)
+    rng = np.random.default_rng(74)
+    x = jnp.asarray(rng.uniform(0, 0.01, 302), jnp.float32)
+    x = x.at[0].set(0).at[-1].set(0)
+    w = jnp.asarray(rng.normal(size=302), jnp.float32)
+    w = w.at[0].set(0).at[-1].set(0)
+
+    def loss_eng(v):
+        return jnp.sum(eng.run_diff(v, 2) * w)
+
+    def pad_model(v):
+        g = v[1:-1]
+        for _ in range(2):
+            gp = jnp.pad(g, 1, mode="symmetric")
+            g = 0.25 * gp[:-2] + 0.5 * gp[1:-1] + 0.125 * gp[2:]
+        return jnp.sum(g * w[1:-1])
+
+    got = np.asarray(jax.grad(loss_eng)(x), np.float64)
+    want = np.asarray(jax.grad(pad_model)(x), np.float64)
+    scale = max(1.0, np.abs(want).max())
+    assert np.abs(got - want).max() / scale < 1e-5
 
 
 def test_flipped_spec_roundtrip():
