@@ -210,7 +210,7 @@ class StencilEngine:
                 f">= the ring depth {self._ring_depth()} "
                 f"(= fused_steps * radius); got {self.interior}")
         if (config.boundary == "reflect" and self._fused_k() > 1
-                and not self._axis_symmetric()):
+                and not self.spec.axis_symmetric()):
             raise ValueError(
                 "reflect boundaries with fused_steps > 1 need per-axis "
                 "symmetric coefficients (mirror symmetry must commute "
@@ -312,39 +312,15 @@ class StencilEngine:
             r_eff = pallas_1d.effective_radius(spec)
             if not (1 <= r_eff <= 32):
                 return flat
-            k = max(1, min(k, 32 // max(1, r_eff)))
-            h = k * r_eff
-            S = LANE - 2 * h
-            # widest stored row (rolls at wide extents run ~3x faster
-            # than on narrow (rows, 128) arrays) that still leaves a
-            # few tile rows of work
-            width = 2048
-            while width > LANE and n1 < (S * width // LANE) * 4 * SUBLANE:
-                width //= 2
-            groups = width // LANE
-            narrow_rows = -(-n1 // S)
-            rows_w = -(-narrow_rows // groups)
-            # keep each double-buffered window slot ~<= 1M under the 16M
-            # scoped-vmem budget (substeps add ~4 transient extents)
-            max_tr = max(SUBLANE, (2**20 // (width * 4) - 2 * SUBLANE)
-                         // SUBLANE * SUBLANE)
-            rows_l = max(SUBLANE,
-                         min(max_tr, SUBLANE * (-(-rows_w // SUBLANE))))
-            return Layout1DLanes(interior=n1, halo=spec.halo[0],
-                                 lane_halo=h, tile_rows=rows_l,
-                                 width=width)
+            lanes, _ = Layout1DLanes.build(n1, spec.halo[0], k, r_eff)
+            return lanes
         if spec.ndim == 2:
             tile = self.config.tile
             if tile is None:
-                tile = default_tile_2d(*interior)
-                if (self.algorithm.startswith("mxu") and spec.residue
-                        and tile == (192, 2048)):
-                    # split-GEMM paths carry bf16 parts + the VPU residue
-                    # stream: (192, 2048) overflows scoped VMEM by ~2%
-                    # (measured round 3); (128, 2048) is also their
-                    # measured optimum (star2d1r mxu_hybrid 63.0 vs 56.1
-                    # GCells/s at (256, 1024))
-                    tile = (128, 2048)
+                tile = default_tile_2d(
+                    *interior,
+                    mxu_residue=(self.algorithm.startswith("mxu")
+                                 and bool(spec.residue)))
             k = self._fused_k() if self.backend != "xla" else 1
             need = max(spec.halo[0], k * spec.radius)
             guard_r = SUBLANE * (-(-need // SUBLANE))
@@ -430,11 +406,6 @@ class StencilEngine:
             s = s.at[at(slice(o + nd, o + nd + d))].set(rsrc)
             ext[a] = slice(o - d, o + nd + d)
         return s
-
-    def _axis_symmetric(self) -> bool:
-        S = self.spec.dense_coeffs()
-        return all(bool(np.allclose(S, np.flip(S, axis=a)))
-                   for a in range(self.spec.ndim))
 
     def _ghost_bounds(self):
         """Validity bounds that keep the ghost ring alive through every

@@ -107,6 +107,15 @@ class StencilSpec:
     def padded_shape(self, interior: Sequence[int]) -> Tuple[int, ...]:
         return tuple(s + 2 * h for s, h in zip(interior, self.halo))
 
+    def axis_symmetric(self) -> bool:
+        """True when the dense coefficients are mirror-symmetric along
+        every axis (all eight reference shapes are).  Mirror symmetry
+        commutes with the stencil, which is what makes reflect
+        boundaries exact under temporal fusion."""
+        S = self.dense_coeffs()
+        return all(bool(np.allclose(S, np.flip(S, axis=a)))
+                   for a in range(self.ndim))
+
     def flipped(self) -> "StencilSpec":
         """The point-reflected stencil S'[o] = S[-o]: per-axis taps
         reversed, residue offsets negated.  The adjoint (transpose) of

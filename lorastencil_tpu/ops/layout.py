@@ -174,6 +174,42 @@ class Layout1DLanes:
     guard_rows: int = SUBLANE
     width: int = LANE  # stored lanes per row (multiple of 128)
 
+    @classmethod
+    def build(cls, n: int, halo: int, fused_steps: int, r_eff: int,
+              overlap_min_tiles: "int | None" = None):
+        """Measured-default sizing, shared by the single-chip engine and
+        the sharded 1-D engine: clamp the fusion depth so the lane halo
+        fits (k*r_eff <= 32), pick the widest stored row (2048 max)
+        that still leaves a few tile rows of work, and cap tile_rows so
+        each double-buffered window slot stays ~<= 1M under the 16M
+        scoped-vmem budget (substeps add ~4 transient extents).
+
+        ``overlap_min_tiles``: keep at least this many tiles so a
+        boundary/interior region split has an interior (the sharded
+        overlapped exchange).  Returns ``(layout, clamped_fused_steps)``.
+        """
+        r_eff = max(1, r_eff)
+        k = max(1, min(fused_steps, 32 // r_eff))
+        h = k * r_eff
+        S = LANE - 2 * h
+        width = 2048
+        while width > LANE and n < (S * width // LANE) * 4 * SUBLANE:
+            width //= 2
+        groups = width // LANE
+        narrow_rows = _cdiv(n, S)
+        rows_w = _cdiv(narrow_rows, groups)
+        max_tr = max(SUBLANE, (2**20 // (width * 4) - 2 * SUBLANE)
+                     // SUBLANE * SUBLANE)
+        rows_l = max(SUBLANE, min(max_tr, SUBLANE * _cdiv(rows_w, SUBLANE)))
+        if (overlap_min_tiles is not None
+                and rows_w >= overlap_min_tiles * SUBLANE):
+            rows_l = min(rows_l,
+                         max(SUBLANE, SUBLANE * (rows_w
+                                                 // (overlap_min_tiles
+                                                     * SUBLANE))))
+        return cls(interior=n, halo=halo, lane_halo=h, tile_rows=rows_l,
+                   width=width), k
+
     @property
     def stride(self) -> int:
         return LANE - 2 * self.lane_halo
@@ -313,18 +349,43 @@ class Layout3D:
                    c0 - hn: c0 + n + hn]
 
 
-def default_tile_2d(m: int, n: int) -> Tuple[int, int]:
+def default_tile_2d(m: int, n: int,
+                    mxu_residue: bool = False) -> Tuple[int, int]:
     """Pick a VMEM-friendly tile: big enough to amortize halo overhead,
     small enough that double-buffered windows + substep scratch fit the
     16M scoped-vmem budget.  Measured on v5e (round 3, sync-calibrated):
     (192, 2048) beats (256, 1024) for every 2-D shape at 4096^2-8192^2
     (star2d1r 48.8 vs 46.3, star2d3r 57.2 vs 53.2, box2d3r 47.6 vs
-    46.9 GCells/s); wider or taller tiles overflow scoped VMEM."""
+    46.9 GCells/s); wider or taller tiles overflow scoped VMEM.
+
+    ``mxu_residue``: the split-GEMM algorithms on residue-bearing specs
+    carry bf16 parts + the VPU residue stream, overflowing scoped VMEM
+    by ~2% at (192, 2048); their measured optimum is (128, 2048)
+    (star2d1r mxu_hybrid 63.0 vs 56.1 GCells/s at (256, 1024))."""
     if n >= 2048 and m >= 192:
-        return (192, 2048)
+        return (128, 2048) if mxu_residue else (192, 2048)
     tn = 1024 if n >= 1024 else (512 if n >= 512
                                  else LANE * max(1, _cdiv(n, LANE)))
     tm = 256 if m >= 256 else SUBLANE * max(1, _cdiv(m, SUBLANE))
+    return (tm, tn)
+
+
+def divisor_tile_2d(m: int, n: int) -> Tuple[int, int]:
+    """Largest (8-multiple, 128-multiple) tile <= (256, 1024) that
+    DIVIDES (m, n) -- fused sharded runs forbid tile round-up (fake
+    interior cells would alias the exchanged guard ring), and the
+    measured-best (192, 2048) default does not divide power-of-two
+    local blocks."""
+    tm = SUBLANE
+    for c in range(256, SUBLANE - 1, -SUBLANE):
+        if m % c == 0:
+            tm = c
+            break
+    tn = LANE
+    for c in range(1024, LANE - 1, -LANE):
+        if n % c == 0:
+            tn = c
+            break
     return (tm, tn)
 
 

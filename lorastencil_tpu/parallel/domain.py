@@ -49,9 +49,7 @@ def _shift(x, axis_name: str, fwd: bool, npairs: int,
 def _check_reflect_fused(spec: StencilSpec, config) -> None:
     if config.boundary != "reflect" or max(1, config.fused_steps) <= 1:
         return
-    S = spec.dense_coeffs()
-    if not all(bool(np.allclose(S, np.flip(S, axis=a)))
-               for a in range(spec.ndim)):
+    if not spec.axis_symmetric():
         raise ValueError(
             "sharded reflect boundaries with fused_steps > 1 need "
             "per-axis symmetric coefficients (mirror symmetry must "
@@ -129,11 +127,23 @@ class ShardedStencil2D:
         self.interior = (gm, gn)
         self.local_interior = (gm // dx, gn // dy)
         self.mesh = mesh if mesh is not None else make_mesh((dx, dy))
-        tile = config.tile or default_tile_2d(*self.local_interior)
-        from ..ops.layout import LANE, SUBLANE
+        from ..engine import resolve_algorithm
+        from ..ops.layout import LANE, SUBLANE, divisor_tile_2d
 
+        self.algorithm = resolve_algorithm(spec, config.algorithm)
         k = max(1, config.fused_steps)
         self.fused_steps = k
+        lm, ln = self.local_interior
+        if config.tile is not None:
+            tile = config.tile
+        else:
+            tile = default_tile_2d(
+                lm, ln, mxu_residue=(self.algorithm.startswith("mxu")
+                                     and bool(spec.residue)))
+            if k > 1 and (lm % tile[0] or ln % tile[1]):
+                # fused runs forbid tile round-up; the measured-best
+                # default does not divide every local block
+                tile = divisor_tile_2d(lm, ln)
         # exchange depth per pass: k*radius cells feed the fused substeps
         self.depth = max(max(spec.halo), k * spec.radius)
         guard_r = SUBLANE * (-(-self.depth // SUBLANE))
@@ -141,12 +151,8 @@ class ShardedStencil2D:
         if k > 1:
             # fused sharded runs forbid tile round-up (fake-interior cells
             # would alias the exchanged guard ring)
-            lm, ln = self.local_interior
             assert lm % tile[0] == 0 and ln % tile[1] == 0, (
                 "fused sharded runs need tile-aligned local blocks")
-        from ..engine import resolve_algorithm
-
-        self.algorithm = resolve_algorithm(spec, config.algorithm)
         self.layout = Layout2D(interior=self.local_interior, halo=spec.halo,
                                tile=tile, guard=(guard_r, LANE))
         self.precision = (jax.lax.Precision.HIGHEST
@@ -839,27 +845,9 @@ class ShardedStencil1D:
         if self.lanes:
             self.fused_steps = k_l
             self.depth = d_l
-            S = LANE - 2 * h
-            width = 2048
-            nl = self.local_interior
-            while width > LANE and nl < (S * width // LANE) * 4 * SUBLANE:
-                width //= 2
-            groups = width // LANE
-            narrow_rows = -(-nl // S)
-            rows_w = -(-narrow_rows // groups)
-            max_tr = max(SUBLANE, (2**20 // (width * 4) - 2 * SUBLANE)
-                         // SUBLANE * SUBLANE)
-            rows_l = max(SUBLANE,
-                         min(max_tr, SUBLANE * (-(-rows_w // SUBLANE))))
-            if config.overlap and rows_w >= 3 * SUBLANE:
-                # keep >= 3 tiles so the exchange can hide under the
-                # interior-region kernel
-                rows_l = min(rows_l,
-                             max(SUBLANE,
-                                 SUBLANE * (rows_w // (3 * SUBLANE))))
-            self.layout = Layout1DLanes(
-                interior=nl, halo=d_l, lane_halo=h, tile_rows=rows_l,
-                width=width)
+            self.layout, _ = Layout1DLanes.build(
+                self.local_interior, d_l, k_l, r_eff,
+                overlap_min_tiles=3 if config.overlap else None)
         else:
             self.layout = flat
         self.interpret = (config.interpret if config.interpret is not None

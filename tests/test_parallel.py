@@ -123,6 +123,23 @@ def test_sharded_1d_lanes_sequential_exchange():
         assert err < 1e-6, (steps, err)
 
 
+def test_sharded_fused_default_tile_divides_local_block():
+    """Round-3 regression (caught by self-review): the measured-best
+    (192, 2048) default tile does not divide power-of-two local blocks,
+    which the fused sharded engine requires -- construction must fall
+    back to a divisor tile, not assert."""
+    spec = shapes.get_shape("star2d1r")
+    interior = (512, 4096)  # local (256, 2048): 256 % 192 != 0
+    sh = domain.sharded_engine("star2d1r", interior, (2, 2),
+                               fused_steps=2)
+    lm, ln = sh.local_interior
+    assert lm % sh.layout.tile[0] == 0 and ln % sh.layout.tile[1] == 0
+    g0 = reference.random_padded(spec, interior, seed=55) * 0.01
+    got = np.asarray(sh.run(g0, 3), np.float64)
+    want = reference.run(g0, spec, 3)
+    assert np.abs(got - want).max() / max(1.0, np.abs(want).max()) < 1e-6
+
+
 def _periodic_truth(spec, interior, g0, steps):
     padded = np.zeros(spec.padded_shape(interior))
     it = tuple(slice(h, h + s) for h, s in zip(spec.halo, interior))
