@@ -1,9 +1,14 @@
 """Full benchmark suite over the BASELINE.md configs.
 
 Run directly (owns the device) or exec'd by tools/tpu_worker.py.  Emits a
-human table plus one JSON line per config to benchmarks/results.jsonl.
+human table plus one JSON line per config to benchmarks/results.jsonl,
+and diffs every config against the best recorded TPU number for the same
+(shape, sizes, steps): a >10% drop is flagged as a REGRESSION (run-to-run
+session variance on this chip is ~2-9%, PERF.md).
 
-    python benchmarks/suite.py [--quick]
+    python benchmarks/suite.py [--quick] [--gate]
+
+``--gate``: exit nonzero when any config regresses (CI/worker-job mode).
 """
 
 import json
@@ -78,12 +83,36 @@ def run_config(name, interior, steps, pipeline=1, chain=1, **kw):
                                 eng.config.precision, 2)
 
 
+def recorded_best(outpath, platform):
+    """Best GCells/s per (shape, sizes, steps) already in results.jsonl
+    for this backend platform (the regression baseline)."""
+    best = {}
+    try:
+        with open(outpath) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if rec.get("backend_platform") != platform:
+                    continue
+                key = (rec.get("shape"), tuple(rec.get("interior", ())),
+                       rec.get("steps"))
+                v = rec.get("gcells_per_s", 0.0)
+                if v > best.get(key, 0.0):
+                    best[key] = v
+    except FileNotFoundError:
+        pass
+    return best
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     configs = QUICK if "--quick" in argv else CONFIGS
     outpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "results.jsonl")
-    rows = []
+    best = recorded_best(outpath, jax.default_backend())
+    rows, regressions = [], []
     with open(outpath, "a") as out:
         for name, interior, steps, opts in configs:
             try:
@@ -95,14 +124,27 @@ def main(argv=None) -> int:
                 rec["backend_platform"] = jax.default_backend()
                 out.write(json.dumps(rec) + "\n")
                 out.flush()
+                ref = best.get((name, tuple(interior), steps))
+                vs = (f"  {res.gcells_per_s / ref - 1.0:+6.1%} vs best "
+                      f"{ref:.2f}" if ref else "")
+                if ref and res.gcells_per_s < 0.9 * ref:
+                    regressions.append(
+                        f"{name} {interior} x{steps}: "
+                        f"{res.gcells_per_s:.2f} < 90% of recorded best "
+                        f"{ref:.2f} GCells/s")
                 print(f"{name:10s} {str(interior):18s} x{steps:<4d} "
                       f"{res.gcells_per_s:7.2f} GCells/s  "
-                      f"{res.gstencil_per_s:7.2f} GStencil/s", flush=True)
+                      f"{res.gstencil_per_s:7.2f} GStencil/s{vs}",
+                      flush=True)
             except Exception as e:
                 print(f"{name:10s} {str(interior):18s} FAILED: "
                       f"{type(e).__name__}", flush=True)
+                regressions.append(f"{name} {interior} x{steps}: FAILED "
+                                   f"({type(e).__name__})")
     print(f"\n{len(rows)}/{len(configs)} configs; results -> {outpath}")
-    return 0
+    for r in regressions:
+        print(f"REGRESSION: {r}", flush=True)
+    return 1 if (regressions and "--gate" in argv) else 0
 
 
 if __name__ == "__main__":

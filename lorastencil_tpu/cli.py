@@ -56,14 +56,14 @@ def main(argv=None) -> int:
                    default="auto")
     p.add_argument("--algorithm",
                    choices=["auto", "vpu", "vpu_roll", "mxu", "mxu_split",
-                            "mxu_hybrid", "mxu_hybrid3"],
+                            "mxu_hybrid", "mxu_hybrid1", "mxu_hybrid3"],
                    default="auto",
                    help="compute path; 'auto' (default) picks the "
                         "measured-fastest EXACT path per shape "
                         "(mxu_hybrid3 or vpu_roll); see EngineConfig")
     p.add_argument("--fused-steps", type=int, default=None,
                    help="timesteps fused per HBM round trip (1-D/2-D); "
-                        "default: auto (1 for 2-D, 4 for 1-D)")
+                        "default: auto (1 for 2-D, 2 for 1-D)")
     p.add_argument("--precision", choices=["highest", "default"],
                    default="highest")
     p.add_argument("--dtype",

@@ -16,7 +16,8 @@ from ..models.factorize import banded_matrix
 from .layout import LANE
 
 __all__ = ["term_band_mats", "plane_conv", "apply_spec_vpu",
-           "apply_spec_vpu_rolled", "apply_terms_mxu_split", "mm"]
+           "apply_spec_vpu_rolled", "apply_spec_hybrid1",
+           "apply_terms_mxu_split", "mm"]
 
 
 def term_band_mats(term, dtype):
@@ -189,6 +190,107 @@ def apply_terms_mxu_split(xs, mats, e_in, e_out, TM, TN):
     return acc
 
 
+def _residue_rolled(X, residue, acc, sh, xrolls, add):
+    """Apply sparse residue points as shared cyclic rolls (grouped by
+    |row offset|; a (+dr, dc, w)/(-dr, dc, w) pair shares one
+    row-symmetric sum D = sh(X,+dr) + sh(X,-dr) -- star2d1r's (+-2, +-2)
+    corners: 7 ops instead of 10)."""
+    import collections
+
+    by_row = collections.defaultdict(list)
+    for off, w in residue:
+        by_row[off[-2]].append((off[-1], float(w)))
+    for adr in sorted({abs(dr) for dr in by_row}):
+        up = sorted(by_row.get(adr, []))
+        dn = sorted(by_row.get(-adr, [])) if adr else []
+        if adr == 0:
+            D, rest = X, [(0, dc, w) for dc, w in up]
+        elif up == dn and up:
+            D = sh(X, adr, 0, xrolls) + sh(X, -adr, 0, xrolls)
+            rest = [(0, dc, w) for dc, w in up]
+        else:
+            D = None
+            rest = ([(adr, dc, w) for dc, w in up]
+                    + [(-adr, dc, w) for dc, w in dn])
+        for dr, dc, w in rest:
+            src = D if D is not None else sh(X, dr, 0, xrolls)
+            acc = add(acc, w * sh(src, dc, 1, xrolls if src is X else None))
+    return acc
+
+
+def apply_spec_hybrid1(X, xs, spec2d, col_mats):
+    """One full 2-D stencil application with the LANE-axis (column) convs
+    on the MXU and everything else (row convs, one-sided row terms, the
+    sparse residue) on the VPU as aligned cyclic rolls, at X's FIXED full
+    extent -- the two streams co-issue on TPU (Mosaic interleaves MXU
+    matmuls with VPU rolls; PERF.md round-3 measurement).
+
+    ``xs``: bf16 parts of X (3 for exact-fp32-grade fp32 state via
+    ``split_bf16``; 1 for bf16 state).  ``col_mats``: per term, a tuple
+    of bf16 banded (128+2rc, 128) matrix parts for the column taps (or
+    None when the term has no column axis).  Every bf16 x bf16 product
+    is exact in the fp32 accumulator, so the MXU column conv matches the
+    fp32 VPU result to fp32-rounding grade.
+
+    Edge-of-window columns use row-trimmed band slices (zero extension)
+    -- the resulting margin error stays within ``radius`` of the window
+    edge, the same creep contract as ``apply_spec_vpu_rolled``.
+    """
+    R0, C0 = X.shape
+    xrolls = {}
+
+    def sh(A, d, axis, memo=None):
+        if d == 0:
+            return A
+        if memo is not None and (d, axis) in memo:
+            return memo[(d, axis)]
+        n = R0 if axis == 0 else C0
+        r = pltpu.roll(A, (-d) % n, axis)
+        if memo is not None:
+            memo[(d, axis)] = r
+        return r
+
+    def add(a, b):
+        return b if a is None else a + b
+
+    def col_conv_mxu(Bparts, rc):
+        """Full-extent column conv: per-128-lane-chunk banded matmuls
+        summed over the state split."""
+        parts = []
+        for c0 in range(0, C0, LANE):
+            in_lo = max(0, c0 - rc)
+            in_hi = min(C0, c0 + LANE + rc)
+            top = in_lo - (c0 - rc)
+            bs = tuple(b[top: top + (in_hi - in_lo), :] for b in Bparts)
+            xis = tuple(xi[:, in_lo:in_hi] for xi in xs)
+            parts.append(_dot_splitn(xis, bs))
+        return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+    acc = None
+    for term, Bparts in zip(spec2d.terms, col_mats):
+        rt, ct = term.taps[-2], term.taps[-1]
+        if ct is not None:
+            rc = (len(ct) - 1) // 2
+            Y = col_conv_mxu(Bparts, rc)
+        else:
+            Y = X
+        if rt is not None:
+            rr = (len(rt) - 1) // 2
+            Z = None
+            for k, w in enumerate(rt):
+                if w != 0.0:
+                    memo = xrolls if Y is X else None
+                    Z = add(Z, w * sh(Y, k - rr, 0, memo))
+        else:
+            Z = Y
+        acc = add(acc, Z)
+
+    acc = _residue_rolled(X, spec2d.residue, acc, sh, xrolls, add)
+    if acc is None:
+        acc = jnp.zeros((R0, C0), X.dtype)
+    return acc
+
+
 def apply_spec_vpu_rolled(X, spec2d):
     """One full 2-D stencil application on the VPU via cyclic rolls at a
     FIXED (sublane, lane)-aligned extent (exact fp32).
@@ -206,8 +308,6 @@ def apply_spec_vpu_rolled(X, spec2d):
     Residue points are grouped by row offset so each distinct row roll
     is computed once (star2d1r's 8-point residue: 3 row groups).
     """
-    import collections
-
     R0, C0 = X.shape
     xrolls = {}  # rolls of X shared across terms and the residue
 
@@ -247,27 +347,7 @@ def apply_spec_vpu_rolled(X, spec2d):
             Z = Y
         acc = add(acc, Z)
 
-    # group residue points by |row offset|; a (+dr, dc, w)/(-dr, dc, w)
-    # pair shares one row-symmetric sum D = sh(X,+dr) + sh(X,-dr)
-    # (star2d1r's (+-2, +-2) corners: 7 ops instead of 10)
-    by_row = collections.defaultdict(list)
-    for off, w in spec2d.residue:
-        by_row[off[-2]].append((off[-1], float(w)))
-    for adr in sorted({abs(dr) for dr in by_row}):
-        up = sorted(by_row.get(adr, []))
-        dn = sorted(by_row.get(-adr, [])) if adr else []
-        if adr == 0:
-            D, rest = X, [(0, dc, w) for dc, w in up]
-        elif up == dn and up:
-            D = sh(X, adr, 0, xrolls) + sh(X, -adr, 0, xrolls)
-            rest = [(0, dc, w) for dc, w in up]
-        else:
-            D = None
-            rest = ([(adr, dc, w) for dc, w in up]
-                    + [(-adr, dc, w) for dc, w in dn])
-        for dr, dc, w in rest:
-            src = D if D is not None else sh(X, dr, 0, xrolls)
-            acc = add(acc, w * sh(src, dc, 1, xrolls if src is X else None))
+    acc = _residue_rolled(X, spec2d.residue, acc, sh, xrolls, add)
     if acc is None:
         acc = jnp.zeros((R0, C0), X.dtype)
     return acc

@@ -55,9 +55,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.shapes import SeparableTerm, StencilSpec
-from .band_gemm import (apply_spec_vpu, apply_spec_vpu_rolled,
-                        apply_spec_vpu_rolled_extent, apply_terms_mxu_split,
-                        plane_conv, split_bf16, term_band_mats)
+from .band_gemm import (apply_spec_hybrid1, apply_spec_vpu,
+                        apply_spec_vpu_rolled, apply_spec_vpu_rolled_extent,
+                        apply_terms_mxu_split, plane_conv, split_bf16,
+                        term_band_mats)
 from .layout import LANE, SUBLANE, Layout2D
 
 
@@ -194,16 +195,32 @@ def _stencil2d_kernel(
     if X.dtype == jnp.bfloat16:
         X = X.astype(jnp.float32)
 
-    if algorithm == "vpu_roll":
+    if algorithm in ("vpu_roll", "mxu_hybrid1"):
         # cyclic-roll convolutions at the FIXED full window extent: every
         # shifted operand is (8, 128)-aligned, and the roll-wrap garbage
         # creeps <= radius per substep into the guard margin (see
         # band_gemm.apply_spec_vpu_rolled).  Substeps ping-pong through
         # full-extent VMEM scratch; the final interior slice is aligned
         # (HR % 8 == 0, HC == 128) and fuses into the out-tile store.
+        # 'mxu_hybrid1' offloads the column convs to the MXU (state split
+        # to full exactness depth) and keeps row convs + residue on the
+        # VPU -- the streams co-issue, and both are lighter than either
+        # single-stream exact path (round-2 VERDICT item 1).
         cur = X
         for s in range(fused_steps):
-            val = apply_spec_vpu_rolled(cur, spec)
+            if algorithm == "mxu_hybrid1":
+                xs = ((cur.astype(jnp.bfloat16),) if bf16_state
+                      else split_bf16(cur, 3))
+                col_mats = []
+                mi = 0
+                for (na, _rr, nb, _rc) in mats_meta:
+                    col_mats.append(
+                        tuple(mat_refs[mi + na + i][:] for i in range(nb))
+                        if nb else None)
+                    mi += na + nb
+                val = apply_spec_hybrid1(cur, xs, spec, col_mats)
+            else:
+                val = apply_spec_vpu_rolled(cur, spec)
             val = mask_to_interior(val, HR, HC)
             if s < fused_steps - 1:
                 work[s % 2] = val
@@ -338,10 +355,11 @@ def stencil2d_step(
     layout.validate()
     TM, TN = layout.tile
     if algorithm not in ("vpu", "vpu_roll", "mxu", "mxu_split",
-                         "mxu_hybrid", "mxu_hybrid3"):
+                         "mxu_hybrid", "mxu_hybrid1", "mxu_hybrid3"):
         raise ValueError(
             f"unknown algorithm {algorithm!r}; expected 'vpu', 'vpu_roll', "
-            f"'mxu', 'mxu_split', 'mxu_hybrid' or 'mxu_hybrid3'")
+            f"'mxu', 'mxu_split', 'mxu_hybrid', 'mxu_hybrid1' or "
+            f"'mxu_hybrid3'")
     if fused_steps > 1 and algorithm == "mxu":
         raise ValueError(
             "temporal fusion (fused_steps > 1) needs algorithm='vpu', "
@@ -400,7 +418,7 @@ def stencil2d_step(
         # depth (integer reference taps: 1 part; arbitrary reals: up to
         # 3 for mxu_hybrid3 -- which keeps that tier exact-grade for
         # custom coefficients too)
-        max_parts = 3 if algorithm == "mxu_hybrid3" else 2
+        max_parts = 3 if algorithm in ("mxu_hybrid1", "mxu_hybrid3") else 2
 
         def bf16_parts(M):
             parts = []
@@ -438,9 +456,10 @@ def stencil2d_step(
     # kernels (round 1 single-buffered all fused kernels: ~14% of wall
     # time was exposed DMA at the 8192^2 headline config).
     itemsize = np_dtype.itemsize
-    work_rows = (TM + 2 * HR if algorithm == "vpu_roll"
+    full_extent = algorithm in ("vpu_roll", "mxu_hybrid1")
+    work_rows = (TM + 2 * HR if full_extent
                  else TM + 2 * (fused_steps - 1) * spec.radius)
-    work_cols = (TN + 2 * HC if algorithm == "vpu_roll"
+    work_cols = (TN + 2 * HC if full_extent
                  else TN + 2 * (fused_steps - 1) * spec.radius)
     win_bytes = (TM + 2 * HR) * (TN + 2 * HC) * itemsize
     out_bytes = TM * TN * itemsize

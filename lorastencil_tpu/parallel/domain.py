@@ -56,6 +56,22 @@ def _check_reflect_fused(spec: StencilSpec, config) -> None:
             "commute with the stencil); use fused_steps=1")
 
 
+def _check_divisible(boundary: str, interior, mesh_shape) -> None:
+    """Periodic/reflect boundaries wrap or mirror at the TRUE global
+    edge, which must coincide with a device-block edge -- padded fake
+    cells would be wrapped/mirrored as if they were real.  dirichlet0
+    (the reference semantics) shards arbitrary sizes via block
+    padding + bounds masking."""
+    if boundary == "dirichlet0":
+        return
+    for g, d in zip(interior, mesh_shape):
+        if g % d:
+            raise ValueError(
+                f"boundary={boundary!r} needs mesh-divisible interiors "
+                f"(got {tuple(interior)} on {tuple(mesh_shape)}); only "
+                f"dirichlet0 supports arbitrary sizes")
+
+
 def make_mesh(shape: Tuple[int, ...], axis_names=("x", "y"),
               devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
@@ -122,10 +138,8 @@ class ShardedStencil2D:
         _check_reflect_fused(spec, config)
         gm, gn = interior
         dx, dy = config.mesh_shape
-        assert gm % dx == 0 and gn % dy == 0, (
-            "interior must divide the mesh for now")
+        _check_divisible(config.boundary, (gm, gn), (dx, dy))
         self.interior = (gm, gn)
-        self.local_interior = (gm // dx, gn // dy)
         self.mesh = mesh if mesh is not None else make_mesh((dx, dy))
         from ..engine import resolve_algorithm
         from ..ops.layout import LANE, SUBLANE, divisor_tile_2d
@@ -133,26 +147,49 @@ class ShardedStencil2D:
         self.algorithm = resolve_algorithm(spec, config.algorithm)
         k = max(1, config.fused_steps)
         self.fused_steps = k
-        lm, ln = self.local_interior
+        lm, ln = -(-gm // dx), -(-gn // dy)
         if config.tile is not None:
             tile = config.tile
         else:
             tile = default_tile_2d(
                 lm, ln, mxu_residue=(self.algorithm.startswith("mxu")
                                      and bool(spec.residue)))
-            if k > 1 and (lm % tile[0] or ln % tile[1]):
-                # fused runs forbid tile round-up; the measured-best
-                # default does not divide every local block
-                tile = divisor_tile_2d(lm, ln)
+        if self.config.boundary == "dirichlet0":
+            # pad the local block UP to a tile multiple: arbitrary global
+            # sizes shard (round-2 VERDICT item 4).  There is no tile
+            # round-up region, so the exchanged guard ring never aliases
+            # interior tiles; padded fake-interior cells sit beyond the
+            # global bounds and the kernels mask them to zero every
+            # (sub)step -- exactly the Dirichlet-0 halo semantics their
+            # real neighbors expect.  When padding to the measured-best
+            # default tile would waste > ~8% of the block (small local
+            # blocks), a zero-waste divisor tile wins instead.
+            bm = SUBLANE * (-(-lm // SUBLANE))
+            bn = LANE * (-(-ln // LANE))
+            if config.tile is None and (bm % tile[0] or bn % tile[1]):
+                pad = (tile[0] * (-(-bm // tile[0]))
+                       * tile[1] * (-(-bn // tile[1])))
+                if pad > 1.08 * bm * bn:
+                    tile = divisor_tile_2d(bm, bn)
+            lm = tile[0] * (-(-bm // tile[0]))
+            ln = tile[1] * (-(-bn // tile[1]))
+        elif k > 1 and (lm % tile[0] or ln % tile[1]):
+            # periodic/reflect wrap/mirror at the true global edge, so
+            # the block cannot pad; fused runs forbid tile round-up
+            # (fake-interior cells would alias the exchanged guard ring)
+            if config.tile is not None:
+                raise ValueError(
+                    "fused sharded periodic/reflect runs need tile-"
+                    "aligned local blocks")
+            tile = divisor_tile_2d(lm, ln)
+        self.local_interior = (lm, ln)
         # exchange depth per pass: k*radius cells feed the fused substeps
         self.depth = max(max(spec.halo), k * spec.radius)
         guard_r = SUBLANE * (-(-self.depth // SUBLANE))
         assert self.depth <= LANE
-        if k > 1:
-            # fused sharded runs forbid tile round-up (fake-interior cells
-            # would alias the exchanged guard ring)
-            assert lm % tile[0] == 0 and ln % tile[1] == 0, (
-                "fused sharded runs need tile-aligned local blocks")
+        assert self.depth <= min(lm, ln), (
+            f"exchange depth {self.depth} exceeds the local block "
+            f"{(lm, ln)}; use fewer devices or lower fused_steps")
         self.layout = Layout2D(interior=self.local_interior, halo=spec.halo,
                                tile=tile, guard=(guard_r, LANE))
         self.precision = (jax.lax.Precision.HIGHEST
@@ -404,7 +441,10 @@ class ShardedStencil2D:
         r0, c0 = lay.origin
         d = self.depth
         padded = jnp.asarray(padded, jnp.float32)
-        gpad = jnp.zeros((gm + 2 * d, gn + 2 * d), jnp.float32)
+        # the block-padded global extent (== (gm, gn) when divisible);
+        # fake cells beyond the true interior stay zero = Dirichlet-0
+        Gm, Gn = dx * lm, dy * ln
+        gpad = jnp.zeros((Gm + 2 * d, Gn + 2 * d), jnp.float32)
         gpad = gpad.at[d - hm: d + gm + hm, d - hn: d + gn + hn].set(padded)
         if self.config.boundary == "periodic":
             # global wrap ring (pass 1 of the overlapped engine reads it)
@@ -445,11 +485,17 @@ class ShardedStencil2D:
         gm, gn = self.interior
         out = jnp.zeros((gm + 2 * hm, gn + 2 * hn), state.dtype)
         for i in range(dx):
+            tm = min(lm, gm - i * lm)  # clamp the block-padded tail
+            if tm <= 0:
+                continue
             for j in range(dy):
-                block = state[i * Mp + r0: i * Mp + r0 + lm,
-                              j * Np + c0: j * Np + c0 + ln]
-                out = out.at[hm + i * lm: hm + (i + 1) * lm,
-                             hn + j * ln: hn + (j + 1) * ln].set(block)
+                tn = min(ln, gn - j * ln)
+                if tn <= 0:
+                    continue
+                block = state[i * Mp + r0: i * Mp + r0 + tm,
+                              j * Np + c0: j * Np + c0 + tn]
+                out = out.at[hm + i * lm: hm + i * lm + tm,
+                             hn + j * ln: hn + j * ln + tn].set(block)
         return out
 
     def run(self, padded, steps: int):
@@ -474,30 +520,48 @@ class ShardedStencil3D:
     def __init__(self, spec: StencilSpec, interior, config: ShardedConfig,
                  mesh: Optional[Mesh] = None):
         assert spec.ndim == 3
-        from ..ops.layout import SUBLANE, Layout3D, default_tile_3d
+        from ..ops.layout import LANE, SUBLANE, Layout3D, default_tile_3d
 
         self.spec = spec
         self.config = config
         _check_reflect_fused(spec, config)
         h, gm, gn = interior
         dx, dy = config.mesh_shape
-        assert gm % dx == 0 and gn % dy == 0
+        _check_divisible(config.boundary, (gm, gn), (dx, dy))
         self.interior = tuple(interior)
-        self.local_interior = (h, gm // dx, gn // dy)
         self.mesh = mesh if mesh is not None else make_mesh((dx, dy))
-        tile = config.tile or default_tile_3d(gm // dx, gn // dy)
         k = max(1, config.fused_steps)
         self.fused_steps = k
+        lm, ln = -(-gm // dx), -(-gn // dy)
+        tile = config.tile or default_tile_3d(lm, ln)
+        if config.boundary == "dirichlet0":
+            # pad the local block to a tile multiple (see the 2-D twin):
+            # arbitrary global sizes shard; fake cells are bounds-masked
+            bm = SUBLANE * (-(-lm // SUBLANE))
+            bn = LANE * (-(-ln // LANE))
+            if config.tile is None and (bm % tile[0] or bn % tile[1]):
+                pad = (tile[0] * (-(-bm // tile[0]))
+                       * tile[1] * (-(-bn // tile[1])))
+                if pad > 1.08 * bm * bn:
+                    from ..ops.layout import divisor_tile_2d
+
+                    tile = divisor_tile_2d(bm, bn)
+            lm = tile[0] * (-(-bm // tile[0]))
+            ln = tile[1] * (-(-bn // tile[1]))
+        elif k > 1 and (lm % tile[0] or ln % tile[1]):
+            raise ValueError(
+                "fused sharded periodic/reflect runs need tile-aligned "
+                "local blocks")
+        self.local_interior = (h, lm, ln)
         # exchange depth per pass: k*radius cells feed the fused substeps
         # (the in-plane window guard is SUBLANE rows / LANE cols)
         self.depth = max(max(spec.halo[1:]), k * spec.radius)
         assert self.depth <= SUBLANE, (
             f"3-D fused exchange depth {self.depth} exceeds the {SUBLANE}-"
             f"row window guard; lower fused_steps")
-        if k > 1:
-            _, lm, ln = self.local_interior
-            assert lm % tile[0] == 0 and ln % tile[1] == 0, (
-                "fused sharded runs need tile-aligned local blocks")
+        assert self.depth <= min(lm, ln), (
+            f"exchange depth {self.depth} exceeds the local block "
+            f"{(lm, ln)}; use fewer devices or lower fused_steps")
         self.layout = Layout3D(interior=self.local_interior, halo=spec.halo,
                                tile=tile,
                                zguard=max(spec.halo[0], k * spec.radius))
@@ -730,9 +794,11 @@ class ShardedStencil3D:
         Hp, Mp, Np = lay.shape
         z0, r0, c0 = lay.origin
         d = self.depth
-        gm, gn = dx * lm, dy * ln
+        _, gm, gn = self.interior
+        # block-padded extent (== true interior when divisible)
+        Gm, Gn = dx * lm, dy * ln
         padded = jnp.asarray(padded, jnp.float32)
-        gpad = jnp.zeros((h + 2 * hz, gm + 2 * d, gn + 2 * d), jnp.float32)
+        gpad = jnp.zeros((h + 2 * hz, Gm + 2 * d, Gn + 2 * d), jnp.float32)
         gpad = gpad.at[:, d - hm: d + gm + hm, d - hn: d + gn + hn].set(
             padded)
         if self.config.boundary == "periodic":
@@ -774,15 +840,21 @@ class ShardedStencil3D:
         dx, dy = self.config.mesh_shape
         Hp, Mp, Np = lay.shape
         z0, r0, c0 = lay.origin
-        gm, gn = dx * lm, dy * ln
+        _, gm, gn = self.interior
         out = jnp.zeros((h + 2 * hz, gm + 2 * hm, gn + 2 * hn), state.dtype)
         for i in range(dx):
+            tm = min(lm, gm - i * lm)  # clamp the block-padded tail
+            if tm <= 0:
+                continue
             for j in range(dy):
+                tn = min(ln, gn - j * ln)
+                if tn <= 0:
+                    continue
                 block = state[z0 - hz: z0 + h + hz,
-                              i * Mp + r0: i * Mp + r0 + lm,
-                              j * Np + c0: j * Np + c0 + ln]
-                out = out.at[:, hm + i * lm: hm + (i + 1) * lm,
-                             hn + j * ln: hn + (j + 1) * ln].set(block)
+                              i * Mp + r0: i * Mp + r0 + tm,
+                              j * Np + c0: j * Np + c0 + tn]
+                out = out.at[:, hm + i * lm: hm + i * lm + tm,
+                             hn + j * ln: hn + j * ln + tn].set(block)
         return out
 
     def run(self, padded, steps: int):
@@ -814,10 +886,18 @@ class ShardedStencil1D:
         self.config = config
         _check_reflect_fused(spec, config)
         (dx,) = config.mesh_shape[:1]
-        assert interior % dx == 0 and (interior // dx) % LANE == 0, (
-            "local block must be lane-aligned")
+        _check_divisible(config.boundary, (interior,), (dx,))
         self.interior = interior
-        self.local_interior = interior // dx
+        if config.boundary == "dirichlet0":
+            # pad the local block to a lane multiple: arbitrary global
+            # sizes shard (see the 2-D twin); fake tail cells are
+            # bounds-masked to zero = Dirichlet-0
+            nl = -(-interior // dx)
+            self.local_interior = LANE * (-(-nl // LANE))
+        else:
+            assert (interior // dx) % LANE == 0, (
+                "periodic/reflect local blocks must be lane-aligned")
+            self.local_interior = interior // dx
         self.dx = dx
         k = max(1, config.fused_steps)
         # the window guard grows with k (edge garbage creeps one 128-lane
@@ -1015,7 +1095,8 @@ class ShardedStencil1D:
         R, L = self.layout.shape
         N = self.interior
         padded = jnp.asarray(padded, jnp.float32)
-        gpad = jnp.zeros((N + 2 * d,), jnp.float32)
+        # block-padded extent (== N when lane-aligned divisible)
+        gpad = jnp.zeros((self.dx * n + 2 * d,), jnp.float32)
         gpad = gpad.at[d - h: d + N + h].set(padded)
         if self.config.boundary == "periodic":
             gpad = gpad.at[:d].set(gpad[N: N + d])
@@ -1047,14 +1128,17 @@ class ShardedStencil1D:
         R, L = self.layout.shape
         out = jnp.zeros((self.interior + 2 * h,), state.dtype)
         for i in range(self.dx):
+            take = min(n, self.interior - i * n)  # block-padded tail
+            if take <= 0:
+                continue
             if self.lanes:
                 loc = self.layout.from_internal(
-                    state[i * R: (i + 1) * R])[d: d + n]
+                    state[i * R: (i + 1) * R])[d: d + take]
             else:
                 o = self.layout.origin
                 flat = state.reshape(-1)
-                loc = flat[i * R * L + o: i * R * L + o + n]
-            out = out.at[h + i * n: h + (i + 1) * n].set(loc)
+                loc = flat[i * R * L + o: i * R * L + o + take]
+            out = out.at[h + i * n: h + i * n + take].set(loc)
         return out
 
     def run(self, padded, steps: int):

@@ -51,7 +51,9 @@ def stencil_roofline(
     tile,
     fused_steps: int = 1,
     dtype_bytes: int = 4,
-    hbm_gbps: float = 446.0,   # measured Pallas-DMA bandwidth (v5e, r2)
+    hbm_gbps: float = 800.0,   # double-buffered HBM aggregate (v5e, r3
+                               # device trace; the single-stream Pallas-DMA
+                               # microbench was 446)
     vpu_gflops: float = 4200.0,  # ~2.1 T elem-ops/s effective (PERF.md)
 ) -> Roofline:
     """First-order roofline for the VPU shift-add kernel."""

@@ -325,7 +325,7 @@ class Test1DGenerality:
 
 @pytest.mark.parametrize("alg,tol", [
     ("vpu_roll", 1e-6), ("mxu_hybrid3", 1e-6),
-    ("mxu_hybrid", 1e-4), ("auto", 1e-6),
+    ("mxu_hybrid", 1e-4), ("mxu_hybrid1", 1e-6), ("auto", 1e-6),
 ])
 @pytest.mark.parametrize("name", ["star2d1r", "star2d3r", "box2d3r"])
 def test_2d_algorithm_tiers(name, alg, tol):
@@ -353,7 +353,8 @@ def test_auto_algorithm_resolution():
         shapes.get_shape("star2d3r"), "auto", jnp2.float64) == "vpu_roll"
 
 
-@pytest.mark.parametrize("alg", ["vpu_roll", "mxu_hybrid", "auto"])
+@pytest.mark.parametrize("alg", ["vpu_roll", "mxu_hybrid", "mxu_hybrid1",
+                                 "auto"])
 def test_bf16_state_throughput_tier(alg):
     """bfloat16 HBM state (half the traffic; compute still fp32 in
     VMEM): ~4e-3/step storage rounding."""

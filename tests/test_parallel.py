@@ -391,3 +391,84 @@ def test_sharded_overlap_hybrid3():
 def test_sharded_config_rejects_bad_precision():
     with pytest.raises(ValueError, match="precision"):
         domain.ShardedConfig(mesh_shape=(2, 2), precision="higest")
+
+
+# -- non-divisible global interiors (round-2 VERDICT item 4) -------------
+# dirichlet0 pads the local block to a tile multiple; padded fake cells
+# are bounds-masked to zero every (sub)step, which IS the Dirichlet-0
+# semantics their real neighbors expect.
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_sharded_nondivisible_2d(k):
+    spec = shapes.get_shape("star2d1r")
+    interior = (100, 300)  # neither axis divides the 4x2 mesh
+    g0 = reference.random_padded(spec, interior, seed=91)
+    sh = domain.sharded_engine("star2d1r", interior, (4, 2), fused_steps=k)
+    assert sh.local_interior[0] * 4 >= 100
+    assert sh.local_interior[1] * 2 >= 300
+    for steps in (1, 2 * k + 1):
+        got = np.asarray(sh.run(g0, steps), np.float64)
+        want = reference.run(g0, spec, steps)
+        err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+        assert err < 1e-6, (k, steps, err)
+
+
+def test_sharded_nondivisible_2d_overlap():
+    """Non-divisible block padding under the overlapped exchange
+    (>= 3x3 local tiles)."""
+    spec = shapes.get_shape("box2d3r")
+    interior = (100, 1000)
+    g0 = reference.random_padded(spec, interior, seed=92)
+    sh = domain.sharded_engine("box2d3r", interior, (2, 2),
+                               tile=(24, 128), fused_steps=2)
+    assert sh._can_overlap()
+    got = np.asarray(sh.run(g0, 5), np.float64)
+    want = reference.run(g0, spec, 5)
+    err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert err < 1e-6, err
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_sharded_nondivisible_3d(k):
+    spec = shapes.get_shape("box3d1r")
+    interior = (4, 20, 200)
+    g0 = reference.random_padded(spec, interior, seed=93)
+    sh = domain.sharded_engine("box3d1r", interior, (2, 2), fused_steps=k)
+    for steps in (1, 2 * k + 1):
+        got = np.asarray(sh.run(g0, steps), np.float64)
+        want = reference.run(g0, spec, steps)
+        err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+        assert err < 1e-6, (k, steps, err)
+
+
+@pytest.mark.parametrize("name,n,k", [("1d1r", 1000, 1), ("1d2r", 3333, 2)])
+def test_sharded_nondivisible_1d(name, n, k):
+    spec = shapes.get_shape(name)
+    g0 = reference.random_padded(spec, (n,), seed=94)
+    sh = domain.sharded_engine(name, n, (4,), fused_steps=k)
+    for steps in (1, 2 * k + 1):
+        got = np.asarray(sh.run(g0, steps), np.float64)
+        want = reference.run(g0, spec, steps)
+        err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+        assert err < 1e-6, (name, k, steps, err)
+
+
+def test_sharded_nondivisible_last_device_all_fake():
+    """A global interior so small that trailing devices own only padded
+    fake cells: they must compute zeros and stay silent."""
+    spec = shapes.get_shape("star2d1r")
+    interior = (20, 140)  # 8x1 mesh: lm=8 -> devices 3..7 past row 20
+    g0 = reference.random_padded(spec, interior, seed=95)
+    sh = domain.sharded_engine("star2d1r", interior, (8, 1), tile=(8, 128))
+    got = np.asarray(sh.run(g0, 3), np.float64)
+    want = reference.run(g0, spec, 3)
+    err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert err < 1e-6, err
+
+
+def test_sharded_nondivisible_periodic_rejected():
+    with pytest.raises(ValueError, match="divisible"):
+        domain.sharded_engine("star2d1r", (101, 300), (4, 2),
+                              boundary="periodic")
+    with pytest.raises(ValueError, match="divisible"):
+        domain.sharded_engine("1d1r", 1001, (4,), boundary="reflect")

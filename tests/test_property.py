@@ -78,8 +78,8 @@ def test_random_custom_stencils_round2_tiers(seed):
     S = _random_low_rank(rng, w, rank, spikes)
     r = (w - 1) // 2
 
-    alg = rng.choice(["vpu_roll", "mxu_hybrid", "mxu_hybrid3",
-                      "auto"]).item()
+    alg = rng.choice(["vpu_roll", "mxu_hybrid", "mxu_hybrid1",
+                      "mxu_hybrid3", "auto"]).item()
     eng = engine.StencilEngine.for_coeffs(
         S, (24, 136), halo=(r, r), max_rank=4, algorithm=alg,
         fused_steps=int(rng.choice([1, 2, 3])),
