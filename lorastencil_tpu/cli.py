@@ -110,28 +110,31 @@ def main(argv=None) -> int:
     )
     grid0 = make_input(spec, interior, args.fill, args.seed)
     tile = tuple(args.tile) if args.tile else None
-    if args.autotune and tile is None and spec.ndim in (2, 3):
-        from .utils import autotune
-
-        if spec.ndim == 2:
-            tile = autotune.autotune_tile(
-                args.shape, interior, algorithm=args.algorithm,
-                fused_steps=args.fused_steps, dtype=args.dtype,
-                verbose=True)
-        else:
-            tile = autotune.autotune_tile_3d(
-                args.shape, interior, algorithm=args.algorithm,
-                dtype=args.dtype, verbose=True)
-        print(f"INFO: autotuned tile = {tile}", flush=True)
-    elif args.autotune and spec.ndim == 1:
-        print("INFO: --autotune is a no-op for 1-D shapes (flat layout "
-              "has no tunable tile)", flush=True)
-    eng = engine.StencilEngine.for_shape(
-        args.shape, interior, backend=args.backend, dtype=args.dtype,
+    eng_kw = dict(
+        backend=args.backend, dtype=args.dtype,
         precision=args.precision, algorithm=args.algorithm,
         fused_steps=args.fused_steps, tile=tile,
         boundary=args.boundary,
     )
+    if args.autotune:
+        from .utils import autotune
+
+        # measure the device-dependent knobs (tile; and, for knobs the
+        # user left at defaults, algorithm / fusion depth / 1-D lane
+        # geometry); explicit flags always win
+        tuned = autotune.autotune_params(args.shape, interior,
+                                         dtype=args.dtype, verbose=True)
+        for k, v in tuned.items():
+            if k == "tile" and tile is None:
+                eng_kw["tile"] = tuple(v)
+            elif k == "algorithm" and args.algorithm == "auto":
+                eng_kw["algorithm"] = v
+            elif k == "fused_steps" and args.fused_steps is None:
+                eng_kw["fused_steps"] = v
+            elif k in ("lanes_width", "lanes_tile_rows", "fused_steps_3d"):
+                eng_kw[k] = v
+        print(f"INFO: autotuned {tuned}", flush=True)
+    eng = engine.StencilEngine.for_shape(args.shape, interior, **eng_kw)
 
     secs, _ = metrics.time_run(
         lambda: eng.run_checksum(grid0, steps), repeats=args.repeats

@@ -140,6 +140,11 @@ class EngineConfig:
     # best at 256^3 (23.3 vs 21.5 GCells/s unfused); deeper fusion loses
     # to VMEM pressure.
     fused_steps_3d: int = 2
+    # 1-D overlapped-lane layout overrides (None = measured defaults
+    # from Layout1DLanes.build); exposed so --autotune can measure lane
+    # geometry per device (round-2 VERDICT item 5)
+    lanes_width: Optional[int] = None      # stored lanes/row (x128)
+    lanes_tile_rows: Optional[int] = None  # rows per DMA tile (x8)
     # boundary condition: "dirichlet0" (reference semantics: the halo
     # decays to zero -- SURVEY.md section 4), "periodic" (the grid
     # wraps) or "reflect" (symmetric / zero-flux mirror padding).  For
@@ -313,6 +318,13 @@ class StencilEngine:
             if not (1 <= r_eff <= 32):
                 return flat
             lanes, _ = Layout1DLanes.build(n1, spec.halo[0], k, r_eff)
+            if self.config.lanes_width or self.config.lanes_tile_rows:
+                lanes = dataclasses.replace(
+                    lanes,
+                    width=self.config.lanes_width or lanes.width,
+                    tile_rows=(self.config.lanes_tile_rows
+                               or lanes.tile_rows))
+                lanes.validate()
             return lanes
         if spec.ndim == 2:
             tile = self.config.tile

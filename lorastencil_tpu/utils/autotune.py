@@ -227,6 +227,138 @@ def autotune_tile_3d(
         make_config, steps, use_cache, verbose)
 
 
+def _measure_engine(eng, steps):
+    import jax
+    import jax.numpy as jnp
+
+    from . import metrics
+
+    def run(key2):
+        state = jax.random.uniform(
+            key2, eng.layout.shape, eng.dtype, 0.0, 0.01)
+        return jnp.sum(eng._run_internal(state, steps) * 0.0)
+
+    secs, _ = metrics.time_run(jax.jit(run), jax.random.PRNGKey(0),
+                               repeats=1, warmup=1, pipeline=2,
+                               subtract_sync=True)
+    return secs
+
+
+def _autotune_params(spec, interior, key, candidates, steps, use_cache,
+                     verbose, base_kw):
+    """Measure engine-kwarg candidate dicts; cache the winner (same
+    on-disk cache as the tile tuner, value under 'params')."""
+    from .. import engine as _engine
+
+    cache = _load_cache()
+    if use_cache and key in cache and "params" in cache[key]:
+        return dict(cache[key]["params"])
+
+    best, best_secs = None, float("inf")
+    results = {}
+    for cand in candidates:
+        tag = json.dumps(cand, sort_keys=True)
+        try:
+            kw = dict(base_kw)
+            kw.update(cand)
+            cfg_kw = {k: v for k, v in kw.items()
+                      if k in _engine.EngineConfig.__dataclass_fields__}
+            eng = _engine.StencilEngine(spec, interior,
+                                        _engine.EngineConfig(**cfg_kw))
+            secs = _measure_engine(eng, steps)
+            results[tag] = secs
+            if verbose:
+                print(f"autotune {spec.name} {tag}: {secs*1e3:.2f} ms",
+                      flush=True)
+            if secs < best_secs:
+                best, best_secs = dict(cand), secs
+        except Exception as e:
+            results[tag] = f"failed: {type(e).__name__}"
+            if verbose:
+                print(f"autotune {spec.name} {tag}: failed "
+                      f"({type(e).__name__})", flush=True)
+    if best is None:
+        raise RuntimeError(
+            f"autotune: no candidate ran for {spec.name} {interior}")
+    cache = _load_cache()
+    cache[key] = {"params": best, "secs": best_secs, "measured": results}
+    _store_cache(cache)
+    return best
+
+
+def candidates_1d():
+    """1-D lane-geometry / fusion candidates: the engine's defaults plus
+    the neighboring corners of the measured round-3 space (k=2 + width
+    2048 won at 16M; tiny grids ignore all of this via the resident
+    kernel)."""
+    out = [{"fused_steps": k} for k in (1, 2, 4)]
+    out += [{"fused_steps": 2, "lanes_width": w} for w in (1024, 2048)]
+    out += [{"fused_steps": 2, "lanes_tile_rows": tr} for tr in (56, 112)]
+    return out
+
+
+def exact_algorithms_2d(spec):
+    """Exact-fp32-grade 2-D compute paths only -- autotune must never
+    silently trade numerics for speed ('mxu_hybrid' at ~6e-6/step stays
+    opt-in)."""
+    out = ["vpu_roll", "mxu_hybrid1"]
+    axes = sum((t.taps[-2] is not None) + (t.taps[-1] is not None)
+               for t in spec.terms)
+    if axes <= 2 and not spec.residue:
+        out.append("mxu_hybrid3")
+    return out
+
+
+def candidates_2d_params(spec):
+    cands = []
+    for alg in exact_algorithms_2d(spec):
+        for k in (1, 2):
+            cands.append({"algorithm": alg, "fused_steps": k})
+    return cands
+
+
+def autotune_params(shape, interior, dtype: str = "float32",
+                    steps: Optional[int] = None, use_cache: bool = True,
+                    verbose: bool = False, **base_kw) -> dict:
+    """Measure the device-dependent engine knobs for a config and return
+    the winning engine kwargs (round-2 VERDICT item 5).
+
+    1-D: fusion depth + overlapped-lane geometry.  2-D: exact algorithm
+    choice + fusion depth, after (and composed with) the tile tuner.
+    3-D: in-plane tile (autotune_tile_3d) + slab fusion depth.  Cached
+    per (device kind, spec, interior, dtype) like the tile tuner."""
+    from ..models.shapes import StencilSpec, get_shape
+
+    spec = shape if isinstance(shape, StencilSpec) else get_shape(shape)
+    interior = tuple(int(s) for s in np.atleast_1d(interior))
+    if spec.ndim == 1:
+        key = _key(spec, interior, "params1d", "-", dtype)
+        return _autotune_params(spec, interior, key, candidates_1d(),
+                                steps or 16, use_cache, verbose,
+                                dict(base_kw, dtype=dtype))
+    if spec.ndim == 2:
+        key = _key(spec, interior, "params2d", "-", dtype)
+        # stage 1: tile per algorithm family is close to universal; tune
+        # the tile once with the auto algorithm, then search
+        # (algorithm, fused_steps) at that tile.
+        tile = autotune_tile(spec, interior, dtype=dtype,
+                             use_cache=use_cache, verbose=verbose)
+        best = _autotune_params(
+            spec, interior, key, candidates_2d_params(spec),
+            steps or 24, use_cache, verbose,
+            dict(base_kw, dtype=dtype, tile=tile))
+        return dict(best, tile=tile)
+    key = _key(spec, interior, "params3d", "-", dtype)
+    tile = autotune_tile_3d(spec, interior, dtype=dtype,
+                            use_cache=use_cache, verbose=verbose)
+    best = _autotune_params(
+        spec, interior, key,
+        [{"fused_steps_3d": k} for k in (1, 2)],
+        steps or 12, use_cache, verbose,
+        dict(base_kw, dtype=dtype, tile=tile))
+    return dict(best, tile=tile)
+
+
 def autotuned_engine(shape, interior, **kw):
     """StencilEngine with an autotuned tile (2-D and 3-D; 1-D passes
     through to the default layout heuristics)."""

@@ -394,3 +394,47 @@ def test_bf16_state_rejected_on_xla_backend():
     with pytest.raises(ValueError, match="bfloat16"):
         engine.StencilEngine.for_shape("box3d1r", (8, 16, 128),
                                        dtype="bfloat16", backend="xla")
+
+
+def test_1d_lane_geometry_overrides():
+    """EngineConfig.lanes_width / lanes_tile_rows reshape the 1-D
+    overlapped-lane layout (the --autotune search space) without
+    changing results."""
+    from lorastencil_tpu.ops.layout import Layout1DLanes
+
+    spec = shapes.get_shape("1d2r")
+    g0 = reference.random_padded(spec, (300_000,), seed=13)
+    want = reference.run(g0, spec, 3)
+    for kw in ({}, {"lanes_width": 1024}, {"lanes_tile_rows": 56},
+               {"lanes_width": 512, "lanes_tile_rows": 16}):
+        eng = engine.StencilEngine.for_shape("1d2r", (300_000,), **kw)
+        assert isinstance(eng.layout, Layout1DLanes), kw
+        if "lanes_width" in kw:
+            assert eng.layout.width == kw["lanes_width"]
+        if "lanes_tile_rows" in kw:
+            assert eng.layout.tile_rows == kw["lanes_tile_rows"]
+        got = np.asarray(eng.run(jnp.asarray(g0, jnp.float32), 3),
+                         np.float64)
+        err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+        assert err < 1e-6, (kw, err)
+
+
+def test_autotune_params_cpu_plumbing(tmp_path, monkeypatch):
+    """autotune_params measures candidates and returns engine kwargs the
+    engine accepts (numbers are meaningless on CPU; plumbing only)."""
+    from lorastencil_tpu.utils import autotune
+
+    monkeypatch.setenv("LORASTENCIL_CACHE", str(tmp_path))
+    p1 = autotune.autotune_params("1d2r", (300_000,), steps=1)
+    assert "fused_steps" in p1
+    p2 = autotune.autotune_params("star2d1r", (32, 256), steps=1)
+    assert "algorithm" in p2 and "tile" in p2
+    # exactness contract: only exact-grade algorithms are candidates
+    assert all(a in ("vpu_roll", "mxu_hybrid1", "mxu_hybrid3")
+               for a in [c["algorithm"]
+                         for c in autotune.candidates_2d_params(
+                             shapes.get_shape("star2d1r"))])
+    eng = engine.StencilEngine.for_shape("star2d1r", (32, 256), **p2)
+    assert eng.algorithm in ("vpu_roll", "mxu_hybrid1", "mxu_hybrid3")
+    # cache hit returns the same dict without re-measuring
+    assert autotune.autotune_params("star2d1r", (32, 256), steps=1) == p2
