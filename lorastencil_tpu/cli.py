@@ -56,7 +56,8 @@ def main(argv=None) -> int:
                    default="auto")
     p.add_argument("--algorithm",
                    choices=["auto", "vpu", "vpu_roll", "mxu", "mxu_split",
-                            "mxu_hybrid", "mxu_hybrid1", "mxu_hybrid3"],
+                            "mxu_hybrid", "mxu_hybrid1", "mxu_hybrid1r",
+                            "mxu_hybrid3"],
                    default="auto",
                    help="compute path; 'auto' (default) picks the "
                         "measured-fastest EXACT path per shape "

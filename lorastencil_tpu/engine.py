@@ -45,20 +45,27 @@ def _on_tpu() -> bool:
 
 def resolve_algorithm(spec: StencilSpec, name: str,
                       dtype=jnp.float32) -> str:
-    """Resolve algorithm='auto' per shape: exact 3-pass MXU hybrid when
-    the spec is MXU-friendly (<= 2 matmul axes, no residue -- e.g.
-    star2d3r's two one-sided convs), else the exact roll-VPU kernel.
-    fp64 runs always use the VPU (bf16 splits are fp32-grade).
-    Measured basis: PERF.md accuracy/speed table."""
+    """Resolve algorithm='auto' per shape to the measured-fastest EXACT
+    path (PERF.md accuracy/speed table):
+
+      * 'mxu_hybrid1' (column convs on the MXU at full split depth, row
+        convs + residue on the VPU, co-issued) for 2-D specs with few
+        terms -- round-4 measurements: star2d1r 8192^2 52.5 vs 45.5
+        vpu_roll, star2d3r 63.8 vs 54.9 mxu_hybrid3 (same session);
+      * 'vpu_roll' otherwise (many-term specs like box2d3r put too many
+        row convs on the VPU stream: 33.5 vs 47.8) and for every non-2-D
+        or fp64 run (bf16 splits are fp32-grade; fp64 needs the exact
+        VPU path).
+    """
     if name != "auto":
         return name
+    if spec.ndim == 3:
+        return "vpu"  # 3-D plane convs: slices beat rolls at the
+        # measured extents; 'vpu_roll' stays an explicit option
     if spec.ndim != 2 or jnp.dtype(dtype) == jnp.float64:
         return "vpu_roll"
-    axes = sum(
-        (t.taps[-2] is not None) + (t.taps[-1] is not None)
-        for t in spec.terms)
-    if axes <= 2 and not spec.residue:
-        return "mxu_hybrid3"
+    if len(spec.terms) <= 2:
+        return "mxu_hybrid1"
     return "vpu_roll"
 
 
@@ -461,8 +468,8 @@ class StencilEngine:
                 algorithm=self.algorithm, fused_steps=fused_k,
                 bounds=bounds)
         from .ops import pallas_3d
-        alg3 = ("vpu" if self.algorithm.startswith("vpu")
-                else self.algorithm)
+        alg3 = (self.algorithm if self.algorithm in ("vpu_roll", "mxu")
+                else "vpu")
         return pallas_3d.stencil3d_step(
             cur, donor, self.spec, self.layout,
             precision=self.precision, interpret=self.interpret,

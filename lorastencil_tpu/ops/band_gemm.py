@@ -214,26 +214,39 @@ def _residue_rolled(X, residue, acc, sh, xrolls, add):
                     + [(-adr, dc, w) for dc, w in dn])
         for dr, dc, w in rest:
             src = D if D is not None else sh(X, dr, 0, xrolls)
-            acc = add(acc, w * sh(src, dc, 1, xrolls if src is X else None))
+            v = sh(src, dc, 1, xrolls if src is X else None)
+            if w == 1.0:
+                acc = add(acc, v)
+            elif w == -1.0 and acc is not None:
+                acc = acc - v
+            else:
+                acc = add(acc, w * v)
     return acc
 
 
-def apply_spec_hybrid1(X, xs, spec2d, col_mats):
-    """One full 2-D stencil application with the LANE-axis (column) convs
-    on the MXU and everything else (row convs, one-sided row terms, the
-    sparse residue) on the VPU as aligned cyclic rolls, at X's FIXED full
-    extent -- the two streams co-issue on TPU (Mosaic interleaves MXU
-    matmuls with VPU rolls; PERF.md round-3 measurement).
+def apply_spec_hybrid1(X, xs, spec2d, band_mats, mxu_axis="col"):
+    """One full 2-D stencil application with ONE conv axis on the MXU and
+    everything else (the other axis's convs, one-sided terms on the VPU
+    axis, the sparse residue) on the VPU as aligned cyclic rolls, at X's
+    FIXED full extent -- the two streams co-issue on TPU (Mosaic
+    interleaves MXU matmuls with VPU rolls; PERF.md round-3 measurement).
 
     ``xs``: bf16 parts of X (3 for exact-fp32-grade fp32 state via
-    ``split_bf16``; 1 for bf16 state).  ``col_mats``: per term, a tuple
-    of bf16 banded (128+2rc, 128) matrix parts for the column taps (or
-    None when the term has no column axis).  Every bf16 x bf16 product
-    is exact in the fp32 accumulator, so the MXU column conv matches the
-    fp32 VPU result to fp32-rounding grade.
+    ``split_bf16``; 1 for bf16 state).  ``band_mats``: per term, a tuple
+    of bf16 banded matrix parts for the MXU axis's taps (col axis:
+    (128+2rc, 128) B matrices; row axis: (128, 128+2rr) A matrices), or
+    None when the term has no taps along that axis.  Every bf16 x bf16
+    product is exact in the fp32 accumulator, so the MXU conv matches
+    the fp32 VPU result to fp32-rounding grade.
 
-    Edge-of-window columns use row-trimmed band slices (zero extension)
-    -- the resulting margin error stays within ``radius`` of the window
+    ``mxu_axis='col'`` runs per-128-lane-chunk matmuls (many, N=128);
+    ``'row'`` runs per-128-row-chunk matmuls (few, N=window width) --
+    same FLOPs, different MXU scheduling; measure per device.  Because
+    the two axis convs commute, the MXU conv always runs FIRST (off the
+    shared state split); the VPU axis rolls its fp32 result.
+
+    Edge-of-window chunks use trimmed band slices (zero extension) --
+    the resulting margin error stays within ``radius`` of the window
     edge, the same creep contract as ``apply_spec_vpu_rolled``.
     """
     R0, C0 = X.shape
@@ -266,21 +279,36 @@ def apply_spec_hybrid1(X, xs, spec2d, col_mats):
             parts.append(_dot_splitn(xis, bs))
         return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
+    def row_conv_mxu(Aparts, rr):
+        """Full-extent row conv: per-128-row-chunk banded matmuls (N =
+        the full window width -- few large matmuls)."""
+        parts = []
+        for r0c in range(0, R0, LANE):
+            s = min(LANE, R0 - r0c)
+            in_lo = max(0, r0c - rr)
+            in_hi = min(R0, r0c + s + rr)
+            left = in_lo - (r0c - rr)
+            as_ = tuple(a[:s, left: left + (in_hi - in_lo)]
+                        for a in Aparts)
+            xis = tuple(xi[in_lo:in_hi, :] for xi in xs)
+            parts.append(_dot_splitn(xis, as_, left=True))
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
     acc = None
-    for term, Bparts in zip(spec2d.terms, col_mats):
+    vpu_axis = 0 if mxu_axis == "col" else 1
+    for term, Mparts in zip(spec2d.terms, band_mats):
         rt, ct = term.taps[-2], term.taps[-1]
-        if ct is not None:
-            rc = (len(ct) - 1) // 2
-            Y = col_conv_mxu(Bparts, rc)
+        mxu_taps, vpu_taps = ((ct, rt) if mxu_axis == "col"
+                              else (rt, ct))
+        if mxu_taps is not None:
+            rm = (len(mxu_taps) - 1) // 2
+            Y = (col_conv_mxu(Mparts, rm) if mxu_axis == "col"
+                 else row_conv_mxu(Mparts, rm))
         else:
             Y = X
-        if rt is not None:
-            rr = (len(rt) - 1) // 2
-            Z = None
-            for k, w in enumerate(rt):
-                if w != 0.0:
-                    memo = xrolls if Y is X else None
-                    Z = add(Z, w * sh(Y, k - rr, 0, memo))
+        if vpu_taps is not None:
+            memo = xrolls if Y is X else None
+            Z = _conv_rolled_1axis(Y, vpu_taps, vpu_axis, sh, memo, add)
         else:
             Z = Y
         acc = add(acc, Z)
@@ -289,6 +317,32 @@ def apply_spec_hybrid1(X, xs, spec2d, col_mats):
     if acc is None:
         acc = jnp.zeros((R0, C0), X.dtype)
     return acc
+
+
+def _conv_rolled_1axis(Y, taps, axis, sh, memo, add):
+    """One-axis rolled conv with symmetric-pair sharing: equal-weight
+    (+d, -d) tap pairs compute w * (roll(+d) + roll(-d)) -- one multiply
+    instead of two (the reference coefficients are symmetric per axis,
+    so every off-center pair qualifies)."""
+    r = (len(taps) - 1) // 2
+
+    def mul(w, v):
+        return v if w == 1.0 else w * v
+
+    Z = None
+    if taps[r] != 0.0:
+        Z = add(Z, mul(taps[r], Y))
+    for d in range(1, r + 1):
+        wp, wm = taps[r + d], taps[r - d]
+        if wp != 0.0 and wp == wm:
+            Z = add(Z, mul(wp, sh(Y, d, axis, memo)
+                           + sh(Y, -d, axis, memo)))
+            continue
+        if wp != 0.0:
+            Z = add(Z, mul(wp, sh(Y, d, axis, memo)))
+        if wm != 0.0:
+            Z = add(Z, mul(wm, sh(Y, -d, axis, memo)))
+    return Z
 
 
 def apply_spec_vpu_rolled(X, spec2d):
@@ -328,21 +382,13 @@ def apply_spec_vpu_rolled(X, spec2d):
     acc = None
     for term in spec2d.terms:
         rt, ct = term.taps[-2], term.taps[-1]
-        Y = None
         if ct is not None:
-            rc = (len(ct) - 1) // 2
-            for k, w in enumerate(ct):
-                if w != 0.0:
-                    Y = add(Y, w * sh(X, k - rc, 1, xrolls))
+            Y = _conv_rolled_1axis(X, ct, 1, sh, xrolls, add)
         else:
             Y = X
-        Z = None
         if rt is not None:
-            rr = (len(rt) - 1) // 2
-            for k, w in enumerate(rt):
-                if w != 0.0:
-                    memo = xrolls if Y is X else None
-                    Z = add(Z, w * sh(Y, k - rr, 0, memo))
+            memo = xrolls if Y is X else None
+            Z = _conv_rolled_1axis(Y, rt, 0, sh, memo, add)
         else:
             Z = Y
         acc = add(acc, Z)
@@ -392,36 +438,51 @@ def apply_spec_vpu(X, spec2d, e_in, e_out, TM, TN):
     def add(a, b):
         return b if a is None else a + b
 
+    def mul(w, v):
+        return v if w == 1.0 else w * v
+
+    def conv_taps(taps, sl_of):
+        """Shifted-slice conv with symmetric-pair sharing (one multiply
+        per equal-weight (+d, -d) pair) and unit-weight elision."""
+        r = (len(taps) - 1) // 2
+        Z = None
+        if taps[r] != 0.0:
+            Z = add(Z, mul(taps[r], sl_of(r)))
+        for d in range(1, r + 1):
+            wp, wm = taps[r + d], taps[r - d]
+            if wp != 0.0 and wp == wm:
+                Z = add(Z, mul(wp, sl_of(r + d) + sl_of(r - d)))
+                continue
+            if wp != 0.0:
+                Z = add(Z, mul(wp, sl_of(r + d)))
+            if wm != 0.0:
+                Z = add(Z, mul(wm, sl_of(r - d)))
+        return Z
+
     for term in spec2d.terms:
         rt, ct = term.taps[-2], term.taps[-1]
         if ct is not None:
             rc = (len(ct) - 1) // 2
             rr = (len(rt) - 1) // 2 if rt is not None else 0
-            Y = None
-            for k, w in enumerate(ct):
-                if w == 0.0:
-                    continue
-                sl = X[off_r - rr: off_r - rr + R + 2 * rr,
-                       off_c + k - rc: off_c + k - rc + C]
-                Y = add(Y, w * sl)
+            Y = conv_taps(
+                ct,
+                lambda k, rr=rr, rc=rc: X[
+                    off_r - rr: off_r - rr + R + 2 * rr,
+                    off_c + k - rc: off_c + k - rc + C])
         else:
             rr = (len(rt) - 1) // 2
             Y = X[off_r - rr: off_r - rr + R + 2 * rr,
                   off_c: off_c + C]
         if rt is not None:
-            Z = None
-            for k, w in enumerate(rt):
-                if w == 0.0:
-                    continue
-                Z = add(Z, w * Y[k: k + R, :])
+            Z = conv_taps(rt, lambda k, Y=Y: Y[k: k + R, :])
         else:
             Z = Y
         acc = add(acc, Z)
 
     for off, w in spec2d.residue:
         dr, dc = off[-2], off[-1]
-        acc = add(acc, w * X[off_r + dr: off_r + dr + R,
-                             off_c + dc: off_c + dc + C])
+        acc = add(acc, mul(w, X[off_r + dr: off_r + dr + R,
+                                off_c + dc: off_c + dc + C]))
     if acc is None:
         acc = jnp.zeros((R, C), X.dtype)
     return acc

@@ -253,13 +253,30 @@ def _conv_lanes(W, taps):
     halo lanes."""
     r = (len(taps) - 1) // 2
     width = W.shape[1]
+
+    def sh(d):
+        return W if d == 0 else pltpu.roll(W, (-d) % width, 1)
+
+    def add(a, b):
+        return b if a is None else a + b
+
+    def mul(w, v):
+        return v if w == 1.0 else w * v
+
     acc = None
-    for d in range(-r, r + 1):
-        w = taps[r + d]
-        if w == 0.0:
+    if taps[r] != 0.0:
+        acc = add(acc, mul(taps[r], W))
+    for d in range(1, r + 1):
+        wp, wm = taps[r + d], taps[r - d]
+        if wp != 0.0 and wp == wm:
+            # symmetric-pair sharing: one multiply per (+d, -d) pair
+            # (the reference taps are symmetric -- every pair qualifies)
+            acc = add(acc, mul(wp, sh(d) + sh(-d)))
             continue
-        sh = W if d == 0 else pltpu.roll(W, (-d) % width, 1)
-        acc = w * sh if acc is None else acc + w * sh
+        if wp != 0.0:
+            acc = add(acc, mul(wp, sh(d)))
+        if wm != 0.0:
+            acc = add(acc, mul(wm, sh(-d)))
     return acc if acc is not None else jnp.zeros(W.shape, W.dtype)
 
 

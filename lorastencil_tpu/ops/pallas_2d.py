@@ -177,17 +177,32 @@ def _stencil2d_kernel(
     else:
         b_rlo, b_rhi, b_clo, b_chi = 0, m, 0, n
 
-    def mask_to_interior(val, er, ec):
+    def mask_to_interior(val, er, ec, final=False):
         """Zero cells outside the true global interior (reference halo
         decay + tile round-up guard), on an extent-(er, ec) array.
         Separable (R,1)x(1,C) float masks: two broadcast multiplies,
-        no full-size integer temporaries (VMEM)."""
+        no full-size integer temporaries (VMEM).
+
+        ``final``: this is the last substep, whose result is sliced to
+        the (TM, TN) tile before the store -- when an axis's interior
+        exactly divides the tile (no round-up cells) and bounds are
+        static, that axis's mask is a no-op on the surviving cells and
+        is elided (halo decay comes from the zero-ringed donor buffer,
+        not the mask, at the final level)."""
+        skip_r = final and not has_bounds and m % TM == 0
+        skip_c = final and not has_bounds and n % TN == 0
+        if skip_r and skip_c:
+            return val
         R, C = TM + 2 * er, TN + 2 * ec
-        gr = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) + ti * TM - er
-        gc = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1) + tj * TN - ec
-        rm = ((gr >= b_rlo) & (gr < b_rhi)).astype(val.dtype)
-        cm = ((gc >= b_clo) & (gc < b_chi)).astype(val.dtype)
-        return val * rm * cm
+        if not skip_r:
+            gr = (jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+                  + ti * TM - er)
+            val = val * ((gr >= b_rlo) & (gr < b_rhi)).astype(val.dtype)
+        if not skip_c:
+            gc = (jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+                  + tj * TN - ec)
+            val = val * ((gc >= b_clo) & (gc < b_chi)).astype(val.dtype)
+        return val
 
     # bf16 STATE (throughput tier): the HBM round trip is half the
     # bytes; compute still runs in fp32 in VMEM (out-tile stores round
@@ -195,7 +210,7 @@ def _stencil2d_kernel(
     if X.dtype == jnp.bfloat16:
         X = X.astype(jnp.float32)
 
-    if algorithm in ("vpu_roll", "mxu_hybrid1"):
+    if algorithm in ("vpu_roll", "mxu_hybrid1", "mxu_hybrid1r"):
         # cyclic-roll convolutions at the FIXED full window extent: every
         # shifted operand is (8, 128)-aligned, and the roll-wrap garbage
         # creeps <= radius per substep into the guard margin (see
@@ -208,20 +223,29 @@ def _stencil2d_kernel(
         # single-stream exact path (round-2 VERDICT item 1).
         cur = X
         for s in range(fused_steps):
-            if algorithm == "mxu_hybrid1":
+            if algorithm in ("mxu_hybrid1", "mxu_hybrid1r"):
+                mxu_axis = "col" if algorithm == "mxu_hybrid1" else "row"
                 xs = ((cur.astype(jnp.bfloat16),) if bf16_state
                       else split_bf16(cur, 3))
-                col_mats = []
+                band_mats = []
                 mi = 0
                 for (na, _rr, nb, _rc) in mats_meta:
-                    col_mats.append(
-                        tuple(mat_refs[mi + na + i][:] for i in range(nb))
-                        if nb else None)
+                    if mxu_axis == "col":
+                        mats_t = (tuple(mat_refs[mi + na + i][:]
+                                        for i in range(nb))
+                                  if nb else None)
+                    else:
+                        mats_t = (tuple(mat_refs[mi + i][:]
+                                        for i in range(na))
+                                  if na else None)
+                    band_mats.append(mats_t)
                     mi += na + nb
-                val = apply_spec_hybrid1(cur, xs, spec, col_mats)
+                val = apply_spec_hybrid1(cur, xs, spec, band_mats,
+                                         mxu_axis=mxu_axis)
             else:
                 val = apply_spec_vpu_rolled(cur, spec)
-            val = mask_to_interior(val, HR, HC)
+            val = mask_to_interior(val, HR, HC,
+                                   final=(s == fused_steps - 1))
             if s < fused_steps - 1:
                 work[s % 2] = val
                 cur = work[s % 2]
@@ -267,7 +291,8 @@ def _stencil2d_kernel(
                         e_in, e_out, TM, TN)
             else:
                 val = apply_spec_vpu(cur, spec, e_in, e_out, TM, TN)
-            val = mask_to_interior(val, *e_out)
+            val = mask_to_interior(val, *e_out,
+                                   final=(s == fused_steps - 1))
             if s < fused_steps - 1:
                 R, C = TM + 2 * e_out[0], TN + 2 * e_out[1]
                 work[s % 2, :R, :C] = val
@@ -296,7 +321,7 @@ def _stencil2d_kernel(
             acc = acc + w * X[
                 HR + dr: HR + dr + TM, HC + dc: HC + dc + TN
             ].astype(jnp.float32)
-        acc = mask_to_interior(acc, 0, 0)
+        acc = mask_to_interior(acc, 0, 0, final=True)
 
     if depth == 2:
         # before reusing this out slot, drain the write started 2 tiles ago
@@ -355,11 +380,12 @@ def stencil2d_step(
     layout.validate()
     TM, TN = layout.tile
     if algorithm not in ("vpu", "vpu_roll", "mxu", "mxu_split",
-                         "mxu_hybrid", "mxu_hybrid1", "mxu_hybrid3"):
+                         "mxu_hybrid", "mxu_hybrid1", "mxu_hybrid1r",
+                         "mxu_hybrid3"):
         raise ValueError(
             f"unknown algorithm {algorithm!r}; expected 'vpu', 'vpu_roll', "
-            f"'mxu', 'mxu_split', 'mxu_hybrid', 'mxu_hybrid1' or "
-            f"'mxu_hybrid3'")
+            f"'mxu', 'mxu_split', 'mxu_hybrid', 'mxu_hybrid1', "
+            f"'mxu_hybrid1r' or 'mxu_hybrid3'")
     if fused_steps > 1 and algorithm == "mxu":
         raise ValueError(
             "temporal fusion (fused_steps > 1) needs algorithm='vpu', "
@@ -418,7 +444,8 @@ def stencil2d_step(
         # depth (integer reference taps: 1 part; arbitrary reals: up to
         # 3 for mxu_hybrid3 -- which keeps that tier exact-grade for
         # custom coefficients too)
-        max_parts = 3 if algorithm in ("mxu_hybrid1", "mxu_hybrid3") else 2
+        max_parts = (3 if algorithm in ("mxu_hybrid1", "mxu_hybrid1r",
+                                        "mxu_hybrid3") else 2)
 
         def bf16_parts(M):
             parts = []
@@ -456,7 +483,7 @@ def stencil2d_step(
     # kernels (round 1 single-buffered all fused kernels: ~14% of wall
     # time was exposed DMA at the 8192^2 headline config).
     itemsize = np_dtype.itemsize
-    full_extent = algorithm in ("vpu_roll", "mxu_hybrid1")
+    full_extent = algorithm in ("vpu_roll", "mxu_hybrid1", "mxu_hybrid1r")
     work_rows = (TM + 2 * HR if full_extent
                  else TM + 2 * (fused_steps - 1) * spec.radius)
     work_cols = (TN + 2 * HC if full_extent

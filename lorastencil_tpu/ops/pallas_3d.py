@@ -34,7 +34,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.shapes import SeparableTerm, StencilSpec
-from .band_gemm import apply_spec_vpu, plane_conv, term_band_mats
+from .band_gemm import (apply_spec_vpu, apply_spec_vpu_rolled_extent,
+                        plane_conv, term_band_mats)
 from .layout import LANE, SUBLANE, Layout3D
 
 
@@ -176,6 +177,12 @@ def _stencil3d_kernel(
         if algorithm.startswith("vpu"):
             term = spec.terms[t_idx]
             plane_term = SeparableTerm(taps=(term.taps[1], term.taps[2]))
+            if algorithm == "vpu_roll":
+                # aligned cyclic rolls at X's full extent + one slice
+                # (wrap garbage stays within radius <= e_in - e_out);
+                # extent-dependent vs 'vpu' slices -- measure per tile
+                return apply_spec_vpu_rolled_extent(
+                    X, _Plane2D(terms=(plane_term,)), e_in, e_out, TM, TN)
             return apply_spec_vpu(X, _Plane2D(terms=(plane_term,)),
                                   e_in, e_out, TM, TN)
         assert e_in == (HR, HC) and e_out == (0, 0)
@@ -353,10 +360,11 @@ def stencil3d_step(
     for t in spec.terms:
         if t.taps[0] is not None and len(t.taps[0]) > 2 * spec.radius + 1:
             raise ValueError("z taps longer than the spec radius allows")
-    if algorithm not in ("vpu", "mxu"):
+    if algorithm not in ("vpu", "vpu_roll", "mxu"):
         raise NotImplementedError(
             f"algorithm {algorithm!r} is not a 3-D path; 3-D kernels "
-            f"support 'vpu' (exact; any vpu*/auto setting maps here) or "
+            f"support 'vpu' (exact slices; auto maps here), 'vpu_roll' "
+            f"(exact rolls -- extent-dependent, measure per tile) or "
             f"'mxu'")
     if fused_steps > 1:
         assert algorithm.startswith("vpu"), "3-D temporal fusion needs vpu*"

@@ -721,7 +721,7 @@ class ShardedStencil3D:
 
     def _alg3(self):
         alg = self.config.algorithm
-        return "vpu" if (alg.startswith("vpu") or alg == "auto") else alg
+        return alg if alg in ("vpu_roll", "mxu") else "vpu"
 
     def _can_overlap(self) -> bool:
         gi, gj = self.layout.grid

@@ -340,13 +340,13 @@ def test_2d_algorithm_tiers(name, alg, tol):
 
 def test_auto_algorithm_resolution():
     assert engine.resolve_algorithm(
-        shapes.get_shape("star2d3r"), "auto") == "mxu_hybrid3"
+        shapes.get_shape("star2d3r"), "auto") == "mxu_hybrid1"
     assert engine.resolve_algorithm(
-        shapes.get_shape("star2d1r"), "auto") == "vpu_roll"  # residue
+        shapes.get_shape("star2d1r"), "auto") == "mxu_hybrid1"
     assert engine.resolve_algorithm(
-        shapes.get_shape("box2d3r"), "auto") == "vpu_roll"  # 6 axes
+        shapes.get_shape("box2d3r"), "auto") == "vpu_roll"  # 3 terms
     assert engine.resolve_algorithm(
-        shapes.get_shape("box3d1r"), "auto") == "vpu_roll"
+        shapes.get_shape("box3d1r"), "auto") == "vpu"
     import jax.numpy as jnp2
 
     assert engine.resolve_algorithm(

@@ -375,14 +375,14 @@ def test_sharded_1d_overlap_exchange(k):
 
 
 def test_sharded_overlap_hybrid3():
-    """auto -> mxu_hybrid3 for star2d3r, under the overlapped exchange
+    """auto -> mxu_hybrid1 for star2d3r, under the overlapped exchange
     with dynamic bounds (MXU path + region windows + ring semantics)."""
     spec = shapes.get_shape("star2d3r")
     interior = (48, 768)
     g0 = reference.random_padded(spec, interior, seed=53)
     sh = domain.sharded_engine("star2d3r", interior, (2, 2),
                                tile=(8, 128), fused_steps=2)
-    assert sh.algorithm == "mxu_hybrid3" and sh._can_overlap()
+    assert sh.algorithm == "mxu_hybrid1" and sh._can_overlap()
     got = np.asarray(sh.run(g0, 5), np.float64)
     want = reference.run(g0, spec, 5)
     assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
