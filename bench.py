@@ -34,10 +34,12 @@ def main() -> int:
         # the naive path's throughput by ~10-20%)
         m = n = 8192
         steps, base_steps = 256, 256
-        # measured round-3 optimum: exact-fp32 aligned-roll kernel at the
-        # wide (192, 2048) tile, unfused (double-buffered DMA hides the
-        # window traffic)
-        cfg = dict(algorithm="vpu_roll", fused_steps=1, tile=(192, 2048))
+        # measured round-4 optimum: exact mxu_hybrid1 (column convs on
+        # the MXU at full split depth, row convs + residue on the VPU,
+        # co-issued) at (128, 2048); device-trace kernel time
+        # 1.104 ms/step = 60.8 GCells/s (PERF.md)
+        cfg = dict(algorithm="mxu_hybrid1", fused_steps=1,
+                   tile=(128, 2048))
     else:  # local smoke config
         m, n = 256, 512
         steps, base_steps = 8, 8
@@ -71,7 +73,8 @@ def main() -> int:
     secs, _ = metrics.time_run(run_engine, key, repeats=2, warmup=1,
                                pipeline=4, subtract_sync=True)
     res = metrics.bench_result(spec, (m, n), steps, secs,
-                               "pallas-vpu_roll", "fp32-exact", 2)
+                               f"pallas-{cfg['algorithm']}",
+                               "fp32-exact", 2)
     bsecs, _ = metrics.time_run(run_naive, key, repeats=2, warmup=1,
                                 pipeline=4, subtract_sync=True)
     base = metrics.bench_result(spec, (m, n), base_steps, bsecs,

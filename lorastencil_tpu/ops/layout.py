@@ -198,6 +198,9 @@ class Layout1DLanes:
         groups = width // LANE
         narrow_rows = _cdiv(n, S)
         rows_w = _cdiv(narrow_rows, groups)
+        # per-slot window cap 1M: bigger tiles measured SLOWER (fewer
+        # tiles starve the double-buffer pipeline; the 1M-cell config
+        # collapsed 35 -> 17.6 GCells/s at a 4M cap -- round 4)
         max_tr = max(SUBLANE, (2**20 // (width * 4) - 2 * SUBLANE)
                      // SUBLANE * SUBLANE)
         rows_l = max(SUBLANE, min(max_tr, SUBLANE * _cdiv(rows_w, SUBLANE)))
@@ -351,19 +354,16 @@ class Layout3D:
 
 def default_tile_2d(m: int, n: int,
                     mxu_residue: bool = False) -> Tuple[int, int]:
-    """Pick a VMEM-friendly tile: big enough to amortize halo overhead,
-    small enough that double-buffered windows + substep scratch fit the
-    16M scoped-vmem budget.  Measured on v5e (round 3, sync-calibrated):
-    (192, 2048) beats (256, 1024) for every 2-D shape at 4096^2-8192^2
-    (star2d1r 48.8 vs 46.3, star2d3r 57.2 vs 53.2, box2d3r 47.6 vs
-    46.9 GCells/s); wider or taller tiles overflow scoped VMEM.
-
-    ``mxu_residue``: the split-GEMM algorithms on residue-bearing specs
-    carry bf16 parts + the VPU residue stream, overflowing scoped VMEM
-    by ~2% at (192, 2048); their measured optimum is (128, 2048)
-    (star2d1r mxu_hybrid 63.0 vs 56.1 GCells/s at (256, 1024))."""
-    if n >= 2048 and m >= 192:
-        return (128, 2048) if mxu_residue else (192, 2048)
+    """Pick a VMEM-friendly tile: big enough to amortize halo overhead.
+    Measured on v5e (round 4, with the raised scoped-VMEM ceiling --
+    pallas_2d.vmem_limit_bytes): (256, 2048) is the across-algorithm
+    large-grid optimum (mxu_hybrid1 55.1, vpu_roll 47.4, star2d3r
+    hybrid1 65.7 GCells/s at 8192^2; taller tiles regress: 51.5 at
+    (384, 2048)).  ``mxu_residue`` is retained for API compatibility;
+    the 16M-era (128, 2048) special case is gone."""
+    del mxu_residue
+    if n >= 2048 and m >= 256:
+        return (256, 2048)
     tn = 1024 if n >= 1024 else (512 if n >= 512
                                  else LANE * max(1, _cdiv(n, LANE)))
     tm = 256 if m >= 256 else SUBLANE * max(1, _cdiv(m, SUBLANE))

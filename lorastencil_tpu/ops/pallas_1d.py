@@ -48,6 +48,14 @@ from .layout import LANE, SUBLANE, Layout1D
 RESIDENT_BYTES = 512 * 2**10
 
 
+def _cparams(interpret):
+    # raised scoped-VMEM ceiling (see pallas_2d.vmem_limit_bytes)
+    if interpret:
+        return None
+    from .pallas_2d import vmem_limit_bytes
+    return pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_bytes())
+
+
 def _dense_taps(spec: StencilSpec):
     """Flat dense taps of a 1-D spec (terms + residue collapsed)."""
     assert spec.ndim == 1
@@ -231,6 +239,7 @@ def stencil1d_step(
         ],
         input_output_aliases={1: 0},
         interpret=interpret,
+        compiler_params=_cparams(interpret),
     )(cur, donor, *bounds_args)
 
 
@@ -467,6 +476,7 @@ def stencil1d_lanes_step(
         ],
         input_output_aliases={1: 0},
         interpret=interpret,
+        compiler_params=_cparams(interpret),
     )(cur, donor, *bounds_args)
 
 
@@ -524,6 +534,7 @@ def stencil1d_resident(
         out_shape=jax.ShapeDtypeStruct(cur.shape, cur.dtype),
         input_output_aliases={0: 0},
         interpret=interpret,
+        compiler_params=_cparams(interpret),
     )(cur)
 
 

@@ -76,6 +76,16 @@ class _ResidueOnly:
         self.residue = residue
 
 
+class _TermsView:
+    """Static term/residue view for the hybrid1 kernels: the spec's
+    terms plus the residue's peeled separable terms (stream-assigned
+    col->MXU / row->VPU), with only the unpeelable leftover residue."""
+
+    def __init__(self, terms, residue):
+        self.terms = terms
+        self.residue = residue
+
+
 def _stencil2d_kernel(
     # inputs
     in_hbm,
@@ -93,6 +103,7 @@ def _stencil2d_kernel(
     depth,
     region,
     bf16_state,
+    h1_view=None,
 ):
     # mats_meta entries: (n_A_parts, rr, n_B_parts, rc); 0 parts =
     # identity axis.  mat_args order: A parts then B parts per term.
@@ -240,7 +251,7 @@ def _stencil2d_kernel(
                                   if na else None)
                     band_mats.append(mats_t)
                     mi += na + nb
-                val = apply_spec_hybrid1(cur, xs, spec, band_mats,
+                val = apply_spec_hybrid1(cur, xs, h1_view, band_mats,
                                          mxu_axis=mxu_axis)
             else:
                 val = apply_spec_vpu_rolled(cur, spec)
@@ -415,9 +426,16 @@ def stencil2d_step(
         from ..models import factorize
 
         eff_terms = list(spec.terms)
+        h1_residue = spec.residue
         if spec.residue and algorithm == "mxu_split":
             # convert the sparse residue into separable terms (greedy
             # max-pivot peel); star2d1r's 8-point residue is rank 3.
+            # NOT used by the hybrid1 variants: an MXU banded matmul
+            # costs ~134 MACs/cell per stream REGARDLESS of tap
+            # sparsity, so peeled residue streams quadruple the MXU
+            # work to replace ~6 VPU ops -- measured 54 -> 34 GCells/s
+            # on the flagship (round 4); hybrid1 keeps the residue as
+            # grouped VPU rolls.
             full = 2 * spec.radius + 1
             Rm = np.zeros((full, full))
             for off, w in spec.residue:
@@ -496,11 +514,15 @@ def stencil2d_step(
     fits2 = 2 * win_bytes + 2 * out_bytes + work_bytes <= 13 * 2**20
     depth = 2 if (fused_steps == 1 or fits2) else 1
 
+    h1_view = None
+    if algorithm in ("mxu_hybrid1", "mxu_hybrid1r"):
+        h1_view = _TermsView(tuple(eff_terms), tuple(h1_residue))
     kernel = functools.partial(
         _stencil2d_kernel,
         spec=spec,
         layout=layout,
         mats_meta=mats_meta,
+        h1_view=h1_view,
         compute_dtype=compute_dtype,
         precision=precision,
         algorithm=algorithm,
@@ -537,4 +559,16 @@ def stencil2d_step(
         ],
         input_output_aliases={1: 0},
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes()),
     )(cur, donor, *bounds_args, *mat_args)
+
+
+def vmem_limit_bytes() -> int:
+    """Scoped-VMEM ceiling passed to Mosaic.  The compiler default is
+    16M -- a guardrail, not the hardware (v5e has 128M physical VMEM);
+    raising it admits wider tiles (lower window-extent amplification).
+    Override with LORASTENCIL_VMEM_MB."""
+    import os
+
+    return int(os.environ.get("LORASTENCIL_VMEM_MB", "64")) * 2**20

@@ -72,12 +72,15 @@ def pick_slab(H: int, TM: int, TN: int, dtype_bytes: int = 4,
     k = fused_steps
     if not budget:
         # deeper fusion carries bigger per-level temporaries that the
-        # static estimate below cannot see; leave more headroom
-        budget = (12 if k <= 2 else 8) * 2**20
+        # static estimate below cannot see; leave more headroom.
+        # Sized against the raised scoped-VMEM ceiling (default 64M,
+        # pallas_2d.vmem_limit_bytes) -- deeper slabs cut the z-lookback
+        # amplification ((slab + 2k*r)/slab window planes per slab).
+        budget = (40 if k <= 2 else 24) * 2**20
     pe = (k - 1) * radius
     er = TM + 2 * (((pe + SUBLANE - 1) // SUBLANE) * SUBLANE or 0)
     ec = TN + 2 * (LANE if pe else 0)
-    for s in (8, 4, 2, 1):
+    for s in (32, 16, 8, 4, 2, 1):
         if H % s != 0:
             continue
         need = dtype_bytes * (
@@ -439,4 +442,12 @@ def stencil3d_step(
         ],
         input_output_aliases={1: 0},
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit()),
     )(cur, donor, *bounds_args, *mat_args)
+
+
+def _vmem_limit() -> int:
+    from .pallas_2d import vmem_limit_bytes
+
+    return vmem_limit_bytes()
