@@ -59,11 +59,16 @@ def resolve_algorithm(spec: StencilSpec, name: str,
     """
     if name != "auto":
         return name
+    if jnp.dtype(dtype) == jnp.float64:
+        return "vpu_roll"  # fp64 CPU tier: exact VPU path only
     if spec.ndim == 3:
         return "vpu"  # 3-D plane convs: slices beat rolls at the
         # measured extents; 'vpu_roll' stays an explicit option
-    if spec.ndim != 2 or jnp.dtype(dtype) == jnp.float64:
-        return "vpu_roll"
+    if spec.ndim == 1:
+        # per-128-group banded MXU matmuls on the lanes layout (exact
+        # split): 1d2r 16M 90.2 vs 38.4 roll-VPU, 1d1r 96.2 (round 4);
+        # non-lanes fallbacks (resident / wide-radius) ignore this
+        return "mxu"
     if len(spec.terms) <= 2:
         return "mxu_hybrid1"
     return "vpu_roll"
@@ -316,7 +321,7 @@ class StencilEngine:
                             guard_rows=SUBLANE * (-(-k // SUBLANE)))
             if (self.backend == "xla"
                     or pallas_1d.fits_resident(flat, self.dtype.itemsize)
-                    or self.algorithm not in ("vpu_roll", "auto")):
+                    or self.algorithm not in ("vpu_roll", "auto", "mxu")):
                 return flat
             # large grids: overlapped-lane layout -- one aligned roll per
             # tap instead of 2 rolls + select for the 128-lane wrap
@@ -455,7 +460,9 @@ class StencilEngine:
                 return pallas_1d.stencil1d_lanes_step(
                     cur, donor, self.spec, self.layout,
                     interpret=self.interpret, fused_steps=fused_k,
-                    bounds=bounds)
+                    bounds=bounds,
+                    algorithm=("mxu" if self.algorithm == "mxu"
+                               else "vpu"))
             return pallas_1d.stencil1d_step(
                 cur, donor, self.spec, self.layout,
                 precision=self.precision, interpret=self.interpret,
@@ -480,12 +487,17 @@ class StencilEngine:
             return 1
         k = self.config.fused_steps
         if k is None:
-            # 1-D: k=2 halves the (binding) fp32 DMA; for bf16 state the
-            # DMA is already halved and the k-wide lane halo's
-            # storage/compute amplification wins instead (measured:
-            # bf16 16M 1d2r k=1 54.0 vs k=2 47.9 GCells/s)
-            k = (2 if self.dtype != jnp.bfloat16 else 1) \
-                if self.spec.ndim == 1 else 1
+            if self.spec.ndim == 1:
+                # MXU lanes conv: k=4 measured best (1d1r 96.2 / 90.2 at
+                # k=4 vs 88/86.5 at k=2 vs 78/71 at k=8 -- deeper fusion
+                # widens the lane halo's storage amplification).  The
+                # roll-VPU path keeps its round-3 optima.
+                if self.algorithm == "mxu":
+                    k = 4
+                else:
+                    k = 2 if self.dtype != jnp.bfloat16 else 1
+            else:
+                k = 1
         k = max(1, k)
         if self.spec.ndim == 1:
             from .ops.layout import Layout1DLanes

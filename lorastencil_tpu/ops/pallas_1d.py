@@ -289,15 +289,36 @@ def _conv_lanes(W, taps):
     return acc if acc is not None else jnp.zeros(W.shape, W.dtype)
 
 
+def _conv_lanes_mxu(cur, bparts, nparts=3):
+    """One step on the overlapped-lane layout as per-128-group banded
+    MXU matmuls: within a group, out[:, j] = sum_d taps[d] W[:, j+d]
+    with zero extension at the group edge -- the missing halo-lane
+    contributions land exactly in the stale-by-contract halo lanes (the
+    same validity-creep contract as the roll path).  ``cur`` is fp32;
+    the state splits to full bf16 exactness depth and every bf16 x bf16
+    product is exact in the fp32 accumulator (exact-fp32-grade, like
+    the 2-D mxu_hybrid1)."""
+    from .band_gemm import _dot_splitn, split_bf16
+
+    xs = split_bf16(cur, nparts)
+    parts = []
+    for g in range(0, cur.shape[1], LANE):
+        xis = tuple(x[:, g: g + LANE] for x in xs)
+        parts.append(_dot_splitn(xis, bparts))
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+
 def _stencil1d_lanes_kernel(
     in_hbm, donor_hbm, *rest,
     layout, n: int, _taps, fused_steps: int, has_bounds: bool,
-    region=None,
+    region=None, n_mats: int = 0,
 ):
     bounds_ref = None
     if has_bounds:
         bounds_ref = rest[0]
         rest = rest[1:]
+    mat_refs = rest[:n_mats]
+    rest = rest[n_mats:]
     out_hbm, win, out_tile, work, sem_in, sem_out = rest
     TR = layout.tile_rows
     G = layout.guard_rows
@@ -357,8 +378,10 @@ def _stencil1d_lanes_kernel(
 
     W = win[pl.ds(slot, 1)][0]
     # bf16 STATE (throughput tier): half the HBM bytes; compute fp32 in
-    # VMEM, the out-tile store rounds back (~4e-3/step, PERF.md)
-    if W.dtype == jnp.bfloat16:
+    # VMEM, the out-tile store rounds back (~4e-3/step, PERF.md); the
+    # MXU conv needs only ONE split part (no low bits to split off)
+    bf16_state = W.dtype == jnp.bfloat16
+    if bf16_state:
         W = W.astype(jnp.float32)
     wmask = ((flat >= lo) & (flat < hi)).astype(W.dtype)
     # halo-lane fixup: HBM halo lanes are stale by contract; rebuild
@@ -386,7 +409,12 @@ def _stencil1d_lanes_kernel(
     # intermediate fits the transient budget, and skipping the scratch
     # round trip saves ~3 us/tile (measured round 3)
     for s in range(fused_steps):
-        val = _conv_lanes(cur, _taps) * wmask
+        if n_mats:
+            bparts = tuple(mat_refs[i][:] for i in range(n_mats))
+            val = _conv_lanes_mxu(cur, bparts,
+                                  nparts=1 if bf16_state else 3) * wmask
+        else:
+            val = _conv_lanes(cur, _taps) * wmask
         if s < fused_steps - 1 and fused_steps > 2:
             work[s % 2] = val
             cur = work[s % 2]
@@ -412,7 +440,7 @@ def _stencil1d_lanes_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("spec", "layout", "interpret", "fused_steps",
-                              "region")
+                              "region", "algorithm")
 )
 def stencil1d_lanes_step(
     cur: jax.Array,
@@ -423,6 +451,7 @@ def stencil1d_lanes_step(
     fused_steps: int = 1,
     bounds: "jax.Array | None" = None,
     region=None,
+    algorithm: str = "vpu",
 ) -> jax.Array:
     """``fused_steps`` timesteps on the overlapped-lane layout
     (Layout1DLanes) in one kernel.  Exact fp32: each tap is one aligned
@@ -440,10 +469,30 @@ def stencil1d_lanes_step(
         raise ValueError(
             f"fused_steps={fused_steps} needs lane_halo >= "
             f"{fused_steps * r_eff}; layout has {layout.lane_halo}")
+    taps = _dense_taps(spec)
+    mat_args = []
+    if algorithm == "mxu":
+        # square within-group band: Bsq[i, j] = taps[r + i - j]
+        # (= banded_matrix(taps, 128) rows [r, r+128)); integer taps are
+        # one bf16 part, arbitrary reals up to 3 (exact-fp32-grade)
+        import numpy as _np
+
+        from ..models.factorize import banded_matrix
+
+        r = (len(taps) - 1) // 2
+        Bsq = banded_matrix(taps, LANE, dtype=_np.float64)[r: r + LANE, :]
+        rem = Bsq.astype(_np.float32)
+        for _ in range(3):
+            ph = _np.asarray(rem, jnp.bfloat16)
+            mat_args.append(jnp.asarray(ph))
+            rem = rem - _np.asarray(ph, _np.float32)
+            if not _np.any(rem != 0.0):
+                break
     kernel = functools.partial(
         _stencil1d_lanes_kernel, layout=layout, n=layout.interior,
-        _taps=_dense_taps(spec), fused_steps=fused_steps,
+        _taps=taps, fused_steps=fused_steps,
         has_bounds=bounds is not None, region=region,
+        n_mats=len(mat_args),
     )
     TR = layout.tile_rows
     grid = layout.grid
@@ -458,7 +507,8 @@ def stencil1d_lanes_step(
         kernel,
         grid=grid,
         out_shape=jax.ShapeDtypeStruct(cur.shape, cur.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2 + bounds_specs,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2 + bounds_specs
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(mat_args),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, TR + 2 * layout.guard_rows, layout.width),
@@ -477,7 +527,7 @@ def stencil1d_lanes_step(
         input_output_aliases={1: 0},
         interpret=interpret,
         compiler_params=_cparams(interpret),
-    )(cur, donor, *bounds_args)
+    )(cur, donor, *bounds_args, *mat_args)
 
 
 def _stencil1d_resident_kernel(in_ref, out_ref, *, n: int, _taps,

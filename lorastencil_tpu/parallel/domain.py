@@ -1045,10 +1045,14 @@ class ShardedStencil1D:
         from ..ops import pallas_1d
 
         if self.lanes:
+            # 'auto'/'mxu' -> per-group banded MXU matmuls (exact split;
+            # 2.3x the roll-VPU path on v5e, round 4)
+            alg = ("mxu" if self.config.algorithm in ("auto", "mxu")
+                   else "vpu")
             return pallas_1d.stencil1d_lanes_step(
                 cur, donor, self.spec, self.layout,
                 interpret=self.interpret, fused_steps=fused_k,
-                bounds=bounds, region=region)
+                bounds=bounds, region=region, algorithm=alg)
         return pallas_1d.stencil1d_step(
             cur, donor, self.spec, self.layout, interpret=self.interpret,
             fused_steps=fused_k, bounds=bounds, region=region)
