@@ -36,10 +36,10 @@ def main() -> int:
         steps, base_steps = 256, 256
         # measured round-4 optimum: exact mxu_hybrid1 (column convs on
         # the MXU at full split depth, row convs + residue on the VPU,
-        # co-issued) at (128, 2048); device-trace kernel time
-        # 1.104 ms/step = 60.8 GCells/s (PERF.md)
+        # co-issued) at (256, 2048) under the raised VMEM ceiling;
+        # 60.0 GCells/s = 180.1 GStencil/s in the suite record (PERF.md)
         cfg = dict(algorithm="mxu_hybrid1", fused_steps=1,
-                   tile=(128, 2048))
+                   tile=(256, 2048))
     else:  # local smoke config
         m, n = 256, 512
         steps, base_steps = 8, 8

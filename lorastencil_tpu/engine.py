@@ -70,6 +70,11 @@ def resolve_algorithm(spec: StencilSpec, name: str,
         # non-lanes fallbacks (resident / wide-radius) ignore this
         return "mxu"
     if len(spec.terms) <= 2:
+        # bf16 state: both axes on the MXU at one part each beats the
+        # hybrid1 split assignment (62.5 vs 54.9 at 8192^2, round 4) --
+        # and its 2-part matrices are exact given the storage rounding
+        if jnp.dtype(dtype) == jnp.bfloat16:
+            return "mxu_hybrid"
         return "mxu_hybrid1"
     return "vpu_roll"
 
@@ -475,7 +480,8 @@ class StencilEngine:
                 algorithm=self.algorithm, fused_steps=fused_k,
                 bounds=bounds)
         from .ops import pallas_3d
-        alg3 = (self.algorithm if self.algorithm in ("vpu_roll", "mxu")
+        alg3 = (self.algorithm
+                if self.algorithm in ("vpu_roll", "mxu", "mxu_hybrid1")
                 else "vpu")
         return pallas_3d.stencil3d_step(
             cur, donor, self.spec, self.layout,
@@ -511,7 +517,7 @@ class StencilEngine:
             # (8K-cell lookback) is a practical VMEM ceiling.
             return min(k, 64)
         if self.spec.ndim == 3:
-            if not self.algorithm.startswith("vpu"):
+            if self.algorithm == "mxu":
                 return 1
             return min(max(1, self.config.fused_steps_3d),
                        SUBLANE // max(1, self.spec.radius))

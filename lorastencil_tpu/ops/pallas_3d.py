@@ -106,7 +106,9 @@ def _stencil3d_kernel(
     if has_bounds:
         bounds_ref = rest[0]
         rest = rest[1:]
-    n_mats = sum(int(a) + int(b) for a, _, b, _ in mats_meta)
+    # mats_meta entries: (n_A_refs, rr, n_B_refs, rc) -- 0/1 for 'mxu',
+    # up to 3 bf16 B parts per term for 'mxu_hybrid1'
+    n_mats = sum(int(na) + int(nb) for na, _, nb, _ in mats_meta)
     mat_refs = rest[:n_mats]
     out_hbm = rest[n_mats]
     win = rest[n_mats + 1]       # (2, SLAB+2k, TM+16, TN+256)
@@ -134,16 +136,17 @@ def _stencil3d_kernel(
 
     buffered_idx, identity_idx, center_idx = _classify_terms(spec)
     term_mats = {}
+    term_parts = {}
     mi = 0
-    for t_idx, (has_a, rr, has_b, rc) in enumerate(mats_meta):
-        A = B = None
-        if has_a:
-            A = mat_refs[mi][:]
-            mi += 1
-        if has_b:
-            B = mat_refs[mi][:]
-            mi += 1
-        term_mats[t_idx] = (A, B, rr, rc)
+    for t_idx, (na, rr, nb, rc) in enumerate(mats_meta):
+        arefs = [mat_refs[mi + i][:] for i in range(int(na))]
+        mi += int(na)
+        brefs = [mat_refs[mi + i][:] for i in range(int(nb))]
+        mi += int(nb)
+        term_mats[t_idx] = (arefs[0] if arefs else None,
+                            brefs[0] if (brefs and algorithm == "mxu")
+                            else None, rr, rc)
+        term_parts[t_idx] = tuple(brefs)
 
     def slab_dma(si, s):
         # input planes [z0 + si*slab - K*r, ...): K*r z-lookback planes on
@@ -169,6 +172,48 @@ def _stencil3d_kernel(
             sem_out.at[s],
         )
 
+    def conv_plane_hybrid1(t_idx, X, e_in, e_out):
+        """Per-plane column conv on the MXU (state split to full
+        bf16-exactness depth, lane-offset operand chunks -- fine on the
+        MXU, unlike sublane offsets), then the row conv as VPU slices:
+        the 3-D transplant of the 2-D mxu_hybrid1 assignment."""
+        from .band_gemm import _dot_splitn, split_bf16
+
+        term = spec.terms[t_idx]
+        rt, ct = term.taps[1], term.taps[2]
+        _, rr, nb, rc = mats_meta[t_idx]
+        R = TM + 2 * e_out[0]
+        C = TN + 2 * e_out[1]
+        off_r = e_in[0] - e_out[0]
+        off_c = e_in[1] - e_out[1]
+        if ct is not None:
+            Bparts = term_parts[t_idx]
+            xs = split_bf16(X, 3)
+            parts = []
+            for c0 in range(0, C, LANE):
+                sc = min(LANE, C - c0)
+                bs = tuple(b[: sc + 2 * rc, :sc] for b in Bparts)
+                xis = tuple(
+                    x[:, off_c + c0 - rc: off_c + c0 + rc + sc]
+                    for x in xs)
+                parts.append(_dot_splitn(xis, bs))
+            Y = (jnp.concatenate(parts, axis=1) if len(parts) > 1
+                 else parts[0])
+        else:
+            Y = X[:, off_c: off_c + C]
+        if rt is not None:
+            rv = (len(rt) - 1) // 2
+            Z = None
+            for k, w in enumerate(rt):
+                if w == 0.0:
+                    continue
+                sl = Y[off_r + k - rv: off_r + k - rv + R, :]
+                t = sl if w == 1.0 else w * sl
+                Z = t if Z is None else Z + t
+        else:
+            Z = Y[off_r: off_r + R, :]
+        return Z.astype(jnp.float32)
+
     def conv_plane(t_idx, X, e_in=None, e_out=(0, 0)):
         # plane convs use shifted slices: cyclic rolls lose on the small
         # non-128-multiple plane extents here (28.9 vs 40.0 GCells/s at
@@ -177,7 +222,10 @@ def _stencil3d_kernel(
         if X.dtype == jnp.bfloat16:  # bf16 state: compute fp32 in VMEM
             X = X.astype(jnp.float32)
         e_in = (HR, HC) if e_in is None else e_in
-        if algorithm.startswith("vpu"):
+        if (algorithm == "mxu_hybrid1"
+                and spec.terms[t_idx].taps[2] is not None):
+            return conv_plane_hybrid1(t_idx, X, e_in, e_out)
+        if algorithm.startswith("vpu") or algorithm == "mxu_hybrid1":
             term = spec.terms[t_idx]
             plane_term = SeparableTerm(taps=(term.taps[1], term.taps[2]))
             if algorithm == "vpu_roll":
@@ -363,14 +411,15 @@ def stencil3d_step(
     for t in spec.terms:
         if t.taps[0] is not None and len(t.taps[0]) > 2 * spec.radius + 1:
             raise ValueError("z taps longer than the spec radius allows")
-    if algorithm not in ("vpu", "vpu_roll", "mxu"):
+    if algorithm not in ("vpu", "vpu_roll", "mxu", "mxu_hybrid1"):
         raise NotImplementedError(
             f"algorithm {algorithm!r} is not a 3-D path; 3-D kernels "
             f"support 'vpu' (exact slices; auto maps here), 'vpu_roll' "
-            f"(exact rolls -- extent-dependent, measure per tile) or "
-            f"'mxu'")
+            f"(exact rolls -- extent-dependent, measure per tile), "
+            f"'mxu_hybrid1' (per-plane column convs on the MXU at full "
+            f"split depth, exact-grade) or 'mxu'")
     if fused_steps > 1:
-        assert algorithm.startswith("vpu"), "3-D temporal fusion needs vpu*"
+        assert algorithm != "mxu", "3-D temporal fusion needs vpu*/hybrid"
     assert fused_steps * spec.radius <= SUBLANE, "fused lookback > guard"
     assert layout.zguard >= fused_steps * spec.radius
     acc_itemsize = 8 if np.dtype(cur.dtype) == np.float64 else 4
@@ -382,15 +431,35 @@ def stencil3d_step(
     mats_meta = []
     mat_args = []
     for term in spec.terms:
-        A, B = (None, None) if algorithm.startswith("vpu") else \
-            term_band_mats(term, np_dtype)
         rr = (len(term.taps[1]) - 1) // 2 if term.taps[1] is not None else 0
         rc = (len(term.taps[2]) - 1) // 2 if term.taps[2] is not None else 0
-        mats_meta.append((A is not None, rr, B is not None, rc))
-        if A is not None:
-            mat_args.append(jnp.asarray(A))
-        if B is not None:
-            mat_args.append(jnp.asarray(B))
+        if algorithm == "mxu":
+            A, B = term_band_mats(term, np_dtype)
+            mats_meta.append((int(A is not None), rr,
+                              int(B is not None), rc))
+            if A is not None:
+                mat_args.append(jnp.asarray(A))
+            if B is not None:
+                mat_args.append(jnp.asarray(B))
+        elif algorithm == "mxu_hybrid1" and term.taps[2] is not None:
+            # bf16 parts of the column banded matrix (integer taps: one
+            # part; arbitrary reals up to 3 -- exact-fp32-grade against
+            # the 3-part state split)
+            from ..models.factorize import banded_matrix
+
+            B = banded_matrix(term.taps[2], LANE, dtype=np.float64)
+            bparts = []
+            rem = B.astype(np.float32)
+            for _ in range(3):
+                ph = np.asarray(rem, jnp.bfloat16)
+                bparts.append(jnp.asarray(ph))
+                rem = rem - np.asarray(ph, np.float32)
+                if not np.any(rem != 0.0):
+                    break
+            mats_meta.append((0, rr, len(bparts), rc))
+            mat_args.extend(bparts)
+        else:
+            mats_meta.append((0, rr, 0, rc))
     mats_meta = tuple(mats_meta)
 
     buffered_idx, _, _ = _classify_terms(spec)

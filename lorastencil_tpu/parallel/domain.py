@@ -144,7 +144,8 @@ class ShardedStencil2D:
         from ..engine import resolve_algorithm
         from ..ops.layout import LANE, SUBLANE, divisor_tile_2d
 
-        self.algorithm = resolve_algorithm(spec, config.algorithm)
+        self.algorithm = resolve_algorithm(spec, config.algorithm,
+                                           jnp.dtype(config.dtype))
         k = max(1, config.fused_steps)
         self.fused_steps = k
         lm, ln = -(-gm // dx), -(-gn // dy)
@@ -721,7 +722,7 @@ class ShardedStencil3D:
 
     def _alg3(self):
         alg = self.config.algorithm
-        return alg if alg in ("vpu_roll", "mxu") else "vpu"
+        return alg if alg in ("vpu_roll", "mxu", "mxu_hybrid1") else "vpu"
 
     def _can_overlap(self) -> bool:
         gi, gj = self.layout.grid

@@ -65,9 +65,10 @@ def _device_kind() -> str:
 
 
 # bump when the measurement methodology changes so stale cache entries
-# are ignored (v2: round-3 sync-latency subtraction -- earlier entries
-# booked ~25-60 ms of tunnel sync against sub-100 ms candidates)
-_KEY_VERSION = "v2"
+# are ignored (v2: round-3 sync-latency subtraction; v3: round-4 raised
+# scoped-VMEM ceiling -- v2-era winners were chosen among candidates
+# that OOM'd under the 16M default)
+_KEY_VERSION = "v3"
 
 
 def _key(spec, interior, algorithm, fused_steps, dtype) -> str:

@@ -438,3 +438,32 @@ def test_autotune_params_cpu_plumbing(tmp_path, monkeypatch):
     assert eng.algorithm in ("vpu_roll", "mxu_hybrid1", "mxu_hybrid3")
     # cache hit returns the same dict without re-measuring
     assert autotune.autotune_params("star2d1r", (32, 256), steps=1) == p2
+
+
+@pytest.mark.parametrize("name", ["star3d1r", "box3d1r"])
+def test_3d_mxu_hybrid1_option(name):
+    """Per-plane col-MXU hybrid (exact-grade; measured slower than the
+    slice path at 256^3 -- kept as an explicit option)."""
+    spec = shapes.get_shape(name)
+    interior = (6, 20, 150)
+    g0 = reference.random_padded(spec, interior, seed=9)
+    eng = engine.StencilEngine.for_shape(name, interior,
+                                         algorithm="mxu_hybrid1")
+    got = np.asarray(eng.run(jnp.asarray(g0, jnp.float32), 3), np.float64)
+    want = reference.run(g0, spec, 3)
+    assert np.abs(got - want).max() / max(1.0, np.abs(want).max()) < 1e-6
+
+
+def test_1d_custom_real_taps_mxu_lanes():
+    """Arbitrary real 1-D taps through the MXU lanes conv: the banded
+    matrix splits to up to 3 bf16 parts (exact-fp32-grade)."""
+    taps = np.array([0.11, -0.7, 1.3, 0.25, 1.3, -0.7, 0.11])
+    eng = engine.StencilEngine.for_coeffs(taps, (300_000,))
+    from lorastencil_tpu.ops.layout import Layout1DLanes
+
+    assert eng.algorithm == "mxu"
+    assert isinstance(eng.layout, Layout1DLanes)
+    g0 = reference.random_padded(eng.spec, (300_000,), seed=6)
+    got = np.asarray(eng.run(jnp.asarray(g0, jnp.float32), 3), np.float64)
+    want = reference.run(g0, eng.spec, 3)
+    assert np.abs(got - want).max() / max(1.0, np.abs(want).max()) < 1e-6
