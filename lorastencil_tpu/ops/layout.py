@@ -198,12 +198,18 @@ class Layout1DLanes:
         groups = width // LANE
         narrow_rows = _cdiv(n, S)
         rows_w = _cdiv(narrow_rows, groups)
-        # per-slot window cap 1M: bigger tiles measured SLOWER (fewer
-        # tiles starve the double-buffer pipeline; the 1M-cell config
-        # collapsed 35 -> 17.6 GCells/s at a 4M cap -- round 4)
-        max_tr = max(SUBLANE, (2**20 // (width * 4) - 2 * SUBLANE)
-                     // SUBLANE * SUBLANE)
-        rows_l = max(SUBLANE, min(max_tr, SUBLANE * _cdiv(rows_w, SUBLANE)))
+        # per-slot window cap 4M (the MXU conv gains from deeper tiles:
+        # 1d1r 16M 99 -> 103 GCells/s, round 4), but small grids keep
+        # the measured round-3 1M-cap geometry (the 1M-cell config's
+        # best, 76.5, was at that depth; starving the double-buffer
+        # pipeline below ~5 tiles collapsed it to 17.6)
+        cap4m = max(SUBLANE, (2**22 // (width * 4) - 2 * SUBLANE)
+                    // SUBLANE * SUBLANE)
+        cap1m = max(SUBLANE, (2**20 // (width * 4) - 2 * SUBLANE)
+                    // SUBLANE * SUBLANE)
+        deep = max(cap1m, SUBLANE * (rows_w // (6 * SUBLANE)))
+        rows_l = max(SUBLANE, min(cap4m, deep,
+                                  SUBLANE * _cdiv(rows_w, SUBLANE)))
         if (overlap_min_tiles is not None
                 and rows_w >= overlap_min_tiles * SUBLANE):
             rows_l = min(rows_l,

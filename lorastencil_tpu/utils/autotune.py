@@ -289,12 +289,13 @@ def _autotune_params(spec, interior, key, candidates, steps, use_cache,
 
 def candidates_1d():
     """1-D lane-geometry / fusion candidates: the engine's defaults plus
-    the neighboring corners of the measured round-3 space (k=2 + width
-    2048 won at 16M; tiny grids ignore all of this via the resident
-    kernel)."""
-    out = [{"fused_steps": k} for k in (1, 2, 4)]
-    out += [{"fused_steps": 2, "lanes_width": w} for w in (1024, 2048)]
-    out += [{"fused_steps": 2, "lanes_tile_rows": tr} for tr in (56, 112)]
+    the neighboring corners of the measured round-4 space (MXU lanes
+    conv, k=4, deep tiles; tiny grids ignore all of this via the
+    resident kernel)."""
+    out = [{"fused_steps": k} for k in (2, 4, 8)]
+    out += [{"fused_steps": 4, "lanes_width": w} for w in (1024, 2048)]
+    out += [{"fused_steps": 4, "lanes_tile_rows": tr}
+            for tr in (112, 224, 448)]
     return out
 
 
