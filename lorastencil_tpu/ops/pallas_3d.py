@@ -378,6 +378,8 @@ def _stencil3d_kernel(
 
         return 0
 
+    # (fully unrolling this sweep measured neutral -- 58.5 vs 59.2
+    # GCells/s on star3d1r 256^3, round 4 -- so the loop stays compact)
     jax.lax.fori_loop(0, pl.cdiv(nslabs, 2), pair, 0)
 
 
