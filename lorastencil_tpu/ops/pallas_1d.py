@@ -415,7 +415,10 @@ def _stencil1d_lanes_kernel(
                                   nparts=1 if bf16_state else 3) * wmask
         else:
             val = _conv_lanes(cur, _taps) * wmask
-        if s < fused_steps - 1 and fused_steps > 2:
+        if s < fused_steps - 1 and fused_steps > 4:
+            # k <= 4 keeps intermediates in value form: the raised
+            # scoped-VMEM ceiling absorbs the transients, and skipping
+            # the work-scratch round trip saves ~3 us/tile/substep
             work[s % 2] = val
             cur = work[s % 2]
         else:
