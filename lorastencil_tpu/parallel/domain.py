@@ -405,7 +405,7 @@ class ShardedStencil2D:
     def _run(self, state, steps: int):
         """state: sharded stack of local buffers, shape
         (dx * Mp_loc, dy * Np_loc), sharded P('x', 'y')."""
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         from ..engine import ping_pong_loop
 
@@ -419,7 +419,7 @@ class ShardedStencil2D:
         fn = shard_map(
             body_fn, mesh=self.mesh,
             in_specs=P("x", "y"), out_specs=P("x", "y"),
-            check_rep=False,
+            check_vma=False,
         )
         return fn(state)
 
@@ -769,7 +769,7 @@ class ShardedStencil3D:
         return self._write_ring(out, parts)
 
     def _run(self, state, steps: int):
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         from ..engine import ping_pong_loop
 
@@ -782,7 +782,7 @@ class ShardedStencil3D:
 
         fn = shard_map(body_fn, mesh=self.mesh,
                        in_specs=P(None, "x", "y"),
-                       out_specs=P(None, "x", "y"), check_rep=False)
+                       out_specs=P(None, "x", "y"), check_vma=False)
         return fn(state)
 
     def to_sharded(self, padded):
@@ -1075,7 +1075,7 @@ class ShardedStencil1D:
         return self._write_ring(out, parts)
 
     def _run(self, state, steps: int):
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         from ..engine import ping_pong_loop
 
@@ -1088,7 +1088,7 @@ class ShardedStencil1D:
 
         fn = shard_map(body_fn, mesh=self.mesh,
                        in_specs=P("x", None), out_specs=P("x", None),
-                       check_rep=False)
+                       check_vma=False)
         return fn(state)
 
     def to_sharded(self, padded):
