@@ -76,11 +76,16 @@ def run_config(name, interior, steps, pipeline=1, chain=1, **kw):
     secs, _ = metrics.time_run(f, jax.random.PRNGKey(0), repeats=2,
                                warmup=1, pipeline=pipeline,
                                subtract_sync=True)
-    # report per-run time/steps (chain only amortizes dispatch latency)
+    # report per-run time/steps (chain only amortizes dispatch latency);
+    # non-fp32 tiers carry the dtype in the backend tag so the
+    # regression gate never compares across numerics tiers
+    tag = f"pallas-{eng.algorithm}"  # resolved, not the 'auto' alias
+    if eng.config.dtype != "float32":
+        tag += f"-{eng.config.dtype}"
+    if chain > 1:
+        tag += f"-chain{chain}"
     return metrics.bench_result(eng.spec, interior, steps, secs / chain,
-                                f"pallas-{eng.config.algorithm}"
-                                + (f"-chain{chain}" if chain > 1 else ""),
-                                eng.config.precision, 2)
+                                tag, eng.config.precision, 2)
 
 
 def recorded_best(outpath, platform):
@@ -95,6 +100,12 @@ def recorded_best(outpath, platform):
                 except json.JSONDecodeError:
                     continue
                 if rec.get("backend_platform") != platform:
+                    continue
+                # only exact-fp32 suite rows are comparable baselines:
+                # skip sharded-overhead records and bf16/f64 tiers
+                be = rec.get("backend", "")
+                if (not be.startswith("pallas-") or "bfloat16" in be
+                        or "float64" in be):
                     continue
                 key = (rec.get("shape"), tuple(rec.get("interior", ())),
                        rec.get("steps"))

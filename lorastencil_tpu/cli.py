@@ -61,10 +61,13 @@ def main(argv=None) -> int:
                    default="auto",
                    help="compute path; 'auto' (default) picks the "
                         "measured-fastest EXACT path per shape "
-                        "(mxu_hybrid3 or vpu_roll); see EngineConfig")
+                        "(2-D few-term: mxu_hybrid1; 2-D many-term: "
+                        "vpu_roll; 1-D: mxu; 3-D: vpu); see "
+                        "EngineConfig")
     p.add_argument("--fused-steps", type=int, default=None,
                    help="timesteps fused per HBM round trip (1-D/2-D); "
-                        "default: auto (1 for 2-D, 2 for 1-D)")
+                        "default: auto (1 for 2-D, 4 for the 1-D mxu "
+                        "path, 2 for the 1-D roll path)")
     p.add_argument("--precision", choices=["highest", "default"],
                    default="highest")
     p.add_argument("--dtype",

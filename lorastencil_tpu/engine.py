@@ -221,6 +221,13 @@ class StencilEngine:
             backend = "pallas"
         self.backend = backend
         self.algorithm = self._resolve_algorithm()
+        if (spec.ndim == 3 and backend != "xla"
+                and self.algorithm not in ("vpu", "vpu_roll", "mxu",
+                                           "mxu_hybrid1")):
+            raise ValueError(
+                f"algorithm {self.algorithm!r} has no 3-D path; 3-D "
+                f"kernels support 'vpu' (auto), 'vpu_roll', "
+                f"'mxu_hybrid1' or 'mxu'")
         self.interpret = (
             config.interpret if config.interpret is not None else not _on_tpu()
         )
@@ -480,9 +487,7 @@ class StencilEngine:
                 algorithm=self.algorithm, fused_steps=fused_k,
                 bounds=bounds)
         from .ops import pallas_3d
-        alg3 = (self.algorithm
-                if self.algorithm in ("vpu_roll", "mxu", "mxu_hybrid1")
-                else "vpu")
+        alg3 = "vpu" if self.algorithm == "vpu" else self.algorithm
         return pallas_3d.stencil3d_step(
             cur, donor, self.spec, self.layout,
             precision=self.precision, interpret=self.interpret,

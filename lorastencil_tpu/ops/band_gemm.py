@@ -81,6 +81,24 @@ def _col_chunks(C):
     return out
 
 
+def bf16_matrix_parts(M, max_parts: int = 3):
+    """Exact bf16 decomposition of a HOST (numpy) matrix: as many parts
+    as needed to represent its fp32 values, capped at ``max_parts``
+    (integer reference taps: 1 part; arbitrary reals: up to 3 for the
+    exact-grade tiers).  Returns a list of jnp bf16 arrays."""
+    import numpy as _np
+
+    parts = []
+    rem = _np.asarray(M, _np.float32)
+    for _ in range(max_parts):
+        ph = _np.asarray(rem, jnp.bfloat16)
+        parts.append(jnp.asarray(ph))
+        rem = rem - _np.asarray(ph, _np.float32)
+        if not _np.any(rem != 0.0):
+            break
+    return parts
+
+
 def split_bf16(x, parts: int = 2):
     """Exact bf16 decomposition of an fp32 array: x == sum(parts) in
     fp32.  Two parts capture 16 mantissa bits (~6e-6 residual); three

@@ -481,16 +481,11 @@ def stencil1d_lanes_step(
         import numpy as _np
 
         from ..models.factorize import banded_matrix
+        from .band_gemm import bf16_matrix_parts
 
         r = (len(taps) - 1) // 2
         Bsq = banded_matrix(taps, LANE, dtype=_np.float64)[r: r + LANE, :]
-        rem = Bsq.astype(_np.float32)
-        for _ in range(3):
-            ph = _np.asarray(rem, jnp.bfloat16)
-            mat_args.append(jnp.asarray(ph))
-            rem = rem - _np.asarray(ph, _np.float32)
-            if not _np.any(rem != 0.0):
-                break
+        mat_args = bf16_matrix_parts(Bsq)
     kernel = functools.partial(
         _stencil1d_lanes_kernel, layout=layout, n=layout.interior,
         _taps=taps, fused_steps=fused_steps,

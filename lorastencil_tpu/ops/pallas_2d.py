@@ -57,8 +57,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.shapes import SeparableTerm, StencilSpec
 from .band_gemm import (apply_spec_hybrid1, apply_spec_vpu,
                         apply_spec_vpu_rolled, apply_spec_vpu_rolled_extent,
-                        apply_terms_mxu_split, plane_conv, split_bf16,
-                        term_band_mats)
+                        apply_terms_mxu_split, bf16_matrix_parts,
+                        plane_conv, split_bf16, term_band_mats)
 from .layout import LANE, SUBLANE, Layout2D
 
 
@@ -460,29 +460,24 @@ def stencil2d_step(
         # split each banded matrix into as many bf16 parts as needed to
         # represent its fp32 values exactly, capped at the state split
         # depth (integer reference taps: 1 part; arbitrary reals: up to
-        # 3 for mxu_hybrid3 -- which keeps that tier exact-grade for
-        # custom coefficients too)
+        # 3 for the exact-grade tiers).  The hybrid1 variants use only
+        # one axis's matrices (col for 'mxu_hybrid1', row for '...1r');
+        # the other axis runs on the VPU, so its parts are not built.
         max_parts = (3 if algorithm in ("mxu_hybrid1", "mxu_hybrid1r",
                                         "mxu_hybrid3") else 2)
-
-        def bf16_parts(M):
-            parts = []
-            rem = M.astype(np.float32)
-            for _ in range(max_parts):
-                ph = np.asarray(rem, jnp.bfloat16)
-                parts.append(jnp.asarray(ph))
-                rem = rem - np.asarray(ph, np.float32)
-                if not np.any(rem != 0.0):
-                    break
-            return parts
-
         for term in eff_terms:
             A, B = term_band_mats(term, np.float64)
+            if algorithm == "mxu_hybrid1":
+                A = None
+            elif algorithm == "mxu_hybrid1r":
+                B = None
             row_taps, col_taps = term.taps
             rr = (len(row_taps) - 1) // 2 if row_taps is not None else 0
             rc = (len(col_taps) - 1) // 2 if col_taps is not None else 0
-            aparts = bf16_parts(A) if A is not None else []
-            bparts = bf16_parts(B) if B is not None else []
+            aparts = (bf16_matrix_parts(A, max_parts)
+                      if A is not None else [])
+            bparts = (bf16_matrix_parts(B, max_parts)
+                      if B is not None else [])
             mats_meta.append((len(aparts), rr, len(bparts), rc))
             mat_args.extend(aparts)
             mat_args.extend(bparts)

@@ -64,7 +64,8 @@ def _classify_terms(spec: StencilSpec):
 def pick_slab(H: int, TM: int, TN: int, dtype_bytes: int = 4,
               budget: int = 0, fused_steps: int = 1,
               radius: int = 1, acc_bytes: int = 4) -> int:
-    """Largest slab in {8,4,2,1} dividing H whose buffers fit VMEM.
+    """Largest slab in {32,16,8,4,2,1} dividing H whose buffers fit
+    the VMEM budget.
 
     ``dtype_bytes`` sizes the state-dtype window/output slabs (2 for the
     bf16 tier); ``acc_bytes`` sizes the fp32 conv/level buffers."""
@@ -73,10 +74,15 @@ def pick_slab(H: int, TM: int, TN: int, dtype_bytes: int = 4,
     if not budget:
         # deeper fusion carries bigger per-level temporaries that the
         # static estimate below cannot see; leave more headroom.
-        # Sized against the raised scoped-VMEM ceiling (default 64M,
-        # pallas_2d.vmem_limit_bytes) -- deeper slabs cut the z-lookback
+        # Sized as a fraction of the actual scoped-VMEM ceiling
+        # (pallas_2d.vmem_limit_bytes; 40M/24M at the 64M default) so a
+        # LORASTENCIL_VMEM_MB override scales the slab choice instead
+        # of overflowing the compile -- deeper slabs cut the z-lookback
         # amplification ((slab + 2k*r)/slab window planes per slab).
-        budget = (40 if k <= 2 else 24) * 2**20
+        from .pallas_2d import vmem_limit_bytes
+
+        frac = 0.625 if k <= 2 else 0.375
+        budget = max(6 * 2**20, int(vmem_limit_bytes() * frac))
     pe = (k - 1) * radius
     er = TM + 2 * (((pe + SUBLANE - 1) // SUBLANE) * SUBLANE or 0)
     ec = TN + 2 * (LANE if pe else 0)
@@ -448,16 +454,10 @@ def stencil3d_step(
             # part; arbitrary reals up to 3 -- exact-fp32-grade against
             # the 3-part state split)
             from ..models.factorize import banded_matrix
+            from .band_gemm import bf16_matrix_parts
 
             B = banded_matrix(term.taps[2], LANE, dtype=np.float64)
-            bparts = []
-            rem = B.astype(np.float32)
-            for _ in range(3):
-                ph = np.asarray(rem, jnp.bfloat16)
-                bparts.append(jnp.asarray(ph))
-                rem = rem - np.asarray(ph, np.float32)
-                if not np.any(rem != 0.0):
-                    break
+            bparts = bf16_matrix_parts(B)
             mats_meta.append((0, rr, len(bparts), rc))
             mat_args.extend(bparts)
         else:

@@ -72,6 +72,27 @@ def _check_divisible(boundary: str, interior, mesh_shape) -> None:
                 f"dirichlet0 supports arbitrary sizes")
 
 
+def _pad_local_block(lm: int, ln: int, tile, explicit_tile: bool):
+    """dirichlet0 local-block padding, shared by the 2-D and 3-D
+    engines: round the block up to a tile multiple (no tile round-up
+    region, so the exchanged guard ring never aliases interior tiles;
+    padded fake cells are bounds-masked to Dirichlet zero).  When
+    padding to the measured-best default tile would waste > ~8% of the
+    block (small local blocks), a zero-waste divisor tile wins instead.
+    Returns (lm, ln, tile)."""
+    from ..ops.layout import LANE, SUBLANE, divisor_tile_2d
+
+    bm = SUBLANE * (-(-lm // SUBLANE))
+    bn = LANE * (-(-ln // LANE))
+    if not explicit_tile and (bm % tile[0] or bn % tile[1]):
+        pad = (tile[0] * (-(-bm // tile[0]))
+               * tile[1] * (-(-bn // tile[1])))
+        if pad > 1.08 * bm * bn:
+            tile = divisor_tile_2d(bm, bn)
+    return (tile[0] * (-(-bm // tile[0])),
+            tile[1] * (-(-bn // tile[1])), tile)
+
+
 def make_mesh(shape: Tuple[int, ...], axis_names=("x", "y"),
               devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
@@ -156,24 +177,10 @@ class ShardedStencil2D:
                 lm, ln, mxu_residue=(self.algorithm.startswith("mxu")
                                      and bool(spec.residue)))
         if self.config.boundary == "dirichlet0":
-            # pad the local block UP to a tile multiple: arbitrary global
-            # sizes shard (round-2 VERDICT item 4).  There is no tile
-            # round-up region, so the exchanged guard ring never aliases
-            # interior tiles; padded fake-interior cells sit beyond the
-            # global bounds and the kernels mask them to zero every
-            # (sub)step -- exactly the Dirichlet-0 halo semantics their
-            # real neighbors expect.  When padding to the measured-best
-            # default tile would waste > ~8% of the block (small local
-            # blocks), a zero-waste divisor tile wins instead.
-            bm = SUBLANE * (-(-lm // SUBLANE))
-            bn = LANE * (-(-ln // LANE))
-            if config.tile is None and (bm % tile[0] or bn % tile[1]):
-                pad = (tile[0] * (-(-bm // tile[0]))
-                       * tile[1] * (-(-bn // tile[1])))
-                if pad > 1.08 * bm * bn:
-                    tile = divisor_tile_2d(bm, bn)
-            lm = tile[0] * (-(-bm // tile[0]))
-            ln = tile[1] * (-(-bn // tile[1]))
+            # arbitrary global sizes shard via block padding + bounds
+            # masking (round-2 VERDICT item 4; see _pad_local_block)
+            lm, ln, tile = _pad_local_block(lm, ln, tile,
+                                            config.tile is not None)
         elif k > 1 and (lm % tile[0] or ln % tile[1]):
             # periodic/reflect wrap/mirror at the true global edge, so
             # the block cannot pad; fused runs forbid tile round-up
@@ -536,19 +543,10 @@ class ShardedStencil3D:
         lm, ln = -(-gm // dx), -(-gn // dy)
         tile = config.tile or default_tile_3d(lm, ln)
         if config.boundary == "dirichlet0":
-            # pad the local block to a tile multiple (see the 2-D twin):
-            # arbitrary global sizes shard; fake cells are bounds-masked
-            bm = SUBLANE * (-(-lm // SUBLANE))
-            bn = LANE * (-(-ln // LANE))
-            if config.tile is None and (bm % tile[0] or bn % tile[1]):
-                pad = (tile[0] * (-(-bm // tile[0]))
-                       * tile[1] * (-(-bn // tile[1])))
-                if pad > 1.08 * bm * bn:
-                    from ..ops.layout import divisor_tile_2d
-
-                    tile = divisor_tile_2d(bm, bn)
-            lm = tile[0] * (-(-bm // tile[0]))
-            ln = tile[1] * (-(-bn // tile[1]))
+            # arbitrary global sizes shard via block padding + bounds
+            # masking (see _pad_local_block)
+            lm, ln, tile = _pad_local_block(lm, ln, tile,
+                                            config.tile is not None)
         elif k > 1 and (lm % tile[0] or ln % tile[1]):
             raise ValueError(
                 "fused sharded periodic/reflect runs need tile-aligned "
@@ -722,7 +720,14 @@ class ShardedStencil3D:
 
     def _alg3(self):
         alg = self.config.algorithm
-        return alg if alg in ("vpu_roll", "mxu", "mxu_hybrid1") else "vpu"
+        if alg == "auto":
+            return "vpu"
+        if alg not in ("vpu", "vpu_roll", "mxu", "mxu_hybrid1"):
+            raise ValueError(
+                f"algorithm {alg!r} has no 3-D path; sharded 3-D "
+                f"engines support 'auto'/'vpu', 'vpu_roll', "
+                f"'mxu_hybrid1' or 'mxu'")
+        return alg
 
     def _can_overlap(self) -> bool:
         gi, gj = self.layout.grid
