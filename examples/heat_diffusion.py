@@ -18,7 +18,10 @@ if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "")
 import jax
 import numpy as np
 
-if jax.default_backend() != "tpu":
+# JAX_PLATFORMS=cpu alone cannot force CPU on axon-tunneled machines
+# (a sitecustomize overrides it); honor it explicitly here
+if (jax.default_backend() != "tpu"
+        or os.environ.get("JAX_PLATFORMS") == "cpu"):
     jax.config.update("jax_platforms", "cpu")
 
 from lorastencil_tpu import engine

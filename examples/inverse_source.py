@@ -21,7 +21,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-if jax.default_backend() not in ("tpu",):
+# JAX_PLATFORMS=cpu alone cannot force CPU on axon-tunneled machines
+# (a sitecustomize overrides it); honor it explicitly here
+if (jax.default_backend() not in ("tpu",)
+        or os.environ.get("JAX_PLATFORMS") == "cpu"):
     jax.config.update("jax_platforms", "cpu")
 
 from lorastencil_tpu import engine  # noqa: E402

@@ -314,14 +314,19 @@ def apply_spec_hybrid1(X, xs, spec2d, band_mats, mxu_axis="col"):
 
     acc = None
     vpu_axis = 0 if mxu_axis == "col" else 1
+    m_axis = 1 - vpu_axis
     for term, Mparts in zip(spec2d.terms, band_mats):
         rt, ct = term.taps[-2], term.taps[-1]
         mxu_taps, vpu_taps = ((ct, rt) if mxu_axis == "col"
                               else (rt, ct))
-        if mxu_taps is not None:
+        if mxu_taps is not None and Mparts:
             rm = (len(mxu_taps) - 1) // 2
             Y = (col_conv_mxu(Mparts, rm) if mxu_axis == "col"
                  else row_conv_mxu(Mparts, rm))
+        elif mxu_taps is not None:
+            # no matrices shipped for this term: both axes on the VPU
+            # (mixed stream assignment for many-term specs)
+            Y = _conv_rolled_1axis(X, mxu_taps, m_axis, sh, xrolls, add)
         else:
             Y = X
         if vpu_taps is not None:

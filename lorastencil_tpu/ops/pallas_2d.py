@@ -465,10 +465,18 @@ def stencil2d_step(
         # the other axis runs on the VPU, so its parts are not built.
         max_parts = (3 if algorithm in ("mxu_hybrid1", "mxu_hybrid1r",
                                         "mxu_hybrid3") else 2)
+        import os
+
+        h1_cap = int(os.environ.get("LORASTENCIL_H1_MXU_TERMS", "99"))
+        h1_built = 0
         for term in eff_terms:
             A, B = term_band_mats(term, np.float64)
             if algorithm == "mxu_hybrid1":
                 A = None
+                if h1_built >= h1_cap:
+                    B = None  # mixed assignment: this term stays VPU
+                elif B is not None:
+                    h1_built += 1
             elif algorithm == "mxu_hybrid1r":
                 B = None
             row_taps, col_taps = term.taps
