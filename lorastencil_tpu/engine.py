@@ -331,16 +331,24 @@ class StencilEngine:
             k = self._fused_k()
             flat = Layout1D(interior=n1, halo=spec.halo[0], tile_rows=rows,
                             guard_rows=SUBLANE * (-(-k // SUBLANE)))
+            r_eff = pallas_1d.effective_radius(spec)
+            lanes_ok = (self.backend != "xla" and 1 <= r_eff <= 32
+                        and self.algorithm in ("vpu_roll", "auto", "mxu"))
+            if lanes_ok and self.config.boundary == "dirichlet0":
+                # small grids: VMEM-RESIDENT lanes layout with a DEEP
+                # lane halo (fixup every h/r_eff steps, conv on the MXU;
+                # the dispatch-bound tiny-grid fast path, round 4)
+                res, _ = Layout1DLanes.build(n1, spec.halo[0], 8, r_eff)
+                if pallas_1d.fits_resident_lanes(res,
+                                                 self.dtype.itemsize):
+                    return res
             if (self.backend == "xla"
                     or pallas_1d.fits_resident(flat, self.dtype.itemsize)
-                    or self.algorithm not in ("vpu_roll", "auto", "mxu")):
+                    or not lanes_ok):
                 return flat
             # large grids: overlapped-lane layout -- one aligned roll per
             # tap instead of 2 rolls + select for the 128-lane wrap
             # (measured ~1.6x on 16M-cell 1d2r, PERF.md round 3)
-            r_eff = pallas_1d.effective_radius(spec)
-            if not (1 <= r_eff <= 32):
-                return flat
             lanes, _ = Layout1DLanes.build(n1, spec.halo[0], k, r_eff)
             if self.config.lanes_width or self.config.lanes_tile_rows:
                 lanes = dataclasses.replace(
@@ -538,6 +546,15 @@ class StencilEngine:
         if (self.backend != "xla" and self.spec.ndim == 1 and steps > 0
                 and not self.ghost):
             from .ops import pallas_1d
+            if pallas_1d.fits_resident_lanes(self.layout,
+                                             self.dtype.itemsize):
+                # resident overlapped-lane fast path: ALL steps in ONE
+                # kernel, MXU conv, halo fixup every h/r_eff steps
+                return pallas_1d.stencil1d_resident_lanes(
+                    state, self.spec, self.layout, steps,
+                    interpret=self.interpret,
+                    algorithm=("mxu" if self.algorithm == "mxu"
+                               else "vpu"))
             if pallas_1d.fits_resident(self.layout, self.dtype.itemsize):
                 # whole-grid-resident fast path: ALL steps in ONE kernel
                 # (small grids are dispatch-bound otherwise; VERDICT r1)

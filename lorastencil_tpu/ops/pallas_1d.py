@@ -586,6 +586,131 @@ def stencil1d_resident(
     )(cur)
 
 
+def _stencil1d_resident_lanes_kernel(in_ref, *rest, layout, n: int,
+                                     _taps, steps: int, refresh: int,
+                                     n_mats: int):
+    """ALL ``steps`` timesteps on a VMEM-resident overlapped-lane grid.
+
+    The lane halo is ``refresh * r_eff`` deep, so the halo-lane fixup
+    (the per-call cost of the tiled lanes kernel) runs only every
+    ``refresh`` steps -- between fixups each step is just the conv
+    (MXU matmuls or rolls) + the interior mask, and the roll/matmul
+    edge garbage creeps r_eff lanes per step inside the halo margin.
+    This is what lifts the dispatch-bound tiny-grid BASELINE config
+    (the reference's resident-L2 regime, ``src/1d/gpu_1r.cu:121-123``)."""
+    mat_refs = rest[:n_mats]
+    out_ref = rest[n_mats]
+    R, Wd = layout.shape
+    G = layout.guard_rows
+    h = layout.lane_halo
+    S = layout.stride
+    ngrp = layout.groups
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, Wd), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, Wd), 0) - G
+    jl = jax.lax.rem(lane, jnp.int32(LANE))
+    if ngrp > 1:
+        grp = jax.lax.div(lane, jnp.int32(LANE))
+        flat = (row * ngrp + grp) * S + jl - h
+    else:
+        flat = row * S + jl - h
+    mask = ((flat >= 0) & (flat < n)).astype(jnp.float32)
+
+    def fixup(W):
+        up = pltpu.roll(W, R - 1, 0)
+        dn = pltpu.roll(W, 1, 0)
+        if ngrp > 1:
+            lfix = jnp.where(lane < h, pltpu.roll(dn, (2 * h) % Wd, 1),
+                             pltpu.roll(W, (2 * h) % Wd, 1))
+            rfix = jnp.where(lane >= Wd - h,
+                             pltpu.roll(up, (Wd - 2 * h) % Wd, 1),
+                             pltpu.roll(W, (Wd - 2 * h) % Wd, 1))
+        else:
+            lfix = pltpu.roll(dn, (2 * h) % Wd, 1)
+            rfix = pltpu.roll(up, (Wd - 2 * h) % Wd, 1)
+        return jnp.where(jl < h, lfix,
+                         jnp.where(jl >= LANE - h, rfix, W))
+
+    done = 0
+    while done < steps:
+        inner = min(refresh, steps - done)
+        cur = out_ref[:]
+        if cur.dtype == jnp.bfloat16:
+            cur = cur.astype(jnp.float32)
+        cur = fixup(cur)
+        for _ in range(inner):
+            if n_mats:
+                bparts = tuple(mat_refs[i][:] for i in range(n_mats))
+                cur = _conv_lanes_mxu(
+                    cur, bparts,
+                    nparts=1 if out_ref.dtype == jnp.bfloat16 else 3)
+            else:
+                cur = _conv_lanes(cur, _taps)
+            cur = cur * mask
+        out_ref[:] = cur.astype(out_ref.dtype)
+        done += inner
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "layout", "interpret", "steps",
+                              "algorithm")
+)
+def stencil1d_resident_lanes(
+    cur: jax.Array,
+    spec: StencilSpec,
+    layout,
+    steps: int,
+    interpret: bool = False,
+    algorithm: str = "mxu",
+) -> jax.Array:
+    """ALL ``steps`` timesteps in one kernel on a VMEM-resident
+    overlapped-lane grid (see the kernel docstring)."""
+    layout.validate()
+    r_eff = effective_radius(spec)
+    refresh = max(1, layout.lane_halo // max(1, r_eff))
+    taps = _dense_taps(spec)
+    mat_args = []
+    if algorithm == "mxu":
+        import numpy as _np
+
+        from ..models.factorize import banded_matrix
+        from .band_gemm import bf16_matrix_parts
+
+        r = (len(taps) - 1) // 2
+        Bsq = banded_matrix(taps, LANE, dtype=_np.float64)[r: r + LANE, :]
+        mat_args = bf16_matrix_parts(Bsq)
+    kernel = functools.partial(
+        _stencil1d_resident_lanes_kernel, layout=layout,
+        n=layout.interior, _taps=taps, steps=steps, refresh=refresh,
+        n_mats=len(mat_args),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(cur.shape, cur.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(mat_args),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+        compiler_params=_cparams(interpret),
+    )(cur, *mat_args)
+
+
+RESIDENT_LANES_BYTES = 2 * 2**20
+
+
+def fits_resident_lanes(layout, itemsize: int = 4) -> bool:
+    """Resident-lanes eligibility: small overlapped-lane grids whose
+    whole buffer (plus the ~5x conv transients) fits comfortably under
+    the scoped-VMEM ceiling."""
+    from .layout import Layout1DLanes
+
+    if not isinstance(layout, Layout1DLanes):
+        return False
+    rows, cols = layout.shape
+    return rows * cols * itemsize <= RESIDENT_LANES_BYTES
+
+
 def fits_resident(layout, itemsize: int = 4) -> bool:
     """Whole-grid-resident eligibility: flat Layout1D only (the resident
     kernel is the small-grid fast path; overlapped-lane layouts exist

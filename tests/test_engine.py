@@ -198,10 +198,17 @@ class Test1DGenerality:
         # the tiled double-buffered kernel agree with the fp64 truth
         from lorastencil_tpu.ops import pallas_1d
 
+        from lorastencil_tpu.ops.layout import Layout1D
+
         spec = shapes.get_shape("1d1r")
         interior = (700,)
         g0 = reference.random_padded(spec, interior, seed=11)
-        eng = engine.StencilEngine.for_shape("1d1r", interior)
+        # the flat-resident kernel remains the wide-radius fallback; small
+        # grids default to the resident-LANES path since round 4, so build
+        # the flat layout explicitly here
+        eng = engine.StencilEngine.for_shape("1d1r", interior,
+                                             algorithm="vpu")
+        assert isinstance(eng.layout, Layout1D)
         assert pallas_1d.fits_resident(eng.layout)
         state = eng.to_internal(jnp.asarray(g0, jnp.float32))
         res = pallas_1d.stencil1d_resident(
@@ -254,9 +261,11 @@ class Test1DGenerality:
         from lorastencil_tpu.ops.layout import Layout1DLanes
 
         spec = shapes.get_shape("1d1r")
-        n = 200_000
+        n = 2_000_000  # beyond the resident-lanes byte budget
         eng = engine.StencilEngine.for_shape("1d1r", (n,))
         assert isinstance(eng.layout, Layout1DLanes)
+        from lorastencil_tpu.ops import pallas_1d as _p1
+        assert not _p1.fits_resident_lanes(eng.layout)
         # 1d1r taps have zero ends: effective radius 3, halo = k*3
         from lorastencil_tpu.ops import pallas_1d
         assert pallas_1d.effective_radius(spec) == 3
@@ -312,10 +321,13 @@ class Test1DGenerality:
         # normalized taps keep values bounded over the 2k+3 steps
         taps = np.array([1, 2, 3, 4, 5, 4, 3, 2, 1], np.float64) / 25.0
         k = 24
-        eng = engine.StencilEngine.for_coeffs(taps, (40000,), halo=(4,),
-                                              fused_steps=k)
+        # algorithm='vpu' pins the FLAT tiled path (lanes/resident would
+        # ignore deep fusion); 600K cells exceed the flat-resident fit
+        eng = engine.StencilEngine.for_coeffs(taps, (600_000,), halo=(4,),
+                                              fused_steps=k,
+                                              algorithm="vpu")
         assert eng.layout.guard_rows == 24
-        g0 = reference.random_padded(eng.spec, (40000,), seed=5)
+        g0 = reference.random_padded(eng.spec, (600_000,), seed=5)
         got = np.asarray(eng.run(jnp.asarray(g0, jnp.float32), 2 * k + 3),
                          np.float64)
         want = reference.run(g0, eng.spec, 2 * k + 3)
@@ -467,3 +479,42 @@ def test_1d_custom_real_taps_mxu_lanes():
     got = np.asarray(eng.run(jnp.asarray(g0, jnp.float32), 3), np.float64)
     want = reference.run(g0, eng.spec, 3)
     assert np.abs(got - want).max() / max(1.0, np.abs(want).max()) < 1e-6
+
+
+def test_1d_resident_lanes_path():
+    """Small 1-D grids take the VMEM-resident overlapped-lane kernel
+    (deep lane halo, fixup every h/r_eff steps, MXU conv)."""
+    from lorastencil_tpu.ops import pallas_1d
+    from lorastencil_tpu.ops.layout import Layout1DLanes
+
+    for name, n in [("1d1r", 4096), ("1d2r", 4096), ("1d1r", 300)]:
+        spec = shapes.get_shape(name)
+        eng = engine.StencilEngine.for_shape(name, (n,))
+        assert isinstance(eng.layout, Layout1DLanes)
+        assert pallas_1d.fits_resident_lanes(eng.layout)
+        g0 = reference.random_padded(spec, (n,), seed=33) * 1e-6
+        # steps beyond one fixup period (refresh = lane_halo // r_eff)
+        steps = eng.layout.lane_halo // max(
+            1, pallas_1d.effective_radius(spec)) * 2 + 3
+        got = np.asarray(eng.run(jnp.asarray(g0, jnp.float32), steps),
+                         np.float64)
+        want = reference.run(g0, spec, steps)
+        err = np.abs(got - want).max() / max(1e-300, np.abs(want).max())
+        assert err < 1e-6, (name, n, steps, err)
+
+
+def test_1d_resident_lanes_ghost_falls_back():
+    """Periodic/reflect 1-D runs keep the ring-refresh path (the
+    resident-lanes kernel has no ghost support)."""
+    spec = shapes.get_shape("1d2r")
+    rng = np.random.default_rng(5)
+    g0 = rng.uniform(0, 0.01, (4096,))
+    padded = np.zeros(spec.padded_shape((4096,)))
+    padded[4:-4] = g0
+    eng = engine.StencilEngine.for_shape("1d2r", (4096,),
+                                         boundary="periodic")
+    got = np.asarray(eng.run(jnp.asarray(padded, jnp.float32), 5),
+                     np.float64)[4:-4]
+    it = (slice(4, -4),)
+    want = reference.run_periodic(padded, spec, 5)[it]
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
