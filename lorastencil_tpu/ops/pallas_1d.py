@@ -631,9 +631,11 @@ def _stencil1d_resident_lanes_kernel(in_ref, *rest, layout, n: int,
         return jnp.where(jl < h, lfix,
                          jnp.where(jl >= LANE - h, rfix, W))
 
-    done = 0
-    while done < steps:
-        inner = min(refresh, steps - done)
+    def block(inner):
+        """One fixup + ``inner`` unrolled steps, through the (aliased)
+        output ref -- the same ref-carried structure as the flat
+        resident kernel (value chains across the whole run made Mosaic
+        compile pathologically)."""
         cur = out_ref[:]
         if cur.dtype == jnp.bfloat16:
             cur = cur.astype(jnp.float32)
@@ -648,7 +650,17 @@ def _stencil1d_resident_lanes_kernel(in_ref, *rest, layout, n: int,
                 cur = _conv_lanes(cur, _taps)
             cur = cur * mask
         out_ref[:] = cur.astype(out_ref.dtype)
-        done += inner
+
+    nfull, tail = divmod(steps, refresh)
+
+    def body(_, carry):
+        block(refresh)
+        return carry
+
+    if nfull:
+        jax.lax.fori_loop(0, nfull, body, 0)
+    if tail:
+        block(tail)
 
 
 @functools.partial(
