@@ -136,8 +136,7 @@ def _stencil2d_kernel(
     ti = ti0 + pl.program_id(0)
     tj = tj0 + pl.program_id(1)
     idx = pl.program_id(0) * rw + pl.program_id(1)  # last dim innermost
-    slot = jax.lax.rem(idx, jnp.int32(2)) if depth == 2 else 0
-    nslot = jax.lax.rem(idx + 1, jnp.int32(2)) if depth == 2 else 0
+    slot = jax.lax.rem(idx, jnp.int32(depth)) if depth >= 2 else 0
 
     def in_dma(t_i, t_j, s):
         return pltpu.make_async_copy(
@@ -156,21 +155,23 @@ def _stencil2d_kernel(
             sem_out.at[s],
         )
 
-    # software pipeline: prefetch the next tile's window during compute,
-    # drain the previous tile's output write lazily (the TPU analog of the
-    # reference's cp.async double buffering, src/2d/gpu.cu:37-50).
-    if depth == 2:
-        @pl.when(idx == 0)
-        def _prologue():
-            in_dma(ti, tj, slot).start()
+    # software pipeline: prefetch windows depth-1 tiles ahead of compute,
+    # drain output writes lazily (the TPU analog of the reference's
+    # cp.async double buffering, src/2d/gpu.cu:37-50; depth > 2 keeps
+    # more transfers in flight for latency-bound DMA chains).
+    if depth >= 2:
+        for p in range(min(depth - 1, total)):
+            @pl.when(idx == 0)
+            def _prologue(p=p):
+                in_dma(ti0 + p // rw, tj0 + p % rw, p % depth).start()
 
-        nidx = idx + 1
+        nidx = idx + depth - 1
         nti = ti0 + jax.lax.div(nidx, jnp.int32(rw))
         ntj = tj0 + jax.lax.rem(nidx, jnp.int32(rw))
 
         @pl.when(nidx < total)
         def _prefetch():
-            in_dma(nti, ntj, nslot).start()
+            in_dma(nti, ntj, jax.lax.rem(nidx, jnp.int32(depth))).start()
     else:
         in_dma(ti, tj, slot).start()
 
@@ -334,27 +335,26 @@ def _stencil2d_kernel(
             ].astype(jnp.float32)
         acc = mask_to_interior(acc, 0, 0, final=True)
 
-    if depth == 2:
-        # before reusing this out slot, drain the write started 2 tiles ago
-        @pl.when(idx >= 2)
+    if depth >= 2:
+        # before reusing this out slot, drain the write started depth
+        # tiles ago
+        @pl.when(idx >= depth)
         def _drain_prev():
-            pti = ti0 + jax.lax.div(idx - 2, jnp.int32(rw))
-            ptj = tj0 + jax.lax.rem(idx - 2, jnp.int32(rw))
+            pti = ti0 + jax.lax.div(idx - depth, jnp.int32(rw))
+            ptj = tj0 + jax.lax.rem(idx - depth, jnp.int32(rw))
             out_dma(pti, ptj, slot).wait()
 
         out_tile[pl.ds(slot, 1)] = acc.astype(out_tile.dtype)[None]
         out_dma(ti, tj, slot).start()
 
-        # epilogue: drain the last two writes
-        @pl.when(idx == total - 1)
-        def _drain_tail():
-            out_dma(ti, tj, slot).wait()
-
-        @pl.when((idx == total - 1) & (total >= 2))
-        def _drain_tail2():
-            pti = ti0 + jax.lax.div(idx - 1, jnp.int32(rw))
-            ptj = tj0 + jax.lax.rem(idx - 1, jnp.int32(rw))
-            out_dma(pti, ptj, nslot).wait()
+        # epilogue: drain the last min(depth, total) outstanding writes
+        for q in range(depth):
+            @pl.when((idx == total - 1) & (total >= q + 1))
+            def _drain_tail(q=q):
+                pti = ti0 + jax.lax.div(idx - q, jnp.int32(rw))
+                ptj = tj0 + jax.lax.rem(idx - q, jnp.int32(rw))
+                out_dma(pti, ptj,
+                        jax.lax.rem(idx - q, jnp.int32(depth))).wait()
     else:
         out_tile[pl.ds(slot, 1)] = acc.astype(out_tile.dtype)[None]
         o = out_dma(ti, tj, slot)
@@ -513,9 +513,25 @@ def stencil2d_step(
     out_bytes = TM * TN * itemsize
     work_bytes = (2 * work_rows * work_cols * itemsize
                   if fused_steps > 1 else 0)
-    # ~2M headroom for fusion temporaries under the 16M scoped-vmem limit
-    fits2 = 2 * win_bytes + 2 * out_bytes + work_bytes <= 13 * 2**20
-    depth = 2 if (fused_steps == 1 or fits2) else 1
+    # buffer depth: how many window/output DMA slots stay in flight.
+    # Depth 2 (classic double buffering) is the measured optimum; deeper
+    # pipelines are available via LORASTENCIL_DMA_DEPTH for latency
+    # experiments.  Leave ~40% of the scoped-VMEM ceiling for compute
+    # transients.
+    import os
+
+    want_depth = int(os.environ.get("LORASTENCIL_DMA_DEPTH", "2"))
+    budget = int(vmem_limit_bytes() * 0.6)
+
+    def fits(d):
+        return d * (win_bytes + out_bytes) + work_bytes <= budget
+
+    depth = 1
+    for d in range(2, max(2, want_depth) + 1):
+        if fits(d):
+            depth = d
+    if depth == 1 and fused_steps == 1:
+        depth = 2  # k=1 buffers always fit the classic budget
 
     h1_view = None
     if algorithm in ("mxu_hybrid1", "mxu_hybrid1r"):
@@ -557,8 +573,8 @@ def stencil2d_step(
                 # interpret; bf16 state upcasts in-kernel)
                 cur.dtype if np_dtype == np.float64 else jnp.float32,
             ),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((max(depth, 1),)),
+            pltpu.SemaphoreType.DMA((max(depth, 1),)),
         ],
         input_output_aliases={1: 0},
         interpret=interpret,
