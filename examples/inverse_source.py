@@ -23,8 +23,11 @@ import jax.numpy as jnp
 
 # JAX_PLATFORMS=cpu alone cannot force CPU on axon-tunneled machines
 # (a sitecustomize overrides it); honor it explicitly here
-if (jax.default_backend() not in ("tpu",)
-        or os.environ.get("JAX_PLATFORMS") == "cpu"):
+# check the env var FIRST: calling jax.default_backend() would
+# INITIALIZE (attach) the TPU backend, after which the config update
+# is a no-op (verified on the axon machine)
+if (os.environ.get("JAX_PLATFORMS") == "cpu"
+        or jax.default_backend() != "tpu"):
     jax.config.update("jax_platforms", "cpu")
 
 from lorastencil_tpu import engine  # noqa: E402

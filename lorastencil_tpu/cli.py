@@ -18,6 +18,7 @@ tolerance, the runtime equivalent of the reference's CHECK_ERROR build,
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -41,6 +42,12 @@ def make_input(spec, interior, fill: str, seed: int = 0) -> np.ndarray:
 
 
 def main(argv=None) -> int:
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # honor the env var even where a sitecustomize force-attaches
+        # the TPU backend (must run before anything touches a backend)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     p = argparse.ArgumentParser(
         prog="lorastencil",
         description="TPU-native low-rank stencil computation",

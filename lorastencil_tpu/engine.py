@@ -339,6 +339,7 @@ class StencilEngine:
                 # lane halo (fixup every h/r_eff steps, conv on the MXU;
                 # the dispatch-bound tiny-grid fast path, round 4)
                 res, _ = Layout1DLanes.build(n1, spec.halo[0], 8, r_eff)
+                res = dataclasses.replace(res, resident=True)
                 if pallas_1d.fits_resident_lanes(res,
                                                  self.dtype.itemsize):
                     return res

@@ -173,6 +173,11 @@ class Layout1DLanes:
     tile_rows: int
     guard_rows: int = SUBLANE
     width: int = LANE  # stored lanes per row (multiple of 128)
+    # built FOR the VMEM-resident kernel (deep halo sized for periodic
+    # in-kernel refresh); the runtime dispatch gates on this flag, not
+    # on a byte threshold, so tiled layouts never stray into the
+    # resident path (and vice versa)
+    resident: bool = False
 
     @classmethod
     def build(cls, n: int, halo: int, fused_steps: int, r_eff: int,

@@ -289,6 +289,43 @@ def _conv_lanes(W, taps):
     return acc if acc is not None else jnp.zeros(W.shape, W.dtype)
 
 
+def _lanes_band_parts(spec: StencilSpec):
+    """bf16 parts of the square within-group band matrix
+    (Bsq[i, j] = taps[r + i - j]; integer taps: one part, arbitrary
+    reals up to 3 -- exact-fp32-grade against the 3-part state split).
+    Shared by the tiled and resident lanes kernels."""
+    import numpy as _np
+
+    from ..models.factorize import banded_matrix
+    from .band_gemm import bf16_matrix_parts
+
+    taps = _dense_taps(spec)
+    r = (len(taps) - 1) // 2
+    Bsq = banded_matrix(taps, LANE, dtype=_np.float64)[r: r + LANE, :]
+    return bf16_matrix_parts(Bsq)
+
+
+def _lanes_fixup(W, lane, jl, h, Wd, ngrp):
+    """Rebuild the stale halo lanes from the neighbor 128-group's
+    payload lanes (left halo of group k = group k-1 lanes [S, S+h);
+    right halo = group k+1 lanes [h, 2h)); the outermost groups take
+    them from the adjacent stored row (sublane roll).  Shared by the
+    tiled and resident lanes kernels."""
+    R = W.shape[0]
+    up = pltpu.roll(W, R - 1, 0)   # up[i] = W[i+1]
+    dn = pltpu.roll(W, 1, 0)       # dn[i] = W[i-1]
+    if ngrp > 1:
+        lfix = jnp.where(lane < h, pltpu.roll(dn, (2 * h) % Wd, 1),
+                         pltpu.roll(W, (2 * h) % Wd, 1))
+        rfix = jnp.where(lane >= Wd - h,
+                         pltpu.roll(up, (Wd - 2 * h) % Wd, 1),
+                         pltpu.roll(W, (Wd - 2 * h) % Wd, 1))
+    else:
+        lfix = pltpu.roll(dn, (2 * h) % Wd, 1)
+        rfix = pltpu.roll(up, (Wd - 2 * h) % Wd, 1)
+    return jnp.where(jl < h, lfix, jnp.where(jl >= LANE - h, rfix, W))
+
+
 def _conv_lanes_mxu(cur, bparts, nparts=3):
     """One step on the overlapped-lane layout as per-128-group banded
     MXU matmuls: within a group, out[:, j] = sum_d taps[d] W[:, j+d]
@@ -385,24 +422,10 @@ def _stencil1d_lanes_kernel(
         W = W.astype(jnp.float32)
     wmask = ((flat >= lo) & (flat < hi)).astype(W.dtype)
     # halo-lane fixup: HBM halo lanes are stale by contract; rebuild
-    # them from the neighbor 128-group's payload lanes.  Left halo of
-    # group k = group k-1 lanes [S, S+h) = global lane j - 2h; right
-    # halo = group k+1 lanes [h, 2h) = global lane j + 2h.  The
-    # outermost groups (first/last in the stored row) take them from
-    # the adjacent stored row (sublane roll).  The window's outermost
-    # rows get wrapped garbage -- they are guard rows, never stored.
-    up = pltpu.roll(W, R - 1, 0)   # up[i] = W[i+1]
-    dn = pltpu.roll(W, 1, 0)       # dn[i] = W[i-1]
-    if ngrp > 1:
-        lfix = jnp.where(lane < h, pltpu.roll(dn, (2 * h) % Wd, 1),
-                         pltpu.roll(W, (2 * h) % Wd, 1))
-        rfix = jnp.where(lane >= Wd - h,
-                         pltpu.roll(up, (Wd - 2 * h) % Wd, 1),
-                         pltpu.roll(W, (Wd - 2 * h) % Wd, 1))
-    else:
-        lfix = pltpu.roll(dn, (2 * h) % Wd, 1)
-        rfix = pltpu.roll(up, (Wd - 2 * h) % Wd, 1)
-    cur = jnp.where(jl < h, lfix, jnp.where(jl >= LANE - h, rfix, W))
+    # them from the neighbor groups (_lanes_fixup).  The window's
+    # outermost rows get wrapped garbage -- they are guard rows, never
+    # stored.
+    cur = _lanes_fixup(W, lane, jl, h, Wd, ngrp)
     # materialize substeps into ping-pong scratch so Mosaic does not
     # keep every unrolled substep's temporaries live at once (same
     # scoped-vmem discipline as the 2-D kernel) -- but k=2's single
@@ -473,19 +496,7 @@ def stencil1d_lanes_step(
             f"fused_steps={fused_steps} needs lane_halo >= "
             f"{fused_steps * r_eff}; layout has {layout.lane_halo}")
     taps = _dense_taps(spec)
-    mat_args = []
-    if algorithm == "mxu":
-        # square within-group band: Bsq[i, j] = taps[r + i - j]
-        # (= banded_matrix(taps, 128) rows [r, r+128)); integer taps are
-        # one bf16 part, arbitrary reals up to 3 (exact-fp32-grade)
-        import numpy as _np
-
-        from ..models.factorize import banded_matrix
-        from .band_gemm import bf16_matrix_parts
-
-        r = (len(taps) - 1) // 2
-        Bsq = banded_matrix(taps, LANE, dtype=_np.float64)[r: r + LANE, :]
-        mat_args = bf16_matrix_parts(Bsq)
+    mat_args = _lanes_band_parts(spec) if algorithm == "mxu" else []
     kernel = functools.partial(
         _stencil1d_lanes_kernel, layout=layout, n=layout.interior,
         _taps=taps, fused_steps=fused_steps,
@@ -617,19 +628,7 @@ def _stencil1d_resident_lanes_kernel(in_ref, *rest, layout, n: int,
     mask = ((flat >= 0) & (flat < n)).astype(jnp.float32)
 
     def fixup(W):
-        up = pltpu.roll(W, R - 1, 0)
-        dn = pltpu.roll(W, 1, 0)
-        if ngrp > 1:
-            lfix = jnp.where(lane < h, pltpu.roll(dn, (2 * h) % Wd, 1),
-                             pltpu.roll(W, (2 * h) % Wd, 1))
-            rfix = jnp.where(lane >= Wd - h,
-                             pltpu.roll(up, (Wd - 2 * h) % Wd, 1),
-                             pltpu.roll(W, (Wd - 2 * h) % Wd, 1))
-        else:
-            lfix = pltpu.roll(dn, (2 * h) % Wd, 1)
-            rfix = pltpu.roll(up, (Wd - 2 * h) % Wd, 1)
-        return jnp.where(jl < h, lfix,
-                         jnp.where(jl >= LANE - h, rfix, W))
+        return _lanes_fixup(W, lane, jl, h, Wd, ngrp)
 
     def block(inner):
         """One fixup + ``inner`` unrolled steps, through the (aliased)
@@ -681,16 +680,7 @@ def stencil1d_resident_lanes(
     r_eff = effective_radius(spec)
     refresh = max(1, layout.lane_halo // max(1, r_eff))
     taps = _dense_taps(spec)
-    mat_args = []
-    if algorithm == "mxu":
-        import numpy as _np
-
-        from ..models.factorize import banded_matrix
-        from .band_gemm import bf16_matrix_parts
-
-        r = (len(taps) - 1) // 2
-        Bsq = banded_matrix(taps, LANE, dtype=_np.float64)[r: r + LANE, :]
-        mat_args = bf16_matrix_parts(Bsq)
+    mat_args = _lanes_band_parts(spec) if algorithm == "mxu" else []
     kernel = functools.partial(
         _stencil1d_resident_lanes_kernel, layout=layout,
         n=layout.interior, _taps=taps, steps=steps, refresh=refresh,
@@ -712,12 +702,15 @@ RESIDENT_LANES_BYTES = 2 * 2**20
 
 
 def fits_resident_lanes(layout, itemsize: int = 4) -> bool:
-    """Resident-lanes eligibility: small overlapped-lane grids whose
-    whole buffer (plus the ~5x conv transients) fits comfortably under
-    the scoped-VMEM ceiling."""
+    """Resident-lanes eligibility: a lanes layout BUILT for the
+    resident kernel (engine._build_layout sets layout.resident; tiled
+    layouts must never stray into the resident path) whose whole
+    buffer (plus the ~5x conv transients) fits comfortably under the
+    scoped-VMEM ceiling."""
     from .layout import Layout1DLanes
 
-    if not isinstance(layout, Layout1DLanes):
+    if not (isinstance(layout, Layout1DLanes)
+            and getattr(layout, "resident", False)):
         return False
     rows, cols = layout.shape
     return rows * cols * itemsize <= RESIDENT_LANES_BYTES

@@ -47,6 +47,7 @@ reference's zero-initialized ping-pong buffers (``src/2d/gpu.cu:396-400``).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -465,8 +466,6 @@ def stencil2d_step(
         # the other axis runs on the VPU, so its parts are not built.
         max_parts = (3 if algorithm in ("mxu_hybrid1", "mxu_hybrid1r",
                                         "mxu_hybrid3") else 2)
-        import os
-
         h1_cap = int(os.environ.get("LORASTENCIL_H1_MXU_TERMS", "99"))
         h1_built = 0
         for term in eff_terms:
@@ -518,8 +517,6 @@ def stencil2d_step(
     # pipelines are available via LORASTENCIL_DMA_DEPTH for latency
     # experiments.  Leave ~40% of the scoped-VMEM ceiling for compute
     # transients.
-    import os
-
     want_depth = int(os.environ.get("LORASTENCIL_DMA_DEPTH", "2"))
     budget = int(vmem_limit_bytes() * 0.6)
 
@@ -527,10 +524,10 @@ def stencil2d_step(
         return d * (win_bytes + out_bytes) + work_bytes <= budget
 
     depth = 1
-    for d in range(2, max(2, want_depth) + 1):
+    for d in range(2, want_depth + 1):
         if fits(d):
             depth = d
-    if depth == 1 and fused_steps == 1:
+    if depth == 1 and want_depth >= 2 and fused_steps == 1:
         depth = 2  # k=1 buffers always fit the classic budget
 
     h1_view = None
@@ -588,6 +585,4 @@ def vmem_limit_bytes() -> int:
     16M -- a guardrail, not the hardware (v5e has 128M physical VMEM);
     raising it admits wider tiles (lower window-extent amplification).
     Override with LORASTENCIL_VMEM_MB."""
-    import os
-
     return int(os.environ.get("LORASTENCIL_VMEM_MB", "64")) * 2**20

@@ -518,3 +518,21 @@ def test_1d_resident_lanes_ghost_falls_back():
     it = (slice(4, -4),)
     want = reference.run_periodic(padded, spec, 5)[it]
     assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
+
+
+@pytest.mark.parametrize("cap", ["0", "1"])
+def test_hybrid1_mixed_stream_assignment(cap, monkeypatch):
+    """LORASTENCIL_H1_MXU_TERMS caps how many terms ship MXU matrices;
+    capped-out terms run both axes on the VPU (exactness must hold for
+    any split)."""
+    monkeypatch.setenv("LORASTENCIL_H1_MXU_TERMS", cap)
+    for name in ("box2d3r", "star2d1r"):
+        spec = shapes.get_shape(name)
+        g0 = reference.random_padded(spec, (40, 200), seed=61)
+        eng = engine.StencilEngine.for_shape(name, (40, 200),
+                                             algorithm="mxu_hybrid1")
+        got = np.asarray(eng.run(jnp.asarray(g0, jnp.float32), 4),
+                         np.float64)
+        want = reference.run(g0, spec, 4)
+        err = np.abs(got - want).max() / np.abs(want).max()
+        assert err < 1e-6, (name, cap, err)
