@@ -536,3 +536,39 @@ def test_hybrid1_mixed_stream_assignment(cap, monkeypatch):
         want = reference.run(g0, spec, 4)
         err = np.abs(got - want).max() / np.abs(want).max()
         assert err < 1e-6, (name, cap, err)
+
+
+def test_1d_resident_lanes_edges():
+    """Resident-lanes edges: bf16 state, arbitrary real taps (3-part
+    band split), and a grid smaller than one payload stride."""
+    from lorastencil_tpu.ops import pallas_1d
+    from lorastencil_tpu.ops.layout import Layout1DLanes
+
+    # bf16 state (1-part split; ~4e-3/step storage rounding)
+    spec = shapes.get_shape("1d2r")
+    g0 = reference.random_padded(spec, (4096,), seed=8) * 1e-3
+    eng = engine.StencilEngine.for_shape("1d2r", (4096,),
+                                         dtype="bfloat16")
+    assert isinstance(eng.layout, Layout1DLanes) and eng.layout.resident
+    got = np.asarray(
+        eng.run(jnp.asarray(g0, jnp.bfloat16), 3).astype(jnp.float32),
+        np.float64)
+    want = reference.run(g0, spec, 3)
+    assert np.abs(got - want).max() / np.abs(want).max() < 5e-2
+
+    # arbitrary real taps through the resident MXU conv
+    taps = np.array([0.21, -0.4, 1.7, -0.4, 0.21])
+    enc = engine.StencilEngine.for_coeffs(taps, (5000,))
+    assert enc.algorithm == "mxu" and enc.layout.resident
+    g0 = reference.random_padded(enc.spec, (5000,), seed=9)
+    got = np.asarray(enc.run(jnp.asarray(g0, jnp.float32), 7), np.float64)
+    want = reference.run(g0, enc.spec, 7)
+    assert np.abs(got - want).max() / max(1.0, np.abs(want).max()) < 1e-6
+
+    # fewer cells than one payload stride (single partial row)
+    g0 = reference.random_padded(spec, (50,), seed=10)
+    tiny = engine.StencilEngine.for_shape("1d2r", (50,))
+    got = np.asarray(tiny.run(jnp.asarray(g0, jnp.float32), 4),
+                     np.float64)
+    want = reference.run(g0, spec, 4)
+    assert np.abs(got - want).max() / max(1.0, np.abs(want).max()) < 1e-6
