@@ -466,9 +466,102 @@ def test_sharded_nondivisible_last_device_all_fake():
     assert err < 1e-6, err
 
 
-def test_sharded_nondivisible_periodic_rejected():
-    with pytest.raises(ValueError, match="divisible"):
-        domain.sharded_engine("star2d1r", (101, 300), (4, 2),
-                              boundary="periodic")
-    with pytest.raises(ValueError, match="divisible"):
-        domain.sharded_engine("1d1r", 1001, (4,), boundary="reflect")
+# -- non-divisible ghost boundaries (round-3 VERDICT item 4) --------------
+# periodic/reflect wrap or mirror at the TRUE global edge, which for the
+# last device sits at its `tail` offset INSIDE the padded block; the
+# exchange reads/writes the ghost ring there and fake cells beyond stay
+# bounds-masked to zero.
+
+def _ghost_truth(spec, interior, g0, steps, boundary):
+    padded = np.zeros(spec.padded_shape(interior))
+    it = tuple(slice(h, h + s) for h, s in zip(spec.halo, interior))
+    padded[it] = g0
+    fn = (reference.run_periodic if boundary == "periodic"
+          else reference.run_reflect)
+    return fn(padded, spec, steps)[it], padded, it
+
+
+@pytest.mark.parametrize("boundary", ["periodic", "reflect"])
+def test_sharded_nondivisible_ghost_2d(boundary):
+    spec = shapes.get_shape("star2d1r")
+    interior = (101, 300)  # neither axis divides the 4x2 mesh
+    rng = np.random.default_rng(96)
+    g0 = rng.uniform(0, 0.01, interior)
+    want, padded, it = _ghost_truth(spec, interior, g0, 3, boundary)
+    sh = domain.sharded_engine("star2d1r", interior, (4, 2),
+                               boundary=boundary)
+    got = np.asarray(sh.run(padded, 3), np.float64)[it]
+    err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert err < 1e-6, (boundary, err)
+
+
+@pytest.mark.parametrize("boundary", ["periodic", "reflect"])
+def test_sharded_nondivisible_ghost_2d_fused_overlap(boundary):
+    """True tail inside the last tile row/col -> the overlapped engine
+    handles the tailed ghost exchange, fused 2 substeps per pass."""
+    spec = shapes.get_shape("star2d1r")
+    interior = (140, 1000)
+    rng = np.random.default_rng(97)
+    g0 = rng.uniform(0, 0.01, interior)
+    want, padded, it = _ghost_truth(spec, interior, g0, 4, boundary)
+    sh = domain.sharded_engine("star2d1r", interior, (2, 2),
+                               tile=(24, 128), fused_steps=2,
+                               boundary=boundary)
+    assert sh._can_overlap()
+    got = np.asarray(sh.run(padded, 4), np.float64)[it]
+    err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert err < 1e-6, (boundary, err)
+
+
+@pytest.mark.parametrize("name,boundary", [("1d1r", "periodic"),
+                                           ("1d2r", "reflect")])
+def test_sharded_nondivisible_ghost_1d(name, boundary):
+    spec = shapes.get_shape(name)
+    interior = (1001,)
+    rng = np.random.default_rng(98)
+    g0 = rng.uniform(0, 0.01, interior)
+    want, padded, it = _ghost_truth(spec, interior, g0, 3, boundary)
+    sh = domain.sharded_engine(name, interior[0], (4,), boundary=boundary)
+    got = np.asarray(sh.run(padded, 3), np.float64)[it]
+    err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert err < 1e-6, (name, boundary, err)
+
+
+@pytest.mark.parametrize("boundary", ["periodic", "reflect"])
+def test_sharded_nondivisible_ghost_3d(boundary):
+    spec = shapes.get_shape("box3d1r")
+    interior = (4, 20, 200)
+    rng = np.random.default_rng(99)
+    g0 = rng.uniform(0, 0.01, interior)
+    want, padded, it = _ghost_truth(spec, interior, g0, 2, boundary)
+    sh = domain.sharded_engine("box3d1r", interior, (2, 2),
+                               boundary=boundary)
+    got = np.asarray(sh.run(padded, 2), np.float64)[it]
+    err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert err < 1e-6, (boundary, err)
+
+
+def test_sharded_ghost_tail_smaller_than_depth_rejected():
+    """(97, 300) on 8x1: lm=104 -> the last device's true tail is
+    negative; the ghost ring has no real source strip."""
+    with pytest.raises(ValueError, match="tail"):
+        domain.sharded_engine("star2d1r", (97, 300), (8, 1),
+                              boundary="periodic", fused_steps=2)
+
+
+def test_sequential_fallback_warns():
+    """>1-device mesh landing on the sequential exchange warns once
+    with the reason (round-3 VERDICT item 8: no silent 2.7x cliff)."""
+    with pytest.warns(RuntimeWarning, match="sequential exchange"):
+        domain.sharded_engine("star2d1r", (16, 256), (2, 2),
+                              tile=(8, 128))
+
+
+def test_overlap_engine_does_not_warn():
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        sh = domain.sharded_engine("star2d1r", (48, 768), (2, 2),
+                                   tile=(8, 128))
+    assert sh._can_overlap()
