@@ -93,6 +93,16 @@ def main(argv=None) -> int:
                         "(beyond-reference capabilities; --check "
                         "compares against the matching NumPy truth)")
     p.add_argument("--tile", type=int, nargs=2, default=None)
+    p.add_argument("--mesh", type=int, nargs="+", default=None,
+                   metavar="D",
+                   help="shard the grid over a device mesh (domain "
+                        "decomposition with ppermute halo exchange): "
+                        "1 integer for 1-D shapes, 2 (rows cols) for "
+                        "2-D/3-D; the framework's multi-chip path, "
+                        "beyond the single-GPU reference")
+    p.add_argument("--no-overlap", action="store_true",
+                   help="with --mesh: disable the overlapped "
+                        "(compute-hidden) halo exchange")
     p.add_argument("--autotune", action="store_true",
                    help="measure candidate tiles on this device and use "
                         "the fastest (cached per device+config)")
@@ -121,6 +131,8 @@ def main(argv=None) -> int:
     )
     grid0 = make_input(spec, interior, args.fill, args.seed)
     tile = tuple(args.tile) if args.tile else None
+    if args.mesh is not None:
+        return _run_sharded(p, args, spec, interior, steps, grid0, tile)
     eng_kw = dict(
         backend=args.backend, dtype=args.dtype,
         precision=args.precision, algorithm=args.algorithm,
@@ -159,46 +171,107 @@ def main(argv=None) -> int:
         print(res.json(), flush=True)
 
     if args.check:
-        print("\nChecking correctness ...", flush=True)
-        if args.boundary == "periodic":
-            want = reference.run_periodic(grid0, spec, steps)
-        elif args.boundary == "reflect":
-            want = reference.run_reflect(grid0, spec, steps)
-        else:
-            want = reference.run(grid0, spec, steps)
-        got = np.asarray(eng.run(grid0, steps), dtype=np.float64)
-        scale = max(1.0, float(np.abs(want).max()))
-        if not np.isfinite(scale):
-            print(
-                "FAILED: ground truth overflows fp64 -- use fewer steps "
-                "for --check (values grow by sum|coeffs| each step)"
-            )
-            return 1
-        if args.dtype == "float32" and scale > np.finfo(np.float32).max:
-            print(
-                f"FAILED: ground truth reaches {scale:.2e}, beyond fp32 "
-                f"range -- use fewer --check steps (values grow by "
-                f"sum|coeffs| per step; the reference checks 1 step) or "
-                f"--dtype float64 off-TPU"
-            )
-            return 1
-        diff = np.abs(got - want)
-        rel = float(diff.max()) / scale
-        # fp32 compute vs the reference's fp64/1e-7; fp64 runs hold the
-        # reference's own regime with headroom; bf16 storage rounds
-        # ~4e-3 per step
-        tol = {"float64": 1e-12, "float32": 1e-5,
-               "bfloat16": 2e-2}[args.dtype]
-        bad = np.argwhere(~(diff <= tol * scale))  # NaN counts as mismatch
-        for idx in bad[:10]:
-            print(
-                f"mismatch at {tuple(int(i) for i in idx)}: "
-                f"got {got[tuple(idx)]}, want {want[tuple(idx)]}"
-            )
-        if len(bad):
-            print(f"FAILED: {len(bad)} mismatches (max rel err {rel:.2e})")
-            return 1
-        print(f"Correct! (max rel err {rel:.2e})")
+        return _check(args, spec, grid0, steps, eng.run)
+    return 0
+
+
+def _run_sharded(p, args, spec, interior, steps, grid0, tile) -> int:
+    """--mesh path: domain decomposition over a device mesh (the
+    framework's multi-chip capability; the reference driver is
+    single-GPU, src/2d/main.cu:97-135)."""
+    from .parallel import domain
+
+    mesh_shape = tuple(args.mesh)
+    want_axes = 1 if spec.ndim == 1 else 2
+    if len(mesh_shape) == 1 and want_axes == 2:
+        mesh_shape = (mesh_shape[0], 1)
+    if len(mesh_shape) != want_axes:
+        p.error(f"--mesh for {args.shape} needs {want_axes} integer(s), "
+                f"got {len(args.mesh)}")
+    if args.dtype == "float64":
+        p.error("--mesh supports float32/bfloat16 state (the fp64 tier "
+                "is the single-process CPU regime)")
+    if args.autotune:
+        p.error("--autotune tunes the single-chip engine; pass --tile/"
+                "--fused-steps explicitly with --mesh")
+    import jax
+
+    n_need = int(np.prod(mesh_shape))
+    n_have = len(jax.devices())
+    if n_have < n_need:
+        p.error(f"--mesh {mesh_shape} needs {n_need} devices, have "
+                f"{n_have} (on CPU set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count=N)")
+    sh_kw = dict(tile=tile, dtype=args.dtype, precision=args.precision,
+                 algorithm=args.algorithm, boundary=args.boundary,
+                 overlap=not args.no_overlap)
+    if args.fused_steps is not None:
+        sh_kw["fused_steps"] = args.fused_steps
+    eng = domain.sharded_engine(
+        args.shape, interior if spec.ndim > 1 else interior[0],
+        mesh_shape, **sh_kw)
+    print(f"INFO: mesh = {mesh_shape}, local interior = "
+          f"{eng.local_interior}, overlapped exchange = "
+          f"{eng._can_overlap()}", flush=True)
+
+    secs, _ = metrics.time_run(
+        lambda: eng.run_checksum(grid0, steps), repeats=args.repeats
+    )
+    res = metrics.bench_result(
+        spec, interior, steps, secs, f"pallas-mesh{mesh_shape}",
+        args.precision, args.repeats,
+    )
+    print(res.human(), flush=True)
+    if args.json:
+        print(res.json(), flush=True)
+    if args.check:
+        return _check(args, spec, grid0, steps, eng.run)
+    return 0
+
+
+def _check(args, spec, grid0, steps, run_fn) -> int:
+    """Runtime equivalent of the reference's CHECK_ERROR build
+    (src/2d/main.cu:282-328), over k steps and with an honest FAIL."""
+    print("\nChecking correctness ...", flush=True)
+    if args.boundary == "periodic":
+        want = reference.run_periodic(grid0, spec, steps)
+    elif args.boundary == "reflect":
+        want = reference.run_reflect(grid0, spec, steps)
+    else:
+        want = reference.run(grid0, spec, steps)
+    got = np.asarray(run_fn(grid0, steps), dtype=np.float64)
+    scale = max(1.0, float(np.abs(want).max()))
+    if not np.isfinite(scale):
+        print(
+            "FAILED: ground truth overflows fp64 -- use fewer steps "
+            "for --check (values grow by sum|coeffs| each step)"
+        )
+        return 1
+    if args.dtype == "float32" and scale > np.finfo(np.float32).max:
+        print(
+            f"FAILED: ground truth reaches {scale:.2e}, beyond fp32 "
+            f"range -- use fewer --check steps (values grow by "
+            f"sum|coeffs| per step; the reference checks 1 step) or "
+            f"--dtype float64 off-TPU"
+        )
+        return 1
+    diff = np.abs(got - want)
+    rel = float(diff.max()) / scale
+    # fp32 compute vs the reference's fp64/1e-7; fp64 runs hold the
+    # reference's own regime with headroom; bf16 storage rounds
+    # ~4e-3 per step
+    tol = {"float64": 1e-12, "float32": 1e-5,
+           "bfloat16": 2e-2}[args.dtype]
+    bad = np.argwhere(~(diff <= tol * scale))  # NaN counts as mismatch
+    for idx in bad[:10]:
+        print(
+            f"mismatch at {tuple(int(i) for i in idx)}: "
+            f"got {got[tuple(idx)]}, want {want[tuple(idx)]}"
+        )
+    if len(bad):
+        print(f"FAILED: {len(bad)} mismatches (max rel err {rel:.2e})")
+        return 1
+    print(f"Correct! (max rel err {rel:.2e})")
     return 0
 
 

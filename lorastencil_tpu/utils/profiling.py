@@ -3,9 +3,10 @@
 The reference's observability is wall-clock chrono + ptxas occupancy
 flags (``/root/reference/src/2d/gpu.cu:408-418``, CMakeLists.txt:23).
 TPU-native equivalents: ``jax.profiler`` traces viewable in
-TensorBoard/xprof, plus a lightweight roofline report for a stencil
-config (bytes moved vs the measured device copy bandwidth, FLOPs vs MXU
-peak) so kernel efficiency is quantified, not guessed.
+TensorBoard/xprof, plus a roofline report calibrated against the
+MEASURED device ceilings (PERF.md "Roofline / MFU accounting") so
+kernel efficiency is quantified against what the hardware actually
+sustains for each access pattern, not against datasheet aggregates.
 """
 
 from __future__ import annotations
@@ -28,18 +29,108 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+# Measured effective resource rates (v5e over axon; PERF.md "Roofline /
+# MFU accounting", round 4).  The HBM numbers are PATTERN bandwidths:
+# what zero-compute probe specs sustain through the real kernels' DMA
+# pipelines -- NOT the ~800 GB/s contiguous-copy aggregate, which no
+# windowed/slabbed stencil traversal reaches (full-width contiguous
+# tiles measured SLOWER end-to-end, so the pattern cannot be traded
+# away).  Derived as probe GCells/s x modeled B/cell at the probe
+# config; tests/test_aux.py asserts the model stays in sync with the
+# probes.
+MEASURED = dict(
+    # 65.9 GCells/s zero-compute probe at (256, 2048) fp32 x ~8.76 B/cell
+    hbm_windowed_2d_gbps=577.0,
+    # 64.1 GCells/s z-shift probe at 256-col slab-32 x ~7.1 B/cell
+    hbm_slab_3d_gbps=455.0,
+    # ~97 GCells/s shift probe at 16M k=4 x ~2.25 B/cell
+    hbm_lanes_1d_gbps=218.0,
+    vpu_teraops=2.1,       # effective roll/fma elem-op rate
+    mxu_bf16_tflops=134.3,  # 8192^3 chain, 68% of nominal
+)
+
+_SUBLANE, _LANE = 8, 128
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return m * (-(-x // m))
+
+
+def _conv_vpu_ops(taps) -> float:
+    """Elem-ops/cell for a 1-D conv on the VPU with +-offset pair
+    sharing (the residue-CSE trick, PERF.md): a symmetric +-o tap pair
+    costs 3 ops (pair add, mul, accumulate); an unpaired nonzero tap
+    costs 2 (mul, accumulate)."""
+    r = len(taps) // 2
+    ops = 0.0
+    for o in range(1, r + 1):
+        lo, hi = taps[r - o], taps[r + o]
+        if lo and lo == hi:
+            ops += 3
+        else:
+            ops += (2 if lo else 0) + (2 if hi else 0)
+    if taps[r]:
+        ops += 2
+    return ops
+
+
+def _vpu_ops_per_cell(spec: StencilSpec, algorithm: str) -> float:
+    """First-order VPU elem-ops/cell/substep for the 2-D paths.
+
+    mxu_hybrid1 (the exact default) runs the column convs on the MXU;
+    the VPU stream carries the 3-part state split (~5 ops), the row
+    convs (pair-shared) and the grouped residue (~2 ops/point).  Pure
+    VPU paths (vpu_roll/vpu) additionally pay the column convs."""
+    ops = 0.0
+    mxu_cols = algorithm.startswith("mxu")
+    for t in spec.terms:
+        axis_taps = [tp for tp in t.taps if tp is not None]
+        for i, tp in enumerate(axis_taps):
+            col_axis = (i == 0 and len(axis_taps) > 1)
+            if col_axis and mxu_cols:
+                continue
+            ops += _conv_vpu_ops(tp)
+    ops += 2.0 * len(spec.residue)
+    if mxu_cols and algorithm == "mxu_hybrid1":
+        ops += 5.0  # exact 3-part fp32 state split (PERF.md)
+    return ops
+
+
+def _mxu_flops_per_cell(spec: StencilSpec, algorithm: str,
+                        chunk: int = _LANE) -> float:
+    """MXU-stream FLOPs/cell/substep.  A banded-conv matmul costs
+    ~(chunk + 2r) MACs/cell per stream REGARDLESS of tap sparsity
+    (CLAUDE.md measured fact); the exact mxu_hybrid1 path runs one
+    column-conv stream per state part (3-part bf16 split)."""
+    if not algorithm.startswith("mxu"):
+        return 0.0
+    parts = 3 if algorithm == "mxu_hybrid1" else 1
+    streams = sum(1 for t in spec.terms
+                  if sum(tp is not None for tp in t.taps) > 1) or 1
+    return 2.0 * parts * streams * (chunk + 2 * spec.radius)
+
+
 @dataclasses.dataclass
 class Roofline:
     bytes_per_cell_step: float
-    flops_per_cell_step: float
+    vpu_ops_per_cell_step: float
+    mxu_flops_per_cell_step: float
     bw_bound_gcells: float
-    compute_bound_gcells: float
+    vpu_bound_gcells: float
+    mxu_bound_gcells: float
     bound: str
+
+    @property
+    def compute_bound_gcells(self) -> float:
+        """Co-issued streams run concurrently: the binding compute
+        stream is the slower of the VPU and MXU streams."""
+        return min(self.vpu_bound_gcells, self.mxu_bound_gcells)
 
     def human(self) -> str:
         return (
             f"roofline: {self.bytes_per_cell_step:.2f} B/cell/step, "
-            f"{self.flops_per_cell_step:.0f} FLOP/cell/step -> "
+            f"{self.vpu_ops_per_cell_step:.0f} VPU-op + "
+            f"{self.mxu_flops_per_cell_step:.0f} MXU-FLOP /cell/step -> "
             f"bw-bound {self.bw_bound_gcells:.0f} GCells/s, "
             f"compute-bound {self.compute_bound_gcells:.0f} GCells/s "
             f"({self.bound}-bound)"
@@ -51,33 +142,59 @@ def stencil_roofline(
     tile,
     fused_steps: int = 1,
     dtype_bytes: int = 4,
-    hbm_gbps: float = 800.0,   # double-buffered HBM aggregate (v5e, r3
-                               # device trace; the single-stream Pallas-DMA
-                               # microbench was 446)
-    vpu_gflops: float = 4200.0,  # ~2.1 T elem-ops/s effective (PERF.md)
+    algorithm: str = "mxu_hybrid1",
+    slab: int = 32,
+    measured: dict = MEASURED,
 ) -> Roofline:
-    """First-order roofline for the VPU shift-add kernel."""
-    TM, TN = tile
+    """Roofline against the MEASURED pattern ceilings (PERF.md).
+
+    Bytes model the real layouts: 2-D windowed tiles read a
+    (TM+2*guard_r) x (TN+2*LANE) halo window and write TM x TN; 3-D
+    slabs amplify by z-lookback x row-guard x the 128-lane column
+    guard; 1-D lanes layouts store a duplicated lane halo.  Each is
+    divided by the measured EFFECTIVE bandwidth for that pattern, not
+    the contiguous-copy aggregate.  Compute streams (VPU elem-ops with
+    pair sharing; banded-GEMM MACs for the MXU column stream) are
+    co-issued, so the compute bound is their min; the overall bound is
+    min(bw, compute)."""
+    k = max(1, fused_steps)
     r = spec.radius
-    win = (TM + 2 * max(8, fused_steps * r)) * (TN + 2 * 128)
-    bytes_per_pass = (win + TM * TN) * dtype_bytes
-    cells_per_pass = TM * TN * fused_steps
-    bpc = bytes_per_pass / cells_per_pass
+    if spec.ndim == 2:
+        TM, TN = tile
+        g_r = _ceil_to(max(_SUBLANE, k * r), _SUBLANE)
+        amp = ((TM + 2 * g_r) * (TN + 2 * _LANE)) / float(TM * TN)
+        bw = measured["hbm_windowed_2d_gbps"]
+    elif spec.ndim == 3:
+        TM, TN = tile
+        z_amp = (slab + 2 * k * r) / float(slab)
+        row_amp = (TM + 2 * _SUBLANE) / float(TM)
+        col_amp = (TN + 2 * _LANE) / float(TN)
+        amp = z_amp * row_amp * col_amp
+        bw = measured["hbm_slab_3d_gbps"]
+    else:
+        h = _ceil_to(k * r, _SUBLANE)
+        amp = (_LANE + 2 * h) / float(_LANE)
+        bw = measured["hbm_lanes_1d_gbps"]
+    # one amplified read + one (amplified, for 1-D lanes storage) write
+    # per k-substep fused pass
+    w_amp = amp if spec.ndim == 1 else 1.0
+    bpc = (amp + w_amp) * dtype_bytes / k
 
-    ops = 0
-    for t in spec.terms:
-        for taps in t.taps[-2:]:
-            if taps is not None:
-                ops += 2 * sum(1 for w in taps if w != 0.0)
-    ops += 2 * len(spec.residue)
-    fpc = float(ops)
-
-    bw_bound = hbm_gbps / bpc
-    comp_bound = vpu_gflops / fpc if fpc else float("inf")
+    vpu = _vpu_ops_per_cell(spec, algorithm)
+    mxu = _mxu_flops_per_cell(spec, algorithm)
+    bw_bound = bw / bpc
+    vpu_bound = (measured["vpu_teraops"] * 1000.0 / vpu if vpu
+                 else float("inf"))
+    mxu_bound = (measured["mxu_bf16_tflops"] * 1000.0 / mxu if mxu
+                 else float("inf"))
+    bound = ("bw" if bw_bound <= min(vpu_bound, mxu_bound)
+             else ("vpu" if vpu_bound <= mxu_bound else "mxu"))
     return Roofline(
         bytes_per_cell_step=bpc,
-        flops_per_cell_step=fpc,
+        vpu_ops_per_cell_step=vpu,
+        mxu_flops_per_cell_step=mxu,
         bw_bound_gcells=bw_bound,
-        compute_bound_gcells=comp_bound,
-        bound="bw" if bw_bound < comp_bound else "compute",
+        vpu_bound_gcells=vpu_bound,
+        mxu_bound_gcells=mxu_bound,
+        bound=bound,
     )

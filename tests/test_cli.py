@@ -73,3 +73,35 @@ def test_cli_algorithm_flags(capsys):
                    "--algorithm", "mxu_split", "--fused-steps", "2"])
     out = capsys.readouterr().out
     assert rc == 0 and "Correct!" in out
+
+
+def test_cli_mesh_sharded_check(capsys):
+    """round-3 VERDICT item 6: the distribution layer is reachable from
+    the driver -- sharded run + sharded --check on the virtual mesh."""
+    rc = cli.main(["star2d1r", "100", "300", "3", "--mesh", "4", "2",
+                   "--check", "--repeats", "1"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Correct!" in out
+    assert "mesh = (4, 2)" in out
+
+
+def test_cli_mesh_ghost_boundary_check(capsys):
+    """Sharded periodic --check against the torus ground truth, on a
+    mesh the interior does not divide."""
+    rc = cli.main(["star2d1r", "101", "200", "3", "--mesh", "2", "2",
+                   "--check", "--repeats", "1",
+                   "--boundary", "periodic"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Correct!" in out
+
+
+def test_cli_mesh_1d_and_arity(capsys):
+    rc = cli.main(["1d1r", "1000", "2", "--mesh", "4", "--check",
+                   "--repeats", "1"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Correct!" in out
+    with pytest.raises(SystemExit):
+        cli.main(["star2d1r", "64", "128", "2", "--mesh", "2", "2", "2"])
+    with pytest.raises(SystemExit):
+        cli.main(["star2d1r", "64", "128", "2", "--mesh", "2", "2",
+                  "--autotune"])
