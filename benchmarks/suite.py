@@ -6,7 +6,7 @@ and diffs every config against the best recorded TPU number for the same
 (shape, sizes, steps): a >10% drop is flagged as a REGRESSION (run-to-run
 session variance on this chip is ~2-9%, PERF.md).
 
-    python benchmarks/suite.py [--quick] [--gate]
+    python benchmarks/suite.py [--quick] [--gate] [--bf16 | --all-tiers]
 
 ``--gate``: exit nonzero when any config regresses (CI/worker-job mode).
 """
@@ -45,6 +45,16 @@ CONFIGS = [
     ("star3d1r", (256, 256, 256), 64, 8),
     ("box3d1r", (256, 256, 256), 64, 8),
 ]
+
+# bf16-state throughput tier (half the HBM bytes; ~4e-3/step storage
+# rounding): same nine configs, gated separately per tier (round-3
+# VERDICT item 1).  Stability record: flagship bf16 88.5/88.4 GCells/s
+# across two passes (r5 session) and 86.5 (r3) at the same config; the
+# one-off 57.8 (r4) is outside every later remeasurement.
+BF16 = [(name, interior, steps,
+         dict(opts if isinstance(opts, dict) else {"pipeline": opts},
+              dtype="bfloat16"))
+        for name, interior, steps, opts in CONFIGS]
 
 QUICK = [
     ("star2d1r", (1024, 1024), 64, 2),
@@ -88,9 +98,16 @@ def run_config(name, interior, steps, pipeline=1, chain=1, **kw):
                                 tag, eng.config.precision, 2)
 
 
+def _tier(backend: str) -> str:
+    """Numerics tier of a results.jsonl row's backend tag."""
+    return "bf16" if "bfloat16" in backend else "fp32"
+
+
 def recorded_best(outpath, platform):
-    """Best GCells/s per (shape, sizes, steps) already in results.jsonl
-    for this backend platform (the regression baseline)."""
+    """Best GCells/s per (tier, shape, sizes, steps) already in
+    results.jsonl for this backend platform (the regression baseline).
+    Tiers gate independently -- a bf16 row never baselines an fp32 run
+    or vice versa."""
     best = {}
     try:
         with open(outpath) as f:
@@ -101,14 +118,13 @@ def recorded_best(outpath, platform):
                     continue
                 if rec.get("backend_platform") != platform:
                     continue
-                # only exact-fp32 suite rows are comparable baselines:
-                # skip sharded-overhead records and bf16/f64 tiers
+                # suite rows only: skip sharded-overhead records and the
+                # fp64 CPU tier
                 be = rec.get("backend", "")
-                if (not be.startswith("pallas-") or "bfloat16" in be
-                        or "float64" in be):
+                if not be.startswith("pallas-") or "float64" in be:
                     continue
-                key = (rec.get("shape"), tuple(rec.get("interior", ())),
-                       rec.get("steps"))
+                key = (_tier(be), rec.get("shape"),
+                       tuple(rec.get("interior", ())), rec.get("steps"))
                 v = rec.get("gcells_per_s", 0.0)
                 if v > best.get(key, 0.0):
                     best[key] = v
@@ -120,6 +136,10 @@ def recorded_best(outpath, platform):
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     configs = QUICK if "--quick" in argv else CONFIGS
+    if "--bf16" in argv:
+        configs = BF16
+    elif "--all-tiers" in argv:
+        configs = CONFIGS + BF16
     outpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "results.jsonl")
     best = recorded_best(outpath, jax.default_backend())
@@ -135,7 +155,8 @@ def main(argv=None) -> int:
                 rec["backend_platform"] = jax.default_backend()
                 out.write(json.dumps(rec) + "\n")
                 out.flush()
-                ref = best.get((name, tuple(interior), steps))
+                ref = best.get((_tier(rec.get("backend", "")), name,
+                                tuple(interior), steps))
                 vs = (f"  {res.gcells_per_s / ref - 1.0:+6.1%} vs best "
                       f"{ref:.2f}" if ref else "")
                 if ref and res.gcells_per_s < 0.9 * ref:

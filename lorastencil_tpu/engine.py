@@ -48,14 +48,15 @@ def resolve_algorithm(spec: StencilSpec, name: str,
     """Resolve algorithm='auto' per shape to the measured-fastest EXACT
     path (PERF.md accuracy/speed table):
 
-      * 'mxu_hybrid1' (column convs on the MXU at full split depth, row
-        convs + residue on the VPU, co-issued) for 2-D specs with few
-        terms -- round-4 measurements: star2d1r 8192^2 52.5 vs 45.5
-        vpu_roll, star2d3r 63.8 vs 54.9 mxu_hybrid3 (same session);
-      * 'vpu_roll' otherwise (many-term specs like box2d3r put too many
-        row convs on the VPU stream: 33.5 vs 47.8) and for every non-2-D
-        or fp64 run (bf16 splits are fp32-grade; fp64 needs the exact
-        VPU path).
+      * 'mxu_hybrid1' (column convs on the MXU, row convs + residue on
+        the VPU, co-issued) for every 2-D fp32/bf16 spec.  Few-term
+        specs put all column convs on the MXU (round-4: star2d1r 8192^2
+        52.5 vs 45.5 vpu_roll, star2d3r 63.8 vs 54.9 mxu_hybrid3);
+        many-term (box) specs use the per-dtype MXU-term cap in
+        pallas_2d (round-5: exact 51.0 at cap 1 vs 49.8 all-VPU
+        vpu_roll and 35.1 at cap 3; bf16 uncapped 88.3 vs 59.8);
+      * 'vpu_roll' for fp64 (bf16 splits are fp32-grade; fp64 needs the
+        exact VPU path); 'vpu' / 'mxu' for 3-D / 1-D as below.
     """
     if name != "auto":
         return name
@@ -76,7 +77,11 @@ def resolve_algorithm(spec: StencilSpec, name: str,
         if jnp.dtype(dtype) == jnp.bfloat16:
             return "mxu_hybrid"
         return "mxu_hybrid1"
-    return "vpu_roll"
+    # many-term (box) specs: mixed assignment with a per-dtype MXU-term
+    # cap (pallas_2d default: 1 for exact fp32, uncapped for bf16)
+    # beats the all-VPU path -- round-5 8192^2: 51.0 vs 49.8 exact;
+    # 88.3 (uncapped) vs 59.8 bf16
+    return "mxu_hybrid1"
 
 
 def ping_pong_loop(step_fn, state, steps: int, k: int = 1):

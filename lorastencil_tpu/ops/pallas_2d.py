@@ -466,7 +466,21 @@ def stencil2d_step(
         # the other axis runs on the VPU, so its parts are not built.
         max_parts = (3 if algorithm in ("mxu_hybrid1", "mxu_hybrid1r",
                                         "mxu_hybrid3") else 2)
-        h1_cap = int(os.environ.get("LORASTENCIL_H1_MXU_TERMS", "99"))
+        # how many terms' column convs ride the MXU stream under
+        # 'mxu_hybrid1' (LORASTENCIL_H1_MXU_TERMS overrides).  Few-term
+        # specs and bf16 state put every column conv there.  Many-term
+        # (box) EXACT-fp32 specs saturate: each extra stream costs 3
+        # bf16-split matmul passes, measured (8192^2, round 5)
+        # 51.0 / 48.7 / 35.1 GCells/s at cap 1/2/3 -- cap 1 also beats
+        # all-VPU vpu_roll (49.8).  bf16 state needs only ONE part per
+        # stream, so deeper offload keeps winning: 62.4 / 74.4 / 88.3
+        # at cap 1/2/3 (every VPU col conv removed relieves the binding
+        # VPU stream) -> no cap.
+        n_col_terms = sum(1 for t in eff_terms if t.taps[1] is not None)
+        exact_split = np_dtype != np.dtype(jnp.bfloat16)
+        default_cap = 1 if (exact_split and n_col_terms > 2) else 99
+        h1_cap = int(os.environ.get("LORASTENCIL_H1_MXU_TERMS",
+                                    str(default_cap)))
         h1_built = 0
         for term in eff_terms:
             A, B = term_band_mats(term, np.float64)

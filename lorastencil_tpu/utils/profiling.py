@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
+from typing import Optional
 
 from ..models.shapes import StencilSpec
 
@@ -74,20 +75,31 @@ def _conv_vpu_ops(taps) -> float:
     return ops
 
 
-def _vpu_ops_per_cell(spec: StencilSpec, algorithm: str) -> float:
+def _n_col_terms(spec: StencilSpec) -> int:
+    return sum(1 for t in spec.terms
+               if sum(tp is not None for tp in t.taps) > 1) or 1
+
+
+def _vpu_ops_per_cell(spec: StencilSpec, algorithm: str,
+                      mxu_terms: Optional[int] = None) -> float:
     """First-order VPU elem-ops/cell/substep for the 2-D paths.
 
-    mxu_hybrid1 (the exact default) runs the column convs on the MXU;
-    the VPU stream carries the 3-part state split (~5 ops), the row
-    convs (pair-shared) and the grouped residue (~2 ops/point).  Pure
-    VPU paths (vpu_roll/vpu) additionally pay the column convs."""
+    mxu_hybrid1 (the exact default) runs up to ``mxu_terms`` column
+    convs on the MXU (pallas_2d's per-dtype cap); the VPU stream
+    carries the 3-part state split (~5 ops), the remaining convs
+    (pair-shared) and the grouped residue (~2 ops/point).  Pure VPU
+    paths (vpu_roll/vpu) pay every conv."""
     ops = 0.0
     mxu_cols = algorithm.startswith("mxu")
+    offloaded = 0
+    cap = (mxu_terms if mxu_terms is not None
+           else _n_col_terms(spec)) if mxu_cols else 0
     for t in spec.terms:
         axis_taps = [tp for tp in t.taps if tp is not None]
         for i, tp in enumerate(axis_taps):
             col_axis = (i == 0 and len(axis_taps) > 1)
-            if col_axis and mxu_cols:
+            if col_axis and offloaded < cap:
+                offloaded += 1
                 continue
             ops += _conv_vpu_ops(tp)
     ops += 2.0 * len(spec.residue)
@@ -97,16 +109,19 @@ def _vpu_ops_per_cell(spec: StencilSpec, algorithm: str) -> float:
 
 
 def _mxu_flops_per_cell(spec: StencilSpec, algorithm: str,
+                        mxu_terms: Optional[int] = None,
                         chunk: int = _LANE) -> float:
     """MXU-stream FLOPs/cell/substep.  A banded-conv matmul costs
     ~(chunk + 2r) MACs/cell per stream REGARDLESS of tap sparsity
     (CLAUDE.md measured fact); the exact mxu_hybrid1 path runs one
-    column-conv stream per state part (3-part bf16 split)."""
+    column-conv stream per state part (3-part bf16 split) per
+    offloaded term (up to ``mxu_terms``)."""
     if not algorithm.startswith("mxu"):
         return 0.0
     parts = 3 if algorithm == "mxu_hybrid1" else 1
-    streams = sum(1 for t in spec.terms
-                  if sum(tp is not None for tp in t.taps) > 1) or 1
+    streams = _n_col_terms(spec)
+    if mxu_terms is not None:
+        streams = min(streams, mxu_terms)
     return 2.0 * parts * streams * (chunk + 2 * spec.radius)
 
 
@@ -143,6 +158,7 @@ def stencil_roofline(
     fused_steps: int = 1,
     dtype_bytes: int = 4,
     algorithm: str = "mxu_hybrid1",
+    mxu_terms: Optional[int] = None,
     slab: int = 32,
     measured: dict = MEASURED,
 ) -> Roofline:
@@ -180,8 +196,8 @@ def stencil_roofline(
     w_amp = amp if spec.ndim == 1 else 1.0
     bpc = (amp + w_amp) * dtype_bytes / k
 
-    vpu = _vpu_ops_per_cell(spec, algorithm)
-    mxu = _mxu_flops_per_cell(spec, algorithm)
+    vpu = _vpu_ops_per_cell(spec, algorithm, mxu_terms)
+    mxu = _mxu_flops_per_cell(spec, algorithm, mxu_terms)
     bw_bound = bw / bpc
     vpu_bound = (measured["vpu_teraops"] * 1000.0 / vpu if vpu
                  else float("inf"))
