@@ -68,7 +68,10 @@ def run_config(name, interior, steps, pipeline=1, chain=1, **kw):
 
     @jax.jit
     def f(key):
-        state = jax.random.uniform(key, eng.layout.shape, jnp.float32,
+        # eng.dtype, not fp32: the kernels key their numerics tier off
+        # the STATE dtype (a fp32 state through a bf16-configured engine
+        # silently measures the fp32 tier)
+        state = jax.random.uniform(key, eng.layout.shape, eng.dtype,
                                    0.0, 0.01)
         if chain > 1:
             # CHAINed runs: each run's output is the next run's input --

@@ -239,8 +239,12 @@ def _measure_engine(eng, steps):
             key2, eng.layout.shape, eng.dtype, 0.0, 0.01)
         return jnp.sum(eng._run_internal(state, steps) * 0.0)
 
+    # params candidates differ by a few percent (e.g. fusion depth at
+    # the same tile); repeats=2/pipeline=4 resolves ~2-3% deltas that
+    # the tile stage's coarser timing cannot (round-5: a 1-shot
+    # pipeline=2 measurement inverted a 57.2-vs-55.7 pair)
     secs, _ = metrics.time_run(jax.jit(run), jax.random.PRNGKey(0),
-                               repeats=1, warmup=1, pipeline=2,
+                               repeats=2, warmup=1, pipeline=4,
                                subtract_sync=True)
     return secs
 
@@ -299,11 +303,16 @@ def candidates_1d():
     return out
 
 
-def exact_algorithms_2d(spec):
-    """Exact-fp32-grade 2-D compute paths only -- autotune must never
-    silently trade numerics for speed ('mxu_hybrid' at ~6e-6/step stays
-    opt-in)."""
+def exact_algorithms_2d(spec, dtype: str = "float32"):
+    """Tier-preserving 2-D compute paths only -- autotune must never
+    silently trade numerics for speed.  fp32 state: exact-fp32-grade
+    paths ('mxu_hybrid' at ~6e-6/step stays opt-in).  bf16 state: the
+    storage rounding is ~4e-3/step, so mxu_hybrid's matrix error is
+    negligible WITHIN the tier and it joins the candidate set (it is
+    the measured bf16 flagship winner, 88.5 vs 78.7 mxu_hybrid1)."""
     out = ["vpu_roll", "mxu_hybrid1"]
+    if dtype == "bfloat16":
+        out.append("mxu_hybrid")
     axes = sum((t.taps[-2] is not None) + (t.taps[-1] is not None)
                for t in spec.terms)
     if axes <= 2 and not spec.residue:
@@ -311,9 +320,9 @@ def exact_algorithms_2d(spec):
     return out
 
 
-def candidates_2d_params(spec):
+def candidates_2d_params(spec, dtype: str = "float32"):
     cands = []
-    for alg in exact_algorithms_2d(spec):
+    for alg in exact_algorithms_2d(spec, dtype):
         for k in (1, 2):
             cands.append({"algorithm": alg, "fused_steps": k})
     return cands
@@ -346,7 +355,7 @@ def autotune_params(shape, interior, dtype: str = "float32",
         tile = autotune_tile(spec, interior, dtype=dtype,
                              use_cache=use_cache, verbose=verbose)
         best = _autotune_params(
-            spec, interior, key, candidates_2d_params(spec),
+            spec, interior, key, candidates_2d_params(spec, dtype),
             steps or 24, use_cache, verbose,
             dict(base_kw, dtype=dtype, tile=tile))
         return dict(best, tile=tile)

@@ -182,6 +182,48 @@ def test_autotune_tile_measures_and_caches(tmp_path, monkeypatch):
     assert tile2 == tile
 
 
+def test_autotune_seed_file(tmp_path, monkeypatch):
+    """The committed v5e seed (round-3 VERDICT item 7) covers every
+    BASELINE config at cache version v3, and tools/seed_autotune.py
+    merges it into the local cache without clobbering fresher local
+    entries."""
+    import json
+    import os
+
+    seed_path = os.path.join(os.path.dirname(__file__), "..",
+                             "benchmarks", "autotune_seed_v5e.json")
+    seed = json.load(open(seed_path))
+    from lorastencil_tpu.utils.autotune import _KEY_VERSION
+
+    baseline = ["1d1r|", "1d2r|", "star2d1r|", "box2d1r|", "star2d3r|",
+                "box2d3r|", "star3d1r|", "box3d1r|"]
+    for shape in baseline:
+        hits = [k for k in seed if f"|{shape}" in f"|{k}"
+                or shape in k]
+        assert hits, f"seed missing {shape}"
+    for k in seed:
+        assert k.startswith(_KEY_VERSION + "|"), k
+
+    monkeypatch.setenv("LORASTENCIL_CACHE", str(tmp_path))
+    # a fresher local entry must survive the merge
+    local_key = next(iter(seed))
+    (tmp_path / "autotune.json").write_text(
+        json.dumps({local_key: {"params": {"local": True}}}))
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                      "tools", "seed_autotune.py")],
+        capture_output=True, text=True,
+        env=dict(os.environ, LORASTENCIL_CACHE=str(tmp_path),
+                 JAX_PLATFORMS="cpu"))
+    assert r.returncode == 0, r.stdout + r.stderr
+    merged = json.load(open(tmp_path / "autotune.json"))
+    assert len(merged) == len(seed)
+    assert merged[local_key] == {"params": {"local": True}}
+
+
 def test_autotuned_engine(tmp_path, monkeypatch):
     from lorastencil_tpu.utils import autotune
 
