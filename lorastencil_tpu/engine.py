@@ -521,6 +521,20 @@ class StencilEngine:
                     k = 4
                 else:
                     k = 2 if self.dtype != jnp.bfloat16 else 1
+            elif (self.spec.ndim == 2 and not self.spec.residue
+                  and len(self.spec.terms) <= 2
+                  and self.dtype != jnp.float64
+                  and self.algorithm in ("mxu_hybrid1", "mxu_hybrid",
+                                         "vpu_roll")):
+                # no-residue few-term 2-D specs: the VPU stream is light
+                # enough that fused-substep recompute costs less than
+                # the bytes it saves -- star2d3r 8192^2 measured 81.9
+                # vs 68.8 (fp32) and 141.4 vs 120.2 (bf16), 4096^2
+                # 69.2 vs 58.7, k=3/4 slightly worse (round 5).
+                # Residue/many-term specs measured neutral-to-worse
+                # (star2d1r fp32 57.2 = 57.2, bf16 69.2 vs 88.4;
+                # box k>=2 loses) and keep k=1.
+                k = 2
             else:
                 k = 1
         k = max(1, k)
