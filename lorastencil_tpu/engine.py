@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -71,10 +72,13 @@ def resolve_algorithm(spec: StencilSpec, name: str,
         # non-lanes fallbacks (resident / wide-radius) ignore this
         return "mxu"
     if len(spec.terms) <= 2:
-        # bf16 state: both axes on the MXU at one part each beats the
-        # hybrid1 split assignment (62.5 vs 54.9 at 8192^2, round 4) --
-        # and its 2-part matrices are exact given the storage rounding
-        if jnp.dtype(dtype) == jnp.bfloat16:
+        # bf16 state, NO residue: both axes on the MXU at one part each
+        # beats the hybrid1 split assignment (62.5 vs 54.9 at 8192^2,
+        # round 4) and its 2-part matrices are exact given the storage
+        # rounding.  WITH residue, hybrid1 + the MXU residue offload is
+        # the round-6 winner (star2d1r 8192^2 bf16: 99.1 vs 87.8 at
+        # mxu_hybrid; the offload on mxu_hybrid itself LOSES, 82.3)
+        if jnp.dtype(dtype) == jnp.bfloat16 and not spec.residue:
             return "mxu_hybrid"
         return "mxu_hybrid1"
     # many-term (box) specs: mixed assignment with a per-dtype MXU-term
@@ -82,6 +86,30 @@ def resolve_algorithm(spec: StencilSpec, name: str,
     # beats the all-VPU path -- round-5 8192^2: 51.0 vs 49.8 exact;
     # 88.3 (uncapped) vs 59.8 bf16
     return "mxu_hybrid1"
+
+
+def residue_mxu_policy(mode: str, dtype, algorithm: str = "mxu_hybrid1",
+                       ) -> bool:
+    """Resolve an EngineConfig/ShardedConfig ``residue_mxu`` setting.
+
+    "auto" (optionally overridden by LORASTENCIL_RESIDUE_MXU) enables
+    the 2-D MXU residue offload for the bf16 state tier on the
+    'mxu_hybrid1' assignment only: one state part makes the shared
+    group matmuls nearly free there and the relieved VPU residue
+    stream is that tier's binder (round-6: star2d1r 8192^2 99.1 vs
+    78.2 off).  On 'mxu_hybrid' the extra streams contend with the
+    both-axes matmuls (82.3 vs 87.8, a loss), and the exact-fp32
+    tiers pay 3 split parts per stream (round-6 fp32 entry); "on"
+    still forces it anywhere for measurement.
+    """
+    if mode == "auto":
+        mode = os.environ.get("LORASTENCIL_RESIDUE_MXU", "auto")
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(
+            f"residue_mxu must be 'auto', 'on' or 'off', got {mode!r}")
+    return mode == "on" or (mode == "auto"
+                            and jnp.dtype(dtype) == jnp.bfloat16
+                            and algorithm == "mxu_hybrid1")
 
 
 def ping_pong_loop(step_fn, state, steps: int, k: int = 1):
@@ -167,6 +195,14 @@ class EngineConfig:
     # geometry per device (round-2 VERDICT item 5)
     lanes_width: Optional[int] = None      # stored lanes/row (x128)
     lanes_tile_rows: Optional[int] = None  # rows per DMA tile (x8)
+    # MXU residue offload (2-D 'mxu_hybrid'/'mxu_hybrid1'): tap-sharing
+    # residue row-offset groups become extra banded col-matmul streams
+    # with row-shifted adds.  "auto" (default) = on for the bf16 state
+    # tier only (one state part makes the extra streams nearly free and
+    # the VPU residue stream is that tier's binder); "on"/"off" force.
+    # fp32 is a measured loss (3 split parts per stream; CLAUDE.md
+    # round-4: 54 -> 34).  LORASTENCIL_RESIDUE_MXU overrides "auto".
+    residue_mxu: str = "auto"
     # boundary condition: "dirichlet0" (reference semantics: the halo
     # decays to zero -- SURVEY.md section 4), "periodic" (the grid
     # wraps) or "reflect" (symmetric / zero-flux mirror padding).  For
@@ -499,7 +535,9 @@ class StencilEngine:
                 cur, donor, self.spec, self.layout,
                 precision=self.precision, interpret=self.interpret,
                 algorithm=self.algorithm, fused_steps=fused_k,
-                bounds=bounds)
+                bounds=bounds,
+                residue_mxu=residue_mxu_policy(
+                    self.config.residue_mxu, self.dtype, self.algorithm))
         from .ops import pallas_3d
         alg3 = "vpu" if self.algorithm == "vpu" else self.algorithm
         return pallas_3d.stencil3d_step(

@@ -208,6 +208,76 @@ def apply_terms_mxu_split(xs, mats, e_in, e_out, TM, TN):
     return acc
 
 
+def residue_mxu_groups(residue):
+    """Partition sparse residue points into MXU-offloadable column-conv
+    groups and a VPU remainder (the bf16 throughput tier's residue
+    offload; see PERF.md round-6).
+
+    Points are grouped by row offset; row offsets with IDENTICAL column
+    tap vectors share ONE banded col matmul whose result is row-shifted
+    and added once per offset (star2d1r's (+-2, +-2) corners: one MXU
+    stream + two shifted adds replaces four rolled multiply-adds).  A
+    group is offloaded only when it has >= 2 column taps with at least
+    one off-center -- identity-column groups are pure row shifts and a
+    single off-center point costs ~2 VPU ops, both below the MXU path's
+    own shift-add cost.  Returns ``(groups, rest)``: ``groups`` =
+    ``((drs, taps, rc), ...)`` with ``taps`` a dense (2rc+1,) tuple,
+    ``rest`` = the residue points left on the VPU rolls.
+    """
+    import collections
+
+    by_dr = collections.defaultdict(dict)
+    for (dr, dc), w in residue:
+        by_dr[dr][dc] = by_dr[dr].get(dc, 0.0) + float(w)
+    by_taps = collections.defaultdict(list)
+    for dr, taps in sorted(by_dr.items()):
+        by_taps[tuple(sorted(taps.items()))].append(dr)
+    groups, rest = [], []
+    for key, drs in sorted(by_taps.items()):
+        taps = dict(key)
+        if len(taps) >= 2 and any(dc != 0 for dc in taps):
+            rc = max(abs(dc) for dc in taps)
+            dense = tuple(taps.get(dc, 0.0) for dc in range(-rc, rc + 1))
+            groups.append((tuple(sorted(drs)), dense, rc))
+        else:
+            rest += [((dr, dc), w) for dr in sorted(drs)
+                     for dc, w in sorted(taps.items())]
+    return tuple(groups), tuple(rest)
+
+
+def apply_residue_mxu_extent(xs, groups, e_in, e_out, TM, TN):
+    """Residue groups (``residue_mxu_groups``) as banded col MXU matmuls
+    plus row-shifted adds, at ``apply_terms_mxu_split`` extents.  Each
+    group's conv is computed over ``max|dr|`` extra rows per side so the
+    per-offset contributions are static value slices of one shared
+    product.  Returns float32 (TM + 2*er_out, TN + 2*ec_out) or None.
+    """
+    er_i, ec_i = e_in
+    er_o, ec_o = e_out
+    R = TM + 2 * er_o
+    C = TN + 2 * ec_o
+    off_r = er_i - er_o
+    off_c = ec_i - ec_o
+    acc = None
+    for (Bparts, rc, drs) in groups:
+        g = max(abs(d) for d in drs)
+        rlo = off_r - g
+        rhi = rlo + R + 2 * g
+        parts = []
+        for (c0, sc) in _col_chunks(C):
+            bs = tuple(b if sc == LANE else b[: sc + 2 * rc, :sc]
+                       for b in Bparts)
+            xis = tuple(
+                xi[rlo:rhi, off_c + c0 - rc: off_c + c0 + rc + sc]
+                for xi in xs)
+            parts.append(_dot_splitn(xis, bs))
+        Y = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        for dr in drs:
+            Z = Y[g + dr: g + dr + R, :]
+            acc = Z if acc is None else acc + Z
+    return acc
+
+
 def _residue_rolled(X, residue, acc, sh, xrolls, add):
     """Apply sparse residue points as shared cyclic rolls (grouped by
     |row offset|; a (+dr, dc, w)/(-dr, dc, w) pair shares one
@@ -242,7 +312,8 @@ def _residue_rolled(X, residue, acc, sh, xrolls, add):
     return acc
 
 
-def apply_spec_hybrid1(X, xs, spec2d, band_mats, mxu_axis="col"):
+def apply_spec_hybrid1(X, xs, spec2d, band_mats, mxu_axis="col",
+                       res_mxu=()):
     """One full 2-D stencil application with ONE conv axis on the MXU and
     everything else (the other axis's convs, one-sided terms on the VPU
     axis, the sparse residue) on the VPU as aligned cyclic rolls, at X's
@@ -335,6 +406,15 @@ def apply_spec_hybrid1(X, xs, spec2d, band_mats, mxu_axis="col"):
         else:
             Z = Y
         acc = add(acc, Z)
+
+    # MXU-offloaded residue groups (bf16 tier): one full-extent banded
+    # col matmul per group, then one aligned cyclic row-roll add per
+    # row offset -- the wrap creep stays <= |dr| <= radius, the same
+    # guard-margin contract as every other roll here.
+    for (Bparts, rc, drs) in res_mxu:
+        Y = col_conv_mxu(Bparts, rc)
+        for dr in drs:
+            acc = add(acc, sh(Y, dr, 0))
 
     acc = _residue_rolled(X, spec2d.residue, acc, sh, xrolls, add)
     if acc is None:

@@ -56,10 +56,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.shapes import SeparableTerm, StencilSpec
-from .band_gemm import (apply_spec_hybrid1, apply_spec_vpu,
-                        apply_spec_vpu_rolled, apply_spec_vpu_rolled_extent,
-                        apply_terms_mxu_split, bf16_matrix_parts,
-                        plane_conv, split_bf16, term_band_mats)
+from ..models.factorize import banded_matrix
+from .band_gemm import (apply_residue_mxu_extent, apply_spec_hybrid1,
+                        apply_spec_vpu, apply_spec_vpu_rolled,
+                        apply_spec_vpu_rolled_extent, apply_terms_mxu_split,
+                        bf16_matrix_parts, plane_conv, residue_mxu_groups,
+                        split_bf16, term_band_mats)
 from .layout import LANE, SUBLANE, Layout2D
 
 
@@ -105,10 +107,14 @@ def _stencil2d_kernel(
     region,
     bf16_state,
     h1_view=None,
+    res_mxu_meta=(),
+    residue_vpu=None,
 ):
     # mats_meta entries: (n_A_parts, rr, n_B_parts, rc); 0 parts =
-    # identity axis.  mat_args order: A parts then B parts per term.
-    n_mats = sum(na + nb for na, _, nb, _ in mats_meta)
+    # identity axis.  mat_args order: A parts then B parts per term,
+    # then res_mxu_meta's (n_parts, rc, drs) residue-group col matrices.
+    n_mats = (sum(na + nb for na, _, nb, _ in mats_meta)
+              + sum(npar for npar, _, _ in res_mxu_meta))
     bounds_ref = None
     rest = mat_refs_and_out
     if has_bounds:
@@ -121,6 +127,16 @@ def _stencil2d_kernel(
     work = rest[n_mats + 3]      # (2, ...) fused-substep staging
     sem_in = rest[n_mats + 4]    # (2,)
     sem_out = rest[n_mats + 5]   # (2,)
+
+    # residue-group col matrices (MXU residue offload, bf16 tier): the
+    # refs after the per-term parts, grouped per res_mxu_meta entry
+    res_mxu = []
+    rmi = sum(na + nb for na, _, nb, _ in mats_meta)
+    for (npar, rrc, drs) in res_mxu_meta:
+        res_mxu.append(
+            (tuple(mat_refs[rmi + i][:] for i in range(npar)), rrc, drs))
+        rmi += npar
+    res_mxu = tuple(res_mxu)
 
     TM, TN = layout.tile
     m, n = layout.interior
@@ -254,7 +270,8 @@ def _stencil2d_kernel(
                     band_mats.append(mats_t)
                     mi += na + nb
                 val = apply_spec_hybrid1(cur, xs, h1_view, band_mats,
-                                         mxu_axis=mxu_axis)
+                                         mxu_axis=mxu_axis,
+                                         res_mxu=res_mxu)
             else:
                 val = apply_spec_vpu_rolled(cur, spec)
             val = mask_to_interior(val, HR, HC,
@@ -295,12 +312,21 @@ def _stencil2d_kernel(
                                  else 2))
                 val = apply_terms_mxu_split(xs, split_mats, e_in, e_out,
                                             TM, TN)
-                if algorithm.startswith("mxu_hybrid") and spec.residue:
+                if res_mxu:
+                    # MXU residue offload (bf16 tier): shared banded
+                    # col matmuls + row-shifted adds per group
+                    rv = apply_residue_mxu_extent(xs, res_mxu,
+                                                  e_in, e_out, TM, TN)
+                    if rv is not None:
+                        val = val + rv
+                vpu_res = (residue_vpu if residue_vpu is not None
+                           else spec.residue)
+                if algorithm.startswith("mxu_hybrid") and vpu_res:
                     # residue rides on the VPU as cyclic rolls; Mosaic
                     # co-issues it with the MXU matmuls above (measured:
                     # interleaved MXU+VPU beats either stream alone)
                     val = val + apply_spec_vpu_rolled_extent(
-                        cur, _residue_only(spec.residue),
+                        cur, _residue_only(vpu_res),
                         e_in, e_out, TM, TN)
             else:
                 val = apply_spec_vpu(cur, spec, e_in, e_out, TM, TN)
@@ -366,7 +392,8 @@ def _stencil2d_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "layout", "compute_dtype", "precision",
-                     "interpret", "algorithm", "fused_steps", "region"),
+                     "interpret", "algorithm", "fused_steps", "region",
+                     "residue_mxu"),
 )
 def stencil2d_step(
     cur: jax.Array,
@@ -380,6 +407,7 @@ def stencil2d_step(
     fused_steps: int = 1,
     bounds: "jax.Array | None" = None,
     region=None,
+    residue_mxu: bool = False,
 ) -> jax.Array:
     """``fused_steps`` timesteps on the internal layout in one kernel.
 
@@ -388,6 +416,12 @@ def stencil2d_step(
     tiles only).  ``algorithm`` picks banded MXU GEMMs ('mxu') or exact
     fp32 VPU shift-adds ('vpu'); fused_steps > 1 requires 'vpu' and
     ``layout.guard[0] >= fused_steps * radius``.
+
+    ``residue_mxu`` (static): offload tap-sharing residue groups to the
+    MXU as banded col matmuls + row-shifted adds ('mxu_hybrid' /
+    'mxu_hybrid1' only; the engine enables it for the bf16 tier, where
+    one state part makes the extra streams nearly free and the relieved
+    VPU residue stream is the binder -- PERF.md round-6).
     """
     layout.validate()
     TM, TN = layout.tile
@@ -412,6 +446,7 @@ def stencil2d_step(
     np_dtype = np.dtype(cur.dtype)
     mats_meta = []
     mat_args = []
+    res_mxu_meta = ()
     if algorithm == "mxu":
         for term in spec.terms:
             A, B = term_band_mats(term, np_dtype)
@@ -502,6 +537,19 @@ def stencil2d_step(
             mats_meta.append((len(aparts), rr, len(bparts), rc))
             mat_args.extend(aparts)
             mat_args.extend(bparts)
+        if (residue_mxu and h1_residue
+                and algorithm in ("mxu_hybrid", "mxu_hybrid1")):
+            # residue offload: tap-sharing row-offset groups become
+            # extra banded col-matmul streams; the remainder stays on
+            # the VPU rolls (see band_gemm.residue_mxu_groups)
+            groups, rest_pts = residue_mxu_groups(h1_residue)
+            for drs, gtaps, grc in groups:
+                Bg = banded_matrix(gtaps, LANE, dtype=np.float64)
+                parts = bf16_matrix_parts(Bg, max_parts)
+                res_mxu_meta += ((len(parts), grc, drs),)
+                mat_args.extend(parts)
+            if groups:
+                h1_residue = rest_pts
     mats_meta = tuple(mats_meta)
 
     grid = layout.grid
@@ -562,6 +610,8 @@ def stencil2d_step(
         region=region if region is not None
         else ((0, grid[0]), (0, grid[1])),
         bf16_state=np_dtype == np.dtype(jnp.bfloat16),
+        res_mxu_meta=res_mxu_meta,
+        residue_vpu=(tuple(h1_residue) if res_mxu_meta else None),
     )
     bounds_args = [] if bounds is None else [jnp.asarray(bounds, jnp.int32)]
     bounds_specs = [] if bounds is None else [

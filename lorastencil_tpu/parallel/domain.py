@@ -158,6 +158,9 @@ class ShardedConfig:
     # closes into a torus) or "reflect" (global-edge devices mirror
     # their own edge strip; interior exchange is unchanged)
     boundary: str = "dirichlet0"
+    # 2-D MXU residue offload policy (engine.residue_mxu_policy):
+    # "auto" = bf16 tier only, "on"/"off" force
+    residue_mxu: str = "auto"
 
     def __post_init__(self):
         if self.dtype not in ("float32", "bfloat16"):
@@ -404,6 +407,11 @@ class ShardedStencil2D:
             -iy * ln - d, gn - iy * ln + d,
         ]).astype(jnp.int32)
 
+    def _residue_mxu(self) -> bool:
+        from ..engine import residue_mxu_policy
+        return residue_mxu_policy(self.config.residue_mxu,
+                                  self.config.dtype, self.algorithm)
+
     def _overlap_reason(self):
         """None when the overlapped exchange can run, else why not."""
         gi, gj = self.layout.grid
@@ -436,7 +444,7 @@ class ShardedStencil2D:
             cur, donor, self.spec, self.layout,
             precision=self.precision, interpret=self.interpret,
             algorithm=self.algorithm, fused_steps=fused_k,
-            bounds=self._bounds(),
+            bounds=self._bounds(), residue_mxu=self._residue_mxu(),
         )
 
     def _local_step_overlap(self, cur, donor, fused_k):
@@ -460,7 +468,8 @@ class ShardedStencil2D:
                 inp, out_buf, self.spec, self.layout,
                 precision=self.precision, interpret=self.interpret,
                 algorithm=self.algorithm, fused_steps=fused_k,
-                bounds=bounds, region=region)
+                bounds=bounds, region=region,
+                residue_mxu=self._residue_mxu())
 
         # boundary frame first: it produces the edge strips to exchange
         out = step(cur, donor, ((0, 1), (0, gj)))

@@ -404,6 +404,49 @@ def test_bf16_state_1d_3d(name, interior):
     assert np.abs(got - want).max() / np.abs(want).max() < 5e-2
 
 
+def test_residue_mxu_groups():
+    """star2d1r's 8-point residue partitions into two shared banded-col
+    streams (the (+-2, +-2) corners share one matrix) plus the pure
+    row-shift (+-3, 0) pair left on the VPU."""
+    from lorastencil_tpu.ops.band_gemm import residue_mxu_groups
+
+    spec = shapes.get_shape("star2d1r")
+    groups, rest = residue_mxu_groups(spec.residue)
+    assert sorted(rest) == [((-3, 0), 1.0), ((3, 0), 1.0)]
+    as_map = {drs: (taps, rc) for drs, taps, rc in groups}
+    assert as_map[(0,)] == ((1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0), 3)
+    assert as_map[(-2, 2)] == ((-1.0, 0.0, 0.0, 0.0, -1.0), 2)
+    # every point lands exactly once
+    n_pts = sum(len(drs) * sum(1 for t in taps if t != 0.0)
+                for drs, taps, _ in groups) + len(rest)
+    assert n_pts == len(spec.residue)
+
+
+@pytest.mark.parametrize("alg", ["mxu_hybrid", "mxu_hybrid1"])
+@pytest.mark.parametrize("dtype,tol", [("bfloat16", 5e-2),
+                                       ("float32", 5e-5)])
+def test_residue_mxu_offload(alg, dtype, tol):
+    """Round 6: the MXU residue offload (banded col matmuls + row-
+    shifted adds) matches the rolled-VPU residue path in both the
+    fixed-extent (hybrid1) and extent-shrinking (hybrid) kernels,
+    unfused and fused."""
+    spec = shapes.get_shape("star2d1r")
+    interior = (40, 200)
+    g0 = reference.random_padded(spec, interior, seed=7)
+    jdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    for steps, k in ((3, 1), (4, 2)):
+        want = reference.run(g0, spec, steps)
+        for mode in ("on", "off"):
+            eng = engine.StencilEngine.for_shape(
+                "star2d1r", interior, algorithm=alg, dtype=dtype,
+                residue_mxu=mode, fused_steps=k)
+            got = np.asarray(
+                eng.run(jnp.asarray(g0, jdt), steps).astype(jnp.float32),
+                np.float64)
+            err = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+            assert err < tol, (alg, dtype, mode, steps, k, err)
+
+
 def test_bf16_state_rejected_on_xla_backend():
     with pytest.raises(ValueError, match="bfloat16"):
         engine.StencilEngine.for_shape("box3d1r", (8, 16, 128),
