@@ -190,6 +190,14 @@ class EngineConfig:
     # best at 256^3 (23.3 vs 21.5 GCells/s unfused); deeper fusion loses
     # to VMEM pressure.
     fused_steps_3d: int = 2
+    # HOW the 2-D path fuses timesteps: "extent" (in-VMEM recompute at
+    # shrinking/full extents -- the default machinery, any algorithm),
+    # "skew" (time-skewed row-band streaming, ZERO recompute; needs
+    # 'vpu_roll'/'mxu_hybrid1', dirichlet0, unsharded -- see
+    # pallas_2d.stencil2d_skew_step), or "auto" (= "extent" until the
+    # skew path earns per-shape defaults on device).  With "skew",
+    # ``fused_steps`` defaults to 2.
+    fusion: str = "auto"
     # 1-D overlapped-lane layout overrides (None = measured defaults
     # from Layout1DLanes.build); exposed so --autotune can measure lane
     # geometry per device (round-2 VERDICT item 5)
@@ -272,6 +280,26 @@ class StencilEngine:
         self.interpret = (
             config.interpret if config.interpret is not None else not _on_tpu()
         )
+        if config.fusion not in ("auto", "extent", "skew"):
+            raise ValueError(
+                f"fusion must be 'auto', 'extent' or 'skew', got "
+                f"{config.fusion!r}")
+        if config.fusion == "skew":
+            if spec.ndim != 2:
+                raise ValueError(
+                    "fusion='skew' is the 2-D time-skewed path; use "
+                    "fused_steps/fused_steps_3d elsewhere")
+            if self.backend == "xla":
+                raise ValueError("fusion='skew' needs the Pallas backend")
+            if config.boundary != "dirichlet0":
+                raise ValueError(
+                    "fusion='skew' supports dirichlet0 boundaries only "
+                    "(ghost rings would need per-level ring evolution)")
+            if self.algorithm not in ("vpu_roll", "mxu_hybrid1"):
+                raise ValueError(
+                    f"fusion='skew' supports algorithm 'vpu_roll' or "
+                    f"'mxu_hybrid1'; resolved algorithm is "
+                    f"{self.algorithm!r}")
         self.layout = self._build_layout()
         self.ghost = config.boundary != "dirichlet0"
         if self.ghost and min(self.interior) < self._ring_depth():
@@ -358,6 +386,18 @@ class StencilEngine:
         return resolve_algorithm(self.spec, self.config.algorithm,
                                  self.dtype)
 
+    def _fusion_mode(self) -> str:
+        """'extent' or 'skew' (2-D only; 'auto' resolves to 'extent'
+        until device measurements earn skew a per-shape default)."""
+        f = self.config.fusion
+        if f == "auto" or self.spec.ndim != 2:
+            return "extent"
+        return f
+
+    def _skew_stride(self) -> int:
+        # level-to-level frontier lag: radius rounded up to a sublane
+        return SUBLANE * (-(-self.spec.radius // SUBLANE))
+
     # -- layout ----------------------------------------------------------
     def _build_layout(self):
 
@@ -408,6 +448,17 @@ class StencilEngine:
                     mxu_residue=(self.algorithm.startswith("mxu")
                                  and bool(spec.residue)))
             k = self._fused_k() if self.backend != "xla" else 1
+            if self._fusion_mode() == "skew":
+                # the output stripe lags the input band by k*s rows,
+                # and the lagging schedule needs ceil((m + k*s)/B)
+                # bands of storage (pallas_2d.stencil2d_skew_step)
+                s = self._skew_stride()
+                B = tile[0]
+                m = interior[0]
+                extra = -(-(m + k * s) // B) - (-(-m // B))
+                return Layout2D(interior=interior, halo=spec.halo,
+                                tile=tile, guard=(k * s, LANE),
+                                extra_row_tiles=extra)
             need = max(spec.halo[0], k * spec.radius)
             guard_r = SUBLANE * (-(-need // SUBLANE))
             return Layout2D(interior=interior, halo=spec.halo, tile=tile,
@@ -531,6 +582,16 @@ class StencilEngine:
                 fused_steps=fused_k, bounds=bounds)
         if self.spec.ndim == 2:
             from .ops import pallas_2d
+            # remainder passes (steps % k) fall back to the extent
+            # kernel at k=1 on the same (wider-guard) layout
+            if self._fusion_mode() == "skew" and fused_k >= 2:
+                return pallas_2d.stencil2d_skew_step(
+                    cur, donor, self.spec, self.layout,
+                    interpret=self.interpret, algorithm=self.algorithm,
+                    skew_steps=fused_k,
+                    residue_mxu=residue_mxu_policy(
+                        self.config.residue_mxu, self.dtype,
+                        self.algorithm))
             return pallas_2d.stencil2d_step(
                 cur, donor, self.spec, self.layout,
                 precision=self.precision, interpret=self.interpret,
@@ -548,6 +609,11 @@ class StencilEngine:
     def _fused_k(self) -> int:
         if self.backend == "xla":
             return 1
+        if self.spec.ndim == 2 and self._fusion_mode() == "skew":
+            k = self.config.fused_steps or 2
+            # col-guard creep bounds k (k*radius <= 128); the row lag
+            # costs only storage (guard = k*s rows)
+            return max(2, min(k, LANE // max(1, self.spec.radius)))
         k = self.config.fused_steps
         if k is None:
             if self.spec.ndim == 1:

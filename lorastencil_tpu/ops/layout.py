@@ -47,6 +47,11 @@ class Layout2D:
     # guard band = kernel DMA window halo; rows may exceed SUBLANE when
     # multiple timesteps are fused per HBM round trip (halo k*radius).
     guard: Tuple[int, int] = (SUBLANE, LANE)
+    # extra zero row-tiles of storage below the round-up padding: the
+    # time-skewed kernel's output stripes lag its input bands by
+    # k*skew rows, so its last band can spill one tile past ceil(m/TM)
+    # (pallas_2d.stencil2d_skew_step).  Not part of ``grid``.
+    extra_row_tiles: int = 0
 
     @property
     def grid(self) -> Tuple[int, int]:
@@ -62,7 +67,7 @@ class Layout2D:
     def shape(self) -> Tuple[int, int]:
         gi, gj = self.grid
         gr, gc = self.guard
-        return (gr + gi * self.tile[0] + gr,
+        return (gr + (gi + self.extra_row_tiles) * self.tile[0] + gr,
                 gc + gj * self.tile[1] + gc)
 
     def validate(self):

@@ -389,6 +389,113 @@ def _stencil2d_kernel(
         o.wait()
 
 
+def _build_mxu_mats(spec, algorithm, np_dtype, residue_mxu):
+    """Banded-matrix operand build for the mxu_* algorithms.
+
+    Returns ``(eff_terms, h1_residue, mats_meta, mat_args,
+    res_mxu_meta)``: the effective separable terms (spec terms plus any
+    peeled residue terms), the residue left on the VPU, per-term part
+    counts/radii, the bf16-split matrix operands in kernel order, and
+    the residue-offload group metadata.  Shared by ``stencil2d_step``
+    and the time-skewed kernel, which must bind identical operands.
+    """
+    from ..models import factorize
+
+    eff_terms = list(spec.terms)
+    h1_residue = spec.residue
+    mats_meta = []
+    mat_args = []
+    res_mxu_meta = ()
+    if spec.residue and algorithm == "mxu_split":
+        # convert the sparse residue into separable terms (greedy
+        # max-pivot peel); star2d1r's 8-point residue is rank 3.
+        # NOT used by the hybrid1 variants: an MXU banded matmul
+        # costs ~134 MACs/cell per stream REGARDLESS of tap
+        # sparsity, so peeled residue streams quadruple the MXU
+        # work to replace ~6 VPU ops -- measured 54 -> 34 GCells/s
+        # on the flagship (round 4); hybrid1 keeps the residue as
+        # grouped VPU rolls.
+        full = 2 * spec.radius + 1
+        Rm = np.zeros((full, full))
+        for off, w in spec.residue:
+            Rm[spec.radius + off[0], spec.radius + off[1]] += w
+        pr = factorize.greedy_peel(Rm, max_rank=6)
+        if np.abs(pr.residual).max() > 1e-12:
+            raise ValueError(
+                "residue not separable within rank 6; use "
+                "algorithm='vpu'")
+
+        def norm_taps(t):
+            # centered delta == identity axis: skip its matmul
+            t = np.asarray(t, np.float64)
+            d = np.zeros_like(t)
+            d[t.size // 2] = 1.0
+            return None if np.array_equal(t, d) else tuple(t)
+
+        eff_terms += [
+            SeparableTerm(taps=(norm_taps(u), norm_taps(v)))
+            for u, v in pr.terms
+        ]
+    # split each banded matrix into as many bf16 parts as needed to
+    # represent its fp32 values exactly, capped at the state split
+    # depth (integer reference taps: 1 part; arbitrary reals: up to
+    # 3 for the exact-grade tiers).  The hybrid1 variants use only
+    # one axis's matrices (col for 'mxu_hybrid1', row for '...1r');
+    # the other axis runs on the VPU, so its parts are not built.
+    max_parts = (3 if algorithm in ("mxu_hybrid1", "mxu_hybrid1r",
+                                    "mxu_hybrid3") else 2)
+    # how many terms' column convs ride the MXU stream under
+    # 'mxu_hybrid1' (LORASTENCIL_H1_MXU_TERMS overrides).  Few-term
+    # specs and bf16 state put every column conv there.  Many-term
+    # (box) EXACT-fp32 specs saturate: each extra stream costs 3
+    # bf16-split matmul passes, measured (8192^2, round 5)
+    # 51.0 / 48.7 / 35.1 GCells/s at cap 1/2/3 -- cap 1 also beats
+    # all-VPU vpu_roll (49.8).  bf16 state needs only ONE part per
+    # stream, so deeper offload keeps winning: 62.4 / 74.4 / 88.3
+    # at cap 1/2/3 (every VPU col conv removed relieves the binding
+    # VPU stream) -> no cap.
+    n_col_terms = sum(1 for t in eff_terms if t.taps[1] is not None)
+    exact_split = np_dtype != np.dtype(jnp.bfloat16)
+    default_cap = 1 if (exact_split and n_col_terms > 2) else 99
+    h1_cap = int(os.environ.get("LORASTENCIL_H1_MXU_TERMS",
+                                str(default_cap)))
+    h1_built = 0
+    for term in eff_terms:
+        A, B = term_band_mats(term, np.float64)
+        if algorithm == "mxu_hybrid1":
+            A = None
+            if h1_built >= h1_cap:
+                B = None  # mixed assignment: this term stays VPU
+            elif B is not None:
+                h1_built += 1
+        elif algorithm == "mxu_hybrid1r":
+            B = None
+        row_taps, col_taps = term.taps
+        rr = (len(row_taps) - 1) // 2 if row_taps is not None else 0
+        rc = (len(col_taps) - 1) // 2 if col_taps is not None else 0
+        aparts = (bf16_matrix_parts(A, max_parts)
+                  if A is not None else [])
+        bparts = (bf16_matrix_parts(B, max_parts)
+                  if B is not None else [])
+        mats_meta.append((len(aparts), rr, len(bparts), rc))
+        mat_args.extend(aparts)
+        mat_args.extend(bparts)
+    if (residue_mxu and h1_residue
+            and algorithm in ("mxu_hybrid", "mxu_hybrid1")):
+        # residue offload: tap-sharing row-offset groups become
+        # extra banded col-matmul streams; the remainder stays on
+        # the VPU rolls (see band_gemm.residue_mxu_groups)
+        groups, rest_pts = residue_mxu_groups(h1_residue)
+        for drs, gtaps, grc in groups:
+            Bg = banded_matrix(gtaps, LANE, dtype=np.float64)
+            parts = bf16_matrix_parts(Bg, max_parts)
+            res_mxu_meta += ((len(parts), grc, drs),)
+            mat_args.extend(parts)
+        if groups:
+            h1_residue = rest_pts
+    return eff_terms, h1_residue, mats_meta, mat_args, res_mxu_meta
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "layout", "compute_dtype", "precision",
@@ -459,97 +566,9 @@ def stencil2d_step(
             if B is not None:
                 mat_args.append(jnp.asarray(B))
     elif algorithm.startswith("mxu_"):
-        from ..models import factorize
-
-        eff_terms = list(spec.terms)
-        h1_residue = spec.residue
-        if spec.residue and algorithm == "mxu_split":
-            # convert the sparse residue into separable terms (greedy
-            # max-pivot peel); star2d1r's 8-point residue is rank 3.
-            # NOT used by the hybrid1 variants: an MXU banded matmul
-            # costs ~134 MACs/cell per stream REGARDLESS of tap
-            # sparsity, so peeled residue streams quadruple the MXU
-            # work to replace ~6 VPU ops -- measured 54 -> 34 GCells/s
-            # on the flagship (round 4); hybrid1 keeps the residue as
-            # grouped VPU rolls.
-            full = 2 * spec.radius + 1
-            Rm = np.zeros((full, full))
-            for off, w in spec.residue:
-                Rm[spec.radius + off[0], spec.radius + off[1]] += w
-            pr = factorize.greedy_peel(Rm, max_rank=6)
-            if np.abs(pr.residual).max() > 1e-12:
-                raise ValueError(
-                    "residue not separable within rank 6; use "
-                    "algorithm='vpu'")
-
-            def norm_taps(t):
-                # centered delta == identity axis: skip its matmul
-                t = np.asarray(t, np.float64)
-                d = np.zeros_like(t)
-                d[t.size // 2] = 1.0
-                return None if np.array_equal(t, d) else tuple(t)
-
-            eff_terms += [
-                SeparableTerm(taps=(norm_taps(u), norm_taps(v)))
-                for u, v in pr.terms
-            ]
-        # split each banded matrix into as many bf16 parts as needed to
-        # represent its fp32 values exactly, capped at the state split
-        # depth (integer reference taps: 1 part; arbitrary reals: up to
-        # 3 for the exact-grade tiers).  The hybrid1 variants use only
-        # one axis's matrices (col for 'mxu_hybrid1', row for '...1r');
-        # the other axis runs on the VPU, so its parts are not built.
-        max_parts = (3 if algorithm in ("mxu_hybrid1", "mxu_hybrid1r",
-                                        "mxu_hybrid3") else 2)
-        # how many terms' column convs ride the MXU stream under
-        # 'mxu_hybrid1' (LORASTENCIL_H1_MXU_TERMS overrides).  Few-term
-        # specs and bf16 state put every column conv there.  Many-term
-        # (box) EXACT-fp32 specs saturate: each extra stream costs 3
-        # bf16-split matmul passes, measured (8192^2, round 5)
-        # 51.0 / 48.7 / 35.1 GCells/s at cap 1/2/3 -- cap 1 also beats
-        # all-VPU vpu_roll (49.8).  bf16 state needs only ONE part per
-        # stream, so deeper offload keeps winning: 62.4 / 74.4 / 88.3
-        # at cap 1/2/3 (every VPU col conv removed relieves the binding
-        # VPU stream) -> no cap.
-        n_col_terms = sum(1 for t in eff_terms if t.taps[1] is not None)
-        exact_split = np_dtype != np.dtype(jnp.bfloat16)
-        default_cap = 1 if (exact_split and n_col_terms > 2) else 99
-        h1_cap = int(os.environ.get("LORASTENCIL_H1_MXU_TERMS",
-                                    str(default_cap)))
-        h1_built = 0
-        for term in eff_terms:
-            A, B = term_band_mats(term, np.float64)
-            if algorithm == "mxu_hybrid1":
-                A = None
-                if h1_built >= h1_cap:
-                    B = None  # mixed assignment: this term stays VPU
-                elif B is not None:
-                    h1_built += 1
-            elif algorithm == "mxu_hybrid1r":
-                B = None
-            row_taps, col_taps = term.taps
-            rr = (len(row_taps) - 1) // 2 if row_taps is not None else 0
-            rc = (len(col_taps) - 1) // 2 if col_taps is not None else 0
-            aparts = (bf16_matrix_parts(A, max_parts)
-                      if A is not None else [])
-            bparts = (bf16_matrix_parts(B, max_parts)
-                      if B is not None else [])
-            mats_meta.append((len(aparts), rr, len(bparts), rc))
-            mat_args.extend(aparts)
-            mat_args.extend(bparts)
-        if (residue_mxu and h1_residue
-                and algorithm in ("mxu_hybrid", "mxu_hybrid1")):
-            # residue offload: tap-sharing row-offset groups become
-            # extra banded col-matmul streams; the remainder stays on
-            # the VPU rolls (see band_gemm.residue_mxu_groups)
-            groups, rest_pts = residue_mxu_groups(h1_residue)
-            for drs, gtaps, grc in groups:
-                Bg = banded_matrix(gtaps, LANE, dtype=np.float64)
-                parts = bf16_matrix_parts(Bg, max_parts)
-                res_mxu_meta += ((len(parts), grc, drs),)
-                mat_args.extend(parts)
-            if groups:
-                h1_residue = rest_pts
+        (eff_terms, h1_residue, mats_meta, mat_args,
+         res_mxu_meta) = _build_mxu_mats(spec, algorithm, np_dtype,
+                                         residue_mxu)
     mats_meta = tuple(mats_meta)
 
     grid = layout.grid
@@ -642,6 +661,302 @@ def stencil2d_step(
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_bytes()),
     )(cur, donor, *bounds_args, *mat_args)
+
+
+def _stencil2d_skew_kernel(
+    # inputs
+    in_hbm,
+    donor_hbm,  # aliased to out; never read
+    *mat_refs_and_out,
+    # static
+    spec: StencilSpec,
+    layout: Layout2D,
+    mats_meta,
+    algorithm,
+    skew_steps,
+    s_skew,
+    ni,
+    bf16_state,
+    h1_view=None,
+    res_mxu_meta=(),
+):
+    """Time-skewed row-band streaming: ``skew_steps`` timesteps per HBM
+    round trip with ZERO in-plane recompute (the extent-fused path
+    recomputes guard regions every substep -- the VPU binder for
+    residue-bearing specs, PERF.md).
+
+    Bands of B rows stream top-to-bottom per column tile; level j's
+    frontier lags level j-1 by ``s_skew`` rows (s >= radius, sublane
+    multiple), so each level-j stripe is computed exactly once from the
+    previous level's buffered rows.  Per level, a VMEM buffer of
+    B + 2s rows carries the 2s-row overlap between consecutive bands;
+    level 0 re-reads its 2s-row overlap from HBM instead (6% extra
+    input traffic, no carry dependency).  The rolled/hybrid conv runs
+    at the fixed (B+2s, Wc) extent -- aligned operands, wrap garbage
+    creeps <= radius per level into the s-row margin and <= k*radius
+    into the 128-col guard, and the extracted stripe [s, s+B) is always
+    valid (s >= radius).  The analog in the CUDA literature is
+    trapezoid/wavefront time tiling; the reference fuses steps only in
+    the coefficient domain (/root/reference/src/1d/main.cu:77-78).
+    """
+    k = skew_steps
+    s = s_skew
+    n_mats = (sum(na + nb for na, _, nb, _ in mats_meta)
+              + sum(npar for npar, _, _ in res_mxu_meta))
+    rest = mat_refs_and_out
+    mat_refs = rest[:n_mats]
+    out_hbm = rest[n_mats]
+    L0 = rest[n_mats + 1]        # (2, B+2s, Wc) dbl-buffered input bands
+    Lmid = rest[n_mats + 2]      # (k-1, B+2s, Wc) per-level carries
+    out_tile = rest[n_mats + 3]  # (2, B, TN) dbl-buffered output
+    sem_in = rest[n_mats + 4]    # (2,)
+    sem_out = rest[n_mats + 5]   # (2,)
+
+    res_mxu = []
+    rmi = sum(na + nb for na, _, nb, _ in mats_meta)
+    for (npar, rrc, drs) in res_mxu_meta:
+        res_mxu.append(
+            (tuple(mat_refs[rmi + i][:] for i in range(npar)), rrc, drs))
+        rmi += npar
+    res_mxu = tuple(res_mxu)
+
+    B, TN = layout.tile
+    m, n = layout.interior
+    r0, c0 = layout.origin
+    HR, HC = layout.guard
+    Wc = TN + 2 * HC
+
+    tj = pl.program_id(0)   # column tile OUTER
+    i = pl.program_id(1)    # row band INNER (carries are row-adjacent)
+    grid_cols = pl.num_programs(0)
+    total = grid_cols * ni
+    idx = tj * jnp.int32(ni) + i
+
+    def ti_of(lin):
+        return jax.lax.rem(lin, jnp.int32(ni))
+
+    def tj_of(lin):
+        return jax.lax.div(lin, jnp.int32(ni))
+
+    def in_dma(lin):
+        # band lin's input rows [i*B - 2s, i*B + B): the 2s-row overlap
+        # with the previous band is re-read (no level-0 carry)
+        return pltpu.make_async_copy(
+            in_hbm.at[
+                pl.ds(r0 + ti_of(lin) * B - 2 * s, B + 2 * s),
+                pl.ds(c0 + tj_of(lin) * TN - HC, Wc),
+            ],
+            L0.at[jax.lax.rem(lin, jnp.int32(2))],
+            sem_in.at[jax.lax.rem(lin, jnp.int32(2))],
+        )
+
+    def out_dma(lin):
+        # the output stripe lags the input band by k*s rows; at i=0 it
+        # starts at stored row r0 - k*s >= 0 and re-zeroes the top guard
+        return pltpu.make_async_copy(
+            out_tile.at[jax.lax.rem(lin, jnp.int32(2))],
+            out_hbm.at[
+                pl.ds(r0 + ti_of(lin) * B - k * s, B),
+                pl.ds(c0 + tj_of(lin) * TN, TN),
+            ],
+            sem_out.at[jax.lax.rem(lin, jnp.int32(2))],
+        )
+
+    @pl.when(idx == 0)
+    def _prologue():
+        in_dma(idx).start()
+
+    in_dma(idx).wait()
+
+    @pl.when(idx + 1 < total)
+    def _prefetch():
+        in_dma(idx + 1).start()
+
+    # per-level carries: the 2s-row tail of the previous band's stripe
+    # becomes the head overlap (fresh column tile starts from zero --
+    # rows above the first stripe are outside the interior)
+    for lv in range(k - 1):
+        @pl.when(i == 0)
+        def _zero_carry(lv=lv):
+            Lmid[lv, : 2 * s] = jnp.zeros((2 * s, Wc), Lmid.dtype)
+
+        @pl.when(i > 0)
+        def _carry(lv=lv):
+            Lmid[lv, : 2 * s] = Lmid[lv, B: B + 2 * s]
+
+    def mask_in_place(read, write, row0, col0, C):
+        """Conditionally zero out-of-interior cells of a just-stored
+        (B, C) stripe whose top-left cell is global (row0, col0) --
+        reference halo-decay + round-up-guard semantics.  Most bands
+        and column tiles are fully interior, so each axis's mask (and
+        its VMEM round trip) runs under a ``pl.when`` predicate only on
+        edge stripes -- the dynamic analog of the extent kernel's
+        static divisible-axis mask elision."""
+        @pl.when((row0 < 0) | (row0 + jnp.int32(B) > m))
+        def _mask_rows():
+            v = read()
+            gr = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0) + row0
+            write(v * ((gr >= 0) & (gr < m)).astype(v.dtype))
+
+        @pl.when((col0 < 0) | (col0 + jnp.int32(C) > n))
+        def _mask_cols():
+            v = read()
+            gc = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1) + col0
+            write(v * ((gc >= 0) & (gc < n)).astype(v.dtype))
+
+    if algorithm == "mxu_hybrid1":
+        band_mats = []
+        mi = 0
+        for (na, _rr, nb, _rc) in mats_meta:
+            band_mats.append(tuple(mat_refs[mi + na + t][:]
+                                   for t in range(nb)) if nb else None)
+            mi += na + nb
+
+    src = L0[pl.ds(jax.lax.rem(idx, jnp.int32(2)), 1)][0]
+    for j in range(1, k + 1):
+        cur = src.astype(jnp.float32) if bf16_state else src
+        if algorithm == "mxu_hybrid1":
+            xs = ((cur.astype(jnp.bfloat16),) if bf16_state
+                  else split_bf16(cur, 3))
+            val = apply_spec_hybrid1(cur, xs, h1_view, band_mats,
+                                     mxu_axis="col", res_mxu=res_mxu)
+        else:
+            val = apply_spec_vpu_rolled(cur, spec)
+        # level-j stripe: rows [i*B - j*s, i*B - j*s + B) of the global
+        # interior live at buffer rows [s, s+B) (aligned slice)
+        row0 = i * jnp.int32(B) - j * s
+        if j < k:
+            Lmid[j - 1, 2 * s: 2 * s + B] = (
+                val[s: s + B, :].astype(Lmid.dtype))
+            mask_in_place(
+                lambda j=j: Lmid[j - 1, 2 * s: 2 * s + B],
+                lambda v, j=j: Lmid.__setitem__(
+                    (j - 1, slice(2 * s, 2 * s + B)), v),
+                row0, tj * jnp.int32(TN) - HC, Wc)
+            src = Lmid[pl.ds(j - 1, 1)][0]
+        else:
+            # drain the write started 2 bands ago before slot reuse
+            @pl.when(idx >= 2)
+            def _drain_prev():
+                out_dma(idx - 2).wait()
+
+            oslot = jax.lax.rem(idx, jnp.int32(2))
+            out_tile[pl.ds(oslot, 1)] = (
+                val[s: s + B, HC: HC + TN].astype(out_tile.dtype)[None])
+            mask_in_place(
+                lambda: out_tile[pl.ds(oslot, 1)][0],
+                lambda v: out_tile.__setitem__(pl.ds(oslot, 1), v[None]),
+                row0, tj * jnp.int32(TN), TN)
+            out_dma(idx).start()
+
+    for q in range(2):
+        @pl.when((idx == total - 1) & (total >= q + 1))
+        def _drain_tail(q=q):
+            out_dma(idx - q).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "layout", "interpret", "algorithm",
+                     "skew_steps", "residue_mxu"),
+)
+def stencil2d_skew_step(
+    cur: jax.Array,
+    donor: jax.Array,
+    spec: StencilSpec,
+    layout: Layout2D,
+    interpret: bool = False,
+    algorithm: str = "vpu_roll",
+    skew_steps: int = 2,
+    residue_mxu: bool = False,
+) -> jax.Array:
+    """``skew_steps`` timesteps per HBM round trip via time-skewed
+    row-band streaming (zero recompute -- see ``_stencil2d_skew_kernel``).
+
+    Requirements (the engine builds conforming layouts):
+      * ``layout.guard == (skew_steps * s, 128)`` at least, where
+        ``s = 8 * ceil(radius / 8)`` (the output stripe lags the input
+        band by ``skew_steps * s`` rows);
+      * band height ``tile[0] >= 2 * s`` (the carry must fit inside the
+        previous stripe);
+      * ``layout.extra_row_tiles`` sized so storage covers
+        ``ceil((m + skew_steps * s) / B)`` bands;
+      * dirichlet0 boundary, unsharded (no ``bounds`` / ``region``).
+    """
+    layout.validate()
+    B, TN = layout.tile
+    m, _n = layout.interior
+    r = spec.radius
+    k = int(skew_steps)
+    if algorithm not in ("vpu_roll", "mxu_hybrid1"):
+        raise ValueError(
+            f"skewed fusion supports algorithm 'vpu_roll' or "
+            f"'mxu_hybrid1', got {algorithm!r}")
+    if k < 2:
+        raise ValueError("skew_steps must be >= 2 (use the plain step "
+                         "for k=1)")
+    s = SUBLANE * (-(-r // SUBLANE))
+    HR, HC = layout.guard
+    if HR < k * s:
+        raise ValueError(
+            f"skewed fusion needs guard rows >= skew_steps * "
+            f"{s} = {k * s}; layout has {HR}")
+    if k * r > HC:
+        raise ValueError(
+            f"skew_steps={k} creeps {k * r} columns into the "
+            f"{HC}-col guard; max here: {HC // max(1, r)}")
+    if B < 2 * s:
+        raise ValueError(
+            f"band height (tile rows) must be >= 2 * {s}; got {B}")
+    ni = -(-(m + k * s) // B)
+    if ni > layout.grid[0] + layout.extra_row_tiles:
+        raise ValueError(
+            f"storage covers {layout.grid[0] + layout.extra_row_tiles} "
+            f"bands but the lagging schedule needs {ni}; set "
+            f"layout.extra_row_tiles = "
+            f"{ni - layout.grid[0]}")
+    np_dtype = np.dtype(cur.dtype)
+    mats_meta, mat_args, res_mxu_meta, h1_view = (), [], (), None
+    if algorithm == "mxu_hybrid1":
+        (eff_terms, h1_residue, mats_meta, mat_args,
+         res_mxu_meta) = _build_mxu_mats(spec, algorithm, np_dtype,
+                                         residue_mxu)
+        mats_meta = tuple(mats_meta)
+        h1_view = _TermsView(tuple(eff_terms), tuple(h1_residue))
+
+    Wc = TN + 2 * HC
+    kernel = functools.partial(
+        _stencil2d_skew_kernel,
+        spec=spec,
+        layout=layout,
+        mats_meta=mats_meta,
+        algorithm=algorithm,
+        skew_steps=k,
+        s_skew=s,
+        ni=ni,
+        bf16_state=np_dtype == np.dtype(jnp.bfloat16),
+        h1_view=h1_view,
+        res_mxu_meta=res_mxu_meta,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(layout.grid[1], ni),
+        out_shape=jax.ShapeDtypeStruct(cur.shape, cur.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(mat_args),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, B + 2 * s, Wc), cur.dtype),
+            pltpu.VMEM((k - 1, B + 2 * s, Wc), cur.dtype),
+            pltpu.VMEM((2, B, TN), cur.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={1: 0},
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes()),
+    )(cur, donor, *mat_args)
 
 
 def vmem_limit_bytes() -> int:
