@@ -300,6 +300,15 @@ class StencilEngine:
                     f"fusion='skew' supports algorithm 'vpu_roll' or "
                     f"'mxu_hybrid1'; resolved algorithm is "
                     f"{self.algorithm!r}")
+            if config.fused_steps is not None and config.fused_steps < 2:
+                raise ValueError(
+                    "fusion='skew' needs fused_steps >= 2 (k=1 has no "
+                    "lag to skew; use fusion='extent')")
+            if LANE // max(1, spec.radius) < 2:
+                raise ValueError(
+                    f"fusion='skew' creeps k*radius columns into the "
+                    f"{LANE}-col guard; radius {spec.radius} leaves no "
+                    f"room for k >= 2")
         self.layout = self._build_layout()
         self.ghost = config.boundary != "dirichlet0"
         if self.ghost and min(self.interior) < self._ring_depth():
@@ -395,8 +404,9 @@ class StencilEngine:
         return f
 
     def _skew_stride(self) -> int:
-        # level-to-level frontier lag: radius rounded up to a sublane
-        return SUBLANE * (-(-self.spec.radius // SUBLANE))
+        from .ops.pallas_2d import skew_stride
+
+        return skew_stride(self.spec.radius)
 
     # -- layout ----------------------------------------------------------
     def _build_layout(self):
@@ -451,13 +461,17 @@ class StencilEngine:
             if self._fusion_mode() == "skew":
                 # the output stripe lags the input band by k*s rows,
                 # and the lagging schedule needs ceil((m + k*s)/B)
-                # bands of storage (pallas_2d.stencil2d_skew_step)
+                # bands of storage (pallas_2d.stencil2d_skew_step);
+                # a user halo deeper than the lag widens the guard
+                # (the kernel only needs guard rows >= k*s)
                 s = self._skew_stride()
                 B = tile[0]
                 m = interior[0]
                 extra = -(-(m + k * s) // B) - (-(-m // B))
+                guard_r = max(k * s,
+                              SUBLANE * (-(-spec.halo[0] // SUBLANE)))
                 return Layout2D(interior=interior, halo=spec.halo,
-                                tile=tile, guard=(k * s, LANE),
+                                tile=tile, guard=(guard_r, LANE),
                                 extra_row_tiles=extra)
             need = max(spec.halo[0], k * spec.radius)
             guard_r = SUBLANE * (-(-need // SUBLANE))
@@ -611,9 +625,10 @@ class StencilEngine:
             return 1
         if self.spec.ndim == 2 and self._fusion_mode() == "skew":
             k = self.config.fused_steps or 2
-            # col-guard creep bounds k (k*radius <= 128); the row lag
-            # costs only storage (guard = k*s rows)
-            return max(2, min(k, LANE // max(1, self.spec.radius)))
+            # col-guard creep bounds k (k*radius <= 128; __init__
+            # guarantees at least k=2 fits); the row lag costs only
+            # storage (guard rows >= k*s)
+            return min(k, LANE // max(1, self.spec.radius))
         k = self.config.fused_steps
         if k is None:
             if self.spec.ndim == 1:

@@ -65,6 +65,41 @@ from .band_gemm import (apply_residue_mxu_extent, apply_spec_hybrid1,
 from .layout import LANE, SUBLANE, Layout2D
 
 
+def skew_stride(radius: int) -> int:
+    """Level-to-level frontier lag of the time-skewed kernel: the
+    radius rounded up to a sublane (one definition, shared by the
+    engine's layout construction and the kernel's validation)."""
+    return SUBLANE * (-(-radius // SUBLANE))
+
+
+def _unpack_res_mxu(mat_refs, start, meta):
+    """Bind the residue-group matrix refs appended after the per-term
+    parts (wire format: ``meta`` = ((n_parts, rc, drs), ...))."""
+    groups = []
+    for (npar, rrc, drs) in meta:
+        groups.append(
+            (tuple(mat_refs[start + i][:] for i in range(npar)), rrc, drs))
+        start += npar
+    return tuple(groups), start
+
+
+def _unpack_band_mats(mat_refs, mats_meta, mxu_axis):
+    """Per-term banded matrix parts for the hybrid1 kernels' MXU axis
+    (wire format: A parts then B parts per ``mats_meta`` entry)."""
+    band_mats = []
+    mi = 0
+    for (na, _rr, nb, _rc) in mats_meta:
+        if mxu_axis == "col":
+            mats_t = (tuple(mat_refs[mi + na + i][:] for i in range(nb))
+                      if nb else None)
+        else:
+            mats_t = (tuple(mat_refs[mi + i][:] for i in range(na))
+                      if na else None)
+        band_mats.append(mats_t)
+        mi += na + nb
+    return band_mats
+
+
 @functools.lru_cache(maxsize=None)
 def _residue_only(residue):
     return _ResidueOnly(residue=residue)
@@ -130,13 +165,9 @@ def _stencil2d_kernel(
 
     # residue-group col matrices (MXU residue offload, bf16 tier): the
     # refs after the per-term parts, grouped per res_mxu_meta entry
-    res_mxu = []
-    rmi = sum(na + nb for na, _, nb, _ in mats_meta)
-    for (npar, rrc, drs) in res_mxu_meta:
-        res_mxu.append(
-            (tuple(mat_refs[rmi + i][:] for i in range(npar)), rrc, drs))
-        rmi += npar
-    res_mxu = tuple(res_mxu)
+    res_mxu, _ = _unpack_res_mxu(
+        mat_refs, sum(na + nb for na, _, nb, _ in mats_meta),
+        res_mxu_meta)
 
     TM, TN = layout.tile
     m, n = layout.interior
@@ -256,19 +287,8 @@ def _stencil2d_kernel(
                 mxu_axis = "col" if algorithm == "mxu_hybrid1" else "row"
                 xs = ((cur.astype(jnp.bfloat16),) if bf16_state
                       else split_bf16(cur, 3))
-                band_mats = []
-                mi = 0
-                for (na, _rr, nb, _rc) in mats_meta:
-                    if mxu_axis == "col":
-                        mats_t = (tuple(mat_refs[mi + na + i][:]
-                                        for i in range(nb))
-                                  if nb else None)
-                    else:
-                        mats_t = (tuple(mat_refs[mi + i][:]
-                                        for i in range(na))
-                                  if na else None)
-                    band_mats.append(mats_t)
-                    mi += na + nb
+                band_mats = _unpack_band_mats(mat_refs, mats_meta,
+                                              mxu_axis)
                 val = apply_spec_hybrid1(cur, xs, h1_view, band_mats,
                                          mxu_axis=mxu_axis,
                                          res_mxu=res_mxu)
@@ -712,13 +732,9 @@ def _stencil2d_skew_kernel(
     sem_in = rest[n_mats + 4]    # (2,)
     sem_out = rest[n_mats + 5]   # (2,)
 
-    res_mxu = []
-    rmi = sum(na + nb for na, _, nb, _ in mats_meta)
-    for (npar, rrc, drs) in res_mxu_meta:
-        res_mxu.append(
-            (tuple(mat_refs[rmi + i][:] for i in range(npar)), rrc, drs))
-        rmi += npar
-    res_mxu = tuple(res_mxu)
+    res_mxu, _ = _unpack_res_mxu(
+        mat_refs, sum(na + nb for na, _, nb, _ in mats_meta),
+        res_mxu_meta)
 
     B, TN = layout.tile
     m, n = layout.interior
@@ -805,12 +821,7 @@ def _stencil2d_skew_kernel(
             write(v * ((gc >= 0) & (gc < n)).astype(v.dtype))
 
     if algorithm == "mxu_hybrid1":
-        band_mats = []
-        mi = 0
-        for (na, _rr, nb, _rc) in mats_meta:
-            band_mats.append(tuple(mat_refs[mi + na + t][:]
-                                   for t in range(nb)) if nb else None)
-            mi += na + nb
+        band_mats = _unpack_band_mats(mat_refs, mats_meta, "col")
 
     src = L0[pl.ds(jax.lax.rem(idx, jnp.int32(2)), 1)][0]
     for j in range(1, k + 1):
@@ -895,7 +906,7 @@ def stencil2d_skew_step(
     if k < 2:
         raise ValueError("skew_steps must be >= 2 (use the plain step "
                          "for k=1)")
-    s = SUBLANE * (-(-r // SUBLANE))
+    s = skew_stride(r)
     HR, HC = layout.guard
     if HR < k * s:
         raise ValueError(

@@ -38,6 +38,14 @@ def test_skew_matches_reference(name, k):
                      tile=(16, 128), k=k) < 1e-6
 
 
+@pytest.mark.parametrize("name", ["star2d1r", "star2d3r"])
+def test_skew_vpu_roll(name):
+    # the all-VPU branch of the skew kernel (auto resolves to
+    # mxu_hybrid1 everywhere, so this needs the explicit algorithm)
+    assert _run_skew(name, (70, 300), steps=4, tile=(16, 128), k=2,
+                     algorithm="vpu_roll") < 1e-6
+
+
 @pytest.mark.parametrize("steps", [0, 1, 2, 4, 5])
 def test_skew_step_counts(steps):
     # remainder passes (steps % k) fall back to the extent kernel on
@@ -115,6 +123,29 @@ def test_skew_validation_errors():
     with pytest.raises(ValueError, match="fusion"):
         engine.StencilEngine.for_shape("star2d1r", (40, 200),
                                        fusion="diagonal")
+    with pytest.raises(ValueError, match="fused_steps"):
+        engine.StencilEngine.for_shape("star2d1r", (40, 200),
+                                       fusion="skew", fused_steps=1)
+
+
+def test_skew_deep_user_halo():
+    # a user halo deeper than the k*s lag widens the guard instead of
+    # tripping the layout assert at first run
+    rng = np.random.default_rng(0)
+    C = np.zeros((7, 7))
+    C[3, :] = rng.normal(size=7)
+    C[:, 3] += rng.normal(size=7)
+    eng = engine.StencilEngine.for_coeffs(
+        C, (64, 256), halo=(20, 20), fusion="skew", fused_steps=2,
+        tile=(32, 128), algorithm="vpu_roll")
+    assert eng.layout.guard[0] >= 24
+    from lorastencil_tpu.utils import reference
+
+    spec = eng.spec
+    g0 = reference.random_padded(spec, (64, 256), seed=1)
+    got = np.asarray(eng.run(jnp.asarray(g0, jnp.float32), 3), np.float64)
+    want = reference.run(g0, spec, 3)
+    assert np.abs(got - want).max() / max(1.0, np.abs(want).max()) < 1e-6
 
 
 def test_skew_layout_unaffected_elsewhere():
