@@ -325,6 +325,13 @@ def candidates_2d_params(spec, dtype: str = "float32"):
     for alg in exact_algorithms_2d(spec, dtype):
         for k in (1, 2):
             cands.append({"algorithm": alg, "fused_steps": k})
+        # the time-skewed traversal (zero-recompute k-step streaming):
+        # parity-at-best on v5e (PERF.md round-7 item 8), but it is a
+        # genuinely different DMA/compute balance, so let new devices
+        # measure it rather than inherit the v5e verdict
+        if alg in ("vpu_roll", "mxu_hybrid1"):
+            cands.append({"algorithm": alg, "fusion": "skew",
+                          "fused_steps": 2})
     return cands
 
 
