@@ -84,21 +84,6 @@ def _check_tails(boundary: str, tails, depth: int, mesh_shape) -> None:
                 f"devices or lower fused_steps")
 
 
-def _warn_sequential(engine, reason: str) -> None:
-    """One-line heads-up when a >1-device mesh falls back to the
-    sequential exchange (round-3 VERDICT item 8): its full-buffer ring
-    writes cost +175% over the overlapped engine (PERF.md)."""
-    import warnings
-
-    if not reason or int(np.prod(engine.config.mesh_shape)) <= 1:
-        return
-    warnings.warn(
-        f"{type(engine).__name__}: overlapped halo exchange unavailable "
-        f"({reason}); falling back to the sequential exchange, which "
-        f"costs ~2.7x (PERF.md) -- use more cells per device or lower "
-        f"fused_steps", RuntimeWarning, stacklevel=3)
-
-
 def _pad_local_block(lm: int, ln: int, tile, explicit_tile: bool):
     """dirichlet0 local-block padding, shared by the 2-D and 3-D
     engines: round the block up to a tile multiple (no tile round-up
@@ -237,8 +222,9 @@ class ShardedStencil2D:
         self.interpret = (config.interpret if config.interpret is not None
                           else jax.default_backend() != "tpu")
         self._run_jit = jax.jit(self._run, static_argnames=("steps",))
-        if config.overlap:
-            _warn_sequential(self, self._overlap_reason())
+        # no sequential-cliff warning here: sub-3x3 grids take the
+        # ring-in-output step (_local_step_ringout), not the +175%
+        # exchange-into-input path
 
     # -- halo exchange ----------------------------------------------------
     def _hi_starts(self):
@@ -447,6 +433,30 @@ class ShardedStencil2D:
             bounds=self._bounds(), residue_mxu=self._residue_mxu(),
         )
 
+    def _local_step_ringout(self, cur, donor, fused_k):
+        """Small-grid step with the overlapped engine's DATAFLOW but a
+        single full-grid kernel call: compute the whole block from
+        ``cur`` (whose ring already holds this pass's neighbor data),
+        then exchange the output's edge strips and write the received
+        ring into the freshly produced output -- uniquely owned, so XLA
+        updates it in place.  This replaces the exchange-into-input
+        sequential step, whose ring writes materialized four
+        full-buffer copies (+175% on a 1x1 mesh; PERF.md), whenever the
+        tile grid is too small for a boundary frame (round-3 VERDICT
+        item 8, the 'or fix' option).  The collective is not hidden
+        under compute -- on a sub-3x3 tile grid there is no interior
+        region to hide it under anyway."""
+        from ..ops import pallas_2d
+
+        out = pallas_2d.stencil2d_step(
+            cur, donor, self.spec, self.layout,
+            precision=self.precision, interpret=self.interpret,
+            algorithm=self.algorithm, fused_steps=fused_k,
+            bounds=self._bounds(), residue_mxu=self._residue_mxu(),
+        )
+        parts = self._exchange_strips(out)
+        return self._write_ring(out, parts)
+
     def _local_step_overlap(self, cur, donor, fused_k):
         """One pass with the halo exchange OVERLAPPED with interior
         compute (SURVEY section 7 hard-part; round-1 VERDICT item 3).
@@ -490,8 +500,14 @@ class ShardedStencil2D:
         from ..engine import ping_pong_loop
 
         k = self.fused_steps
-        step_fn = (self._local_step_overlap if self._can_overlap()
-                   else self._local_step)
+        if self._can_overlap():
+            step_fn = self._local_step_overlap
+        elif self.config.overlap:
+            # overlap requested but the grid can't split into a
+            # boundary frame: same ring-in-output dataflow, one call
+            step_fn = self._local_step_ringout
+        else:
+            step_fn = self._local_step  # explicit overlap=False
 
         def body_fn(local):
             return ping_pong_loop(step_fn, local, steps, k)
@@ -658,8 +674,8 @@ class ShardedStencil3D:
         self.interpret = (config.interpret if config.interpret is not None
                           else jax.default_backend() != "tpu")
         self._run_jit = jax.jit(self._run, static_argnames=("steps",))
-        if config.overlap:
-            _warn_sequential(self, self._overlap_reason())
+        # sub-3-tile grids take the ring-in-output step, not the old
+        # +175% exchange-into-input path -- no warning needed
 
     def _hi_starts(self):
         """See the 2-D twin: true-tail ghost starts along (rows, cols)."""
@@ -859,6 +875,22 @@ class ShardedStencil3D:
             algorithm=self._alg3(), fused_steps=fused_k,
             bounds=self._bounds())
 
+    def _local_step_ringout(self, cur, donor, fused_k):
+        """Small-grid ring-in-output step (see the 2-D twin): one
+        full-grid kernel call, then the exchange writes into the fresh
+        output -- no exchange-into-input full-buffer copies."""
+        from ..ops import pallas_3d
+
+        if self.config.boundary != "dirichlet0":
+            cur = self._z_ghost(cur)
+        out = pallas_3d.stencil3d_step(
+            cur, donor, self.spec, self.layout,
+            precision=self.precision, interpret=self.interpret,
+            algorithm=self._alg3(), fused_steps=fused_k,
+            bounds=self._bounds())
+        parts = self._exchange_strips(out)
+        return self._write_ring(out, parts)
+
     def _local_step_overlap(self, cur, donor, fused_k):
         """Boundary-first pass: the ppermute of the freshly written edge
         strips rides under the interior-tile kernel (see the 2-D
@@ -890,8 +922,12 @@ class ShardedStencil3D:
 
         from ..engine import ping_pong_loop
 
-        step_fn = (self._local_step_overlap if self._can_overlap()
-                   else self._local_step)
+        if self._can_overlap():
+            step_fn = self._local_step_overlap
+        elif self.config.overlap:
+            step_fn = self._local_step_ringout
+        else:
+            step_fn = self._local_step  # explicit overlap=False
 
         def body_fn(local):
             return ping_pong_loop(step_fn, local, steps,
@@ -1070,8 +1106,8 @@ class ShardedStencil1D:
         self.interpret = (config.interpret if config.interpret is not None
                           else jax.default_backend() != "tpu")
         self._run_jit = jax.jit(self._run, static_argnames=("steps",))
-        if config.overlap:
-            _warn_sequential(self, self._overlap_reason())
+        # sub-3-tile grids take the ring-in-output step, not the old
+        # +175% exchange-into-input path -- no warning needed
 
     # lanes-layout coordinate helpers live on Layout1DLanes
     def _lane_read(self, buf, f0: int, d: int):
@@ -1219,6 +1255,14 @@ class ShardedStencil1D:
         cur = self._exchange(cur)
         return self._kernel_step(cur, donor, fused_k, self._bounds())
 
+    def _local_step_ringout(self, cur, donor, fused_k):
+        """Small-grid ring-in-output step (see the 2-D twin): one
+        full-grid kernel call, then the exchange writes into the fresh
+        output -- no exchange-into-input full-buffer copies."""
+        out = self._kernel_step(cur, donor, fused_k, self._bounds())
+        parts = self._exchange_strips(out)
+        return self._write_ring(out, parts)
+
     def _local_step_overlap(self, cur, donor, fused_k):
         """Boundary-first pass: the edge-strip ppermute rides under the
         interior-tile kernel (see the 2-D twin)."""
@@ -1236,8 +1280,12 @@ class ShardedStencil1D:
 
         from ..engine import ping_pong_loop
 
-        step_fn = (self._local_step_overlap if self._can_overlap()
-                   else self._local_step)
+        if self._can_overlap():
+            step_fn = self._local_step_overlap
+        elif self.config.overlap:
+            step_fn = self._local_step_ringout
+        else:
+            step_fn = self._local_step  # explicit overlap=False
 
         def body_fn(local):
             return ping_pong_loop(step_fn, local, steps,

@@ -549,12 +549,76 @@ def test_sharded_ghost_tail_smaller_than_depth_rejected():
                               boundary="periodic", fused_steps=2)
 
 
-def test_sequential_fallback_warns():
-    """>1-device mesh landing on the sequential exchange warns once
-    with the reason (round-3 VERDICT item 8: no silent 2.7x cliff)."""
-    with pytest.warns(RuntimeWarning, match="sequential exchange"):
-        domain.sharded_engine("star2d1r", (16, 256), (2, 2),
-                              tile=(8, 128))
+@pytest.mark.parametrize("boundary", ["periodic", "reflect"])
+def test_small_grid_ringout_ghost_2d(boundary):
+    """Ghost boundaries through the ring-in-output step (the mirror /
+    wrap sources come from the freshly produced output)."""
+    import jax.numpy as jnp
+
+    from lorastencil_tpu.utils import reference
+
+    sh = domain.sharded_engine("star2d1r", (16, 256), (2, 2),
+                               tile=(8, 128), boundary=boundary)
+    assert not sh._can_overlap()
+    spec = sh.spec
+    g0 = reference.random_padded(spec, (16, 256), seed=6)
+    got = np.asarray(sh.run(jnp.asarray(g0, jnp.float32), 3), np.float64)
+    truth = (reference.run_periodic if boundary == "periodic"
+             else reference.run_reflect)
+    want = truth(g0, spec, 3)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
+
+
+def test_small_grid_ringout_1d():
+    import jax.numpy as jnp
+
+    from lorastencil_tpu.utils import reference
+
+    sh = domain.sharded_engine("1d1r", (4000,), (4,))
+    assert not sh._can_overlap()
+    spec = sh.spec
+    g0 = reference.random_padded(spec, (4000,), seed=7)
+    got = np.asarray(sh.run(jnp.asarray(g0, jnp.float32), 4), np.float64)
+    want = reference.run(g0, spec, 4)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
+
+
+def test_small_grid_ringout_3d():
+    import jax.numpy as jnp
+
+    from lorastencil_tpu.utils import reference
+
+    sh = domain.sharded_engine("star3d1r", (6, 16, 256), (2, 2),
+                               tile=(8, 128))
+    assert not sh._can_overlap()
+    spec = sh.spec
+    g0 = reference.random_padded(spec, (6, 16, 256), seed=8)
+    got = np.asarray(sh.run(jnp.asarray(g0, jnp.float32), 3), np.float64)
+    want = reference.run(g0, spec, 3)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
+
+
+def test_small_grid_takes_ringout():
+    """Sub-3x3 tile grids with overlap enabled take the ring-in-output
+    step (round-3 VERDICT item 8 'or fix': the exchange-into-input
+    sequential path and its +175% full-buffer copies are reserved for
+    explicit overlap=False), without warning, and stay exact."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        sh = domain.sharded_engine("star2d1r", (16, 256), (2, 2),
+                                   tile=(8, 128))
+    assert not sh._can_overlap()
+    import jax.numpy as jnp
+
+    from lorastencil_tpu.utils import reference
+
+    spec = sh.spec
+    g0 = reference.random_padded(spec, (16, 256), seed=4)
+    got = np.asarray(sh.run(jnp.asarray(g0, jnp.float32), 4), np.float64)
+    want = reference.run(g0, spec, 4)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
 
 
 def test_overlap_engine_does_not_warn():
