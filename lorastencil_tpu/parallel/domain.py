@@ -500,7 +500,8 @@ class ShardedStencil2D:
         from ..engine import ping_pong_loop
 
         k = self.fused_steps
-        if self._can_overlap():
+        if self._can_overlap() and int(np.prod(self.config.mesh_shape)) > 1:
+            # >1 device: hide the collective under the interior tiles
             step_fn = self._local_step_overlap
         elif self.config.overlap:
             # overlap requested but the grid can't split into a
@@ -922,7 +923,8 @@ class ShardedStencil3D:
 
         from ..engine import ping_pong_loop
 
-        if self._can_overlap():
+        if self._can_overlap() and int(np.prod(self.config.mesh_shape)) > 1:
+            # >1 device: hide the collective under the interior tiles
             step_fn = self._local_step_overlap
         elif self.config.overlap:
             step_fn = self._local_step_ringout
@@ -1280,7 +1282,8 @@ class ShardedStencil1D:
 
         from ..engine import ping_pong_loop
 
-        if self._can_overlap():
+        if self._can_overlap() and int(np.prod(self.config.mesh_shape)) > 1:
+            # >1 device: hide the collective under the interior tiles
             step_fn = self._local_step_overlap
         elif self.config.overlap:
             step_fn = self._local_step_ringout
