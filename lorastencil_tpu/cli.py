@@ -78,12 +78,14 @@ def main(argv=None) -> int:
     p.add_argument("--precision", choices=["highest", "default"],
                    default="highest")
     p.add_argument("--dtype",
-                   choices=["float32", "bfloat16", "float64"],
+                   choices=["float32", "bfloat16", "float64", "df64"],
                    default="float32",
                    help="state dtype; bfloat16 = throughput tier "
                         "(~4e-3/step storage rounding); float64 enables "
                         "x64 and runs the reference's fp64 regime (CPU "
-                        "tier)")
+                        "tier); df64 = fp64-GRADE double-float pairs ON "
+                        "the TPU (~1e-14/step correctness tier, "
+                        "ops/df64.py)")
     p.add_argument("--boundary",
                    choices=["dirichlet0", "periodic", "reflect"],
                    default="dirichlet0",
@@ -188,9 +190,10 @@ def _run_sharded(p, args, spec, interior, steps, grid0, tile) -> int:
     if len(mesh_shape) != want_axes:
         p.error(f"--mesh for {args.shape} needs {want_axes} integer(s), "
                 f"got {len(args.mesh)}")
-    if args.dtype == "float64":
+    if args.dtype in ("float64", "df64"):
         p.error("--mesh supports float32/bfloat16 state (the fp64 tier "
-                "is the single-process CPU regime)")
+                "is the single-process CPU regime; df64 is the "
+                "single-chip correctness tier)")
     if args.autotune:
         p.error("--autotune tunes the single-chip engine; pass --tile/"
                 "--fused-steps explicitly with --mesh")
@@ -247,7 +250,9 @@ def _check(args, spec, grid0, steps, run_fn) -> int:
             "for --check (values grow by sum|coeffs| each step)"
         )
         return 1
-    if args.dtype == "float32" and scale > np.finfo(np.float32).max:
+    if (args.dtype in ("float32", "df64")
+            and scale > np.finfo(np.float32).max):
+        # df64's hi word is fp32: same dynamic range, more precision
         print(
             f"FAILED: ground truth reaches {scale:.2e}, beyond fp32 "
             f"range -- use fewer --check steps (values grow by "
@@ -260,7 +265,7 @@ def _check(args, spec, grid0, steps, run_fn) -> int:
     # fp32 compute vs the reference's fp64/1e-7; fp64 runs hold the
     # reference's own regime with headroom; bf16 storage rounds
     # ~4e-3 per step
-    tol = {"float64": 1e-12, "float32": 1e-5,
+    tol = {"float64": 1e-12, "df64": 1e-11, "float32": 1e-5,
            "bfloat16": 2e-2}[args.dtype]
     bad = np.argwhere(~(diff <= tol * scale))  # NaN counts as mismatch
     for idx in bad[:10]:

@@ -158,8 +158,10 @@ class EngineConfig:
     # state dtype in HBM: "float32" (default; all compute exact fp32),
     # "bfloat16" (throughput tier, every dimensionality: half the HBM
     # traffic, compute still fp32 in VMEM, ~4e-3/step storage
-    # rounding), or "float64" (CPU tier reproducing the reference's
-    # fp64 regime)
+    # rounding), "float64" (CPU tier reproducing the reference's fp64
+    # regime), or "df64" (fp64-GRADE ~1e-14/step ON the TPU: double-
+    # float fp32 pairs with error-free transformations, ops/df64.py --
+    # a correctness tier, ~2 GCells/s class)
     dtype: str = "float32"
     # Mosaic matmul precision for algorithm='mxu':
     #   "highest" (bf16 multi-pass, ~1.5e-5/step) or "default" (~1e-3)
@@ -231,7 +233,25 @@ class StencilEngine:
         self.interior = tuple(int(s) for s in np.atleast_1d(interior))
         assert len(self.interior) == spec.ndim
         self.config = config
-        self.dtype = jnp.dtype(config.dtype)
+        # dtype "df64": fp64-GRADE double-float pairs ON the TPU (the
+        # reference's native-fp64 regime, src/1d/1d_utils.h:44, emulated
+        # with error-free fp32 transformations -- ops/df64.py).  Device
+        # state is stacked (2, *padded) fp32; split/merge on the host.
+        self.df64 = config.dtype == "df64"
+        self.dtype = jnp.dtype("float32" if self.df64 else config.dtype)
+        if self.df64:
+            if config.backend not in ("auto", "xla"):
+                raise ValueError(
+                    "dtype df64 runs its own XLA double-float path; "
+                    "backend must be 'auto' (the Pallas kernels compute "
+                    "in fp32 -- use dtype float32 for them)")
+            if config.boundary != "dirichlet0":
+                raise ValueError(
+                    "df64 implements the reference's dirichlet0 halo-"
+                    "decay semantics only (use float64 off-TPU for "
+                    "ghost-boundary fp64 runs)")
+            config = dataclasses.replace(config, backend="xla")
+            self.config = config
         if self.dtype == jnp.float64 and not jax.config.read("jax_enable_x64"):
             raise ValueError(
                 "dtype float64 needs jax_enable_x64 (JAX truncates to "
@@ -323,6 +343,13 @@ class StencilEngine:
                 "symmetric coefficients (mirror symmetry must commute "
                 "with the stencil for the once-per-pass ring refresh to "
                 "be exact); use fused_steps=1 for this spec")
+        if self.df64:
+            # per-plane sums for the checksum sync (merged in fp64 on
+            # the host -- no fp64 dtype may reach the device)
+            self._run_df64_sums_jit = jax.jit(
+                lambda s2, steps: jnp.sum(
+                    self._run_internal(s2, steps).reshape(2, -1), axis=1),
+                static_argnames=("steps",))
         self._run_jit = jax.jit(
             self._run_internal, static_argnames=("steps",), donate_argnums=(0,)
         )
@@ -682,6 +709,10 @@ class StencilEngine:
         return min(k, LANE // max(1, self.spec.radius))
 
     def _run_internal(self, state, steps: int):
+        if self.df64:
+            from .ops import df64 as _df64
+
+            return _df64.run(state, self.spec, steps)
         if (self.backend != "xla" and self.spec.ndim == 1 and steps > 0
                 and not self.ghost):
             from .ops import pallas_1d
@@ -710,11 +741,18 @@ class StencilEngine:
 
     # -- public API -------------------------------------------------------
     def to_internal(self, padded):
+        if self.df64:
+            from .ops import df64 as _df64
+            # host split: fp64 never reaches the device
+            return jnp.asarray(_df64.split_host(np.asarray(padded)))
         if self.backend == "xla":
             return jnp.asarray(padded, dtype=self.dtype)
         return self.layout.to_internal(padded, dtype=self.dtype)
 
     def from_internal(self, state):
+        if self.df64:
+            from .ops import df64 as _df64
+            return _df64.merge_host(np.asarray(state))
         if self.backend == "xla":
             return state
         return self.layout.from_internal(state)
@@ -727,11 +765,20 @@ class StencilEngine:
         """Reference-semantics multi-step run on a user padded array.
 
         One compiled program end to end; ``padded`` may be a NumPy array
-        (transferred once)."""
+        (transferred once).  The df64 tier returns a float64 NumPy array
+        (pairs split/merged on the host)."""
+        if self.df64:
+            return self.from_internal(
+                self._run_jit(self.to_internal(padded), steps=steps))
         return self._run_user_jit(padded, steps=steps)
 
     def run_checksum(self, padded, steps: int):
         """Like run() but returns only a scalar checksum (for timing)."""
+        if self.df64:
+            s = np.asarray(
+                self._run_df64_sums_jit(self.to_internal(padded),
+                                        steps=steps), np.float64)
+            return s[0] + s[1]
         return self._run_checksum_jit(padded, steps=steps)
 
     # -- differentiation ---------------------------------------------------

@@ -1,0 +1,147 @@
+"""df64 tier: fp64-GRADE accuracy on the accelerator via double-float
+fp32 pairs (ops/df64.py).
+
+The reference computes in native fp64 (``DATA_TYPE double``,
+``/root/reference/src/1d/1d_utils.h:44``); the TPU has no fp64 unit, so
+this tier carries ~48 mantissa bits as (hi, lo) fp32 pairs with
+error-free transformations.  Ground truth for every comparison is the
+NumPy fp64 reference (utils/reference.py).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from lorastencil_tpu import cli, engine
+from lorastencil_tpu.models import shapes
+from lorastencil_tpu.ops import df64
+from lorastencil_tpu.utils import reference
+
+INTERIORS = {1: (300,), 2: (40, 200), 3: (6, 20, 150)}
+
+
+def _padded_input(spec, interior, seed):
+    # non-integer values with full fp64 mantissas: the reference's
+    # integer fill is exactly representable in fp32 and would leave
+    # every lo word zero for the first few steps
+    return reference.random_padded(spec, interior, seed=seed) * (
+        np.pi / 100.0)
+
+
+# -- error-free transformation primitives ------------------------------------
+def test_split_merge_roundtrip():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(4096) * 10.0 ** rng.integers(-20, 20, 4096)
+    back = df64.merge_host(df64.split_host(x))
+    assert np.abs(back - x).max() <= 1e-14 * np.abs(x).max()
+
+
+def test_two_sum_exact():
+    """TwoSum is EXACT: s + e == a + b in fp64 (fp32 inputs are exact
+    fp64 values and their sum fits fp64)."""
+    rng = np.random.default_rng(1)
+    a = (rng.standard_normal(4096)
+         * 10.0 ** rng.integers(-8, 8, 4096)).astype(np.float32)
+    b = (rng.standard_normal(4096)
+         * 10.0 ** rng.integers(-8, 8, 4096)).astype(np.float32)
+    s, e = jax.jit(df64.two_sum)(a, b)
+    s64 = np.asarray(s, np.float64) + np.asarray(e, np.float64)
+    assert np.array_equal(s64, a.astype(np.float64) + b.astype(np.float64))
+
+
+def test_two_prod_exact():
+    """Dekker TwoProd is EXACT: p + e == a * b in fp64 (a 24x24-bit
+    product has <= 48 bits -- exactly representable in fp64)."""
+    rng = np.random.default_rng(2)
+    a = (rng.standard_normal(4096)
+         * 10.0 ** rng.integers(-8, 8, 4096)).astype(np.float32)
+    b = (rng.standard_normal(4096)
+         * 10.0 ** rng.integers(-8, 8, 4096)).astype(np.float32)
+    p, e = jax.jit(df64.two_prod)(a, b)
+    p64 = np.asarray(p, np.float64) + np.asarray(e, np.float64)
+    assert np.array_equal(p64, a.astype(np.float64) * b.astype(np.float64))
+
+
+# -- engine tier --------------------------------------------------------------
+@pytest.mark.parametrize("name", sorted(shapes.ALL_SHAPES))
+def test_df64_matches_fp64_reference(name):
+    """Every registry shape, multi-step, vs the fp64 ground truth at
+    ~1e4x tighter than the fp32 tier's tolerance."""
+    spec = shapes.get_shape(name)
+    interior = INTERIORS[spec.ndim]
+    g0 = _padded_input(spec, interior, seed=31)
+    eng = engine.StencilEngine.for_shape(name, interior, dtype="df64")
+    got = eng.run(g0, 3)
+    assert got.dtype == np.float64
+    want = reference.run(g0, spec, 3)
+    rel = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert rel < 1e-12
+
+
+def test_df64_beats_fp32_by_orders_of_magnitude():
+    spec = shapes.get_shape("star2d1r")
+    interior = INTERIORS[2]
+    g0 = _padded_input(spec, interior, seed=32)
+    want = reference.run(g0, spec, 5)
+    scale = np.abs(want).max()
+    f32 = np.asarray(
+        engine.StencilEngine.for_shape(
+            "star2d1r", interior, dtype="float32", backend="xla"
+        ).run(g0.astype(np.float32), 5), np.float64)
+    d64 = engine.StencilEngine.for_shape(
+        "star2d1r", interior, dtype="df64").run(g0, 5)
+    err32 = np.abs(f32 - want).max() / scale
+    err_df = np.abs(d64 - want).max() / scale
+    assert err32 > 1e-9  # fp32 visibly rounds at 5 steps
+    assert err_df < 1e-4 * err32  # df64 is >= 4 orders tighter
+
+
+def test_df64_first_step_sees_user_halo():
+    """Reference halo-decay semantics: step one reads the supplied halo,
+    the output halo is zero (SURVEY.md section 4)."""
+    spec = shapes.get_shape("1d2r")
+    interior = INTERIORS[1]
+    g0 = _padded_input(spec, interior, seed=33)
+    eng = engine.StencilEngine.for_shape("1d2r", interior, dtype="df64")
+    got = eng.run(g0, 1)
+    want = reference.run(g0, spec, 1)
+    assert np.abs(got - want).max() <= 1e-12 * np.abs(want).max()
+    h = spec.halo[0]
+    assert np.all(got[:h] == 0.0) and np.all(got[-h:] == 0.0)
+    # zeroing the halo changes the answer => it was read
+    g0z = g0.copy()
+    g0z[:h] = 0.0
+    assert np.abs(eng.run(g0z, 1) - want).max() > 0.0
+
+
+def test_df64_checksum_and_internal_api():
+    spec = shapes.get_shape("box2d3r")
+    interior = INTERIORS[2]
+    g0 = _padded_input(spec, interior, seed=34)
+    eng = engine.StencilEngine.for_shape("box2d3r", interior, dtype="df64")
+    out = eng.run(g0, 2)
+    cs = eng.run_checksum(g0, 2)
+    # checksum sums each fp32 plane on device -- fp32 reduction noise
+    assert abs(cs - out.sum()) <= 1e-3 * max(1.0, abs(out.sum()))
+    # internal round trip
+    state = eng.to_internal(g0)
+    assert state.shape == (2,) + g0.shape
+    out2 = eng.from_internal(eng.run_internal(state, 2))
+    assert np.abs(out2 - out).max() <= 1e-12 * max(1.0, np.abs(out).max())
+
+
+def test_df64_config_guards():
+    with pytest.raises(ValueError, match="backend"):
+        engine.StencilEngine.for_shape(
+            "star2d1r", (40, 200), dtype="df64", backend="pallas")
+    with pytest.raises(ValueError, match="dirichlet0"):
+        engine.StencilEngine.for_shape(
+            "star2d1r", (40, 200), dtype="df64", boundary="periodic")
+
+
+def test_df64_cli_check(capsys):
+    rc = cli.main(["star2d1r", "40", "200", "3", "--dtype", "df64",
+                   "--check", "--repeats", "1"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "Correct!" in out

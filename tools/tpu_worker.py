@@ -37,8 +37,21 @@ def _health(x):
     return jnp.sum(x @ x)
 
 
-_x = jax.jit(lambda k: jax.random.uniform(k, (128, 128)))(jax.random.PRNGKey(0))
-print("worker health:", float(np.asarray(_health(_x))), flush=True)
+# The relay lease of a recently-killed process can take minutes to
+# release; a hard-failed attach here used to kill the worker (round 7).
+# Retry with a quiet backoff instead of churning processes.
+for attempt in range(20):
+    try:
+        _x = jax.jit(lambda k: jax.random.uniform(k, (128, 128)))(
+            jax.random.PRNGKey(0))
+        print("worker health:", float(np.asarray(_health(_x))), flush=True)
+        break
+    except Exception as exc:  # noqa: BLE001 -- backend setup errors vary
+        print(f"attach attempt {attempt} failed: {exc!r}; retrying in "
+              f"120 s", flush=True)
+        time.sleep(120.0)
+else:
+    sys.exit("device never became available")
 with open(os.path.join(JOBS, "READY"), "w") as f:
     f.write("ok")
 
