@@ -805,6 +805,12 @@ class StencilEngine:
         reads).  Enables gradient-based PDE-constrained optimization
         through the production Pallas kernels without differentiating
         kernel internals (the operator is linear; no residuals stored)."""
+        if self.df64:
+            raise ValueError(
+                "run_diff is not wired for the df64 pair state (its "
+                "adjoint chain would silently downcast the fp64 "
+                "cotangent); differentiate via dtype float32 (exact "
+                "VJP) or float64 off-TPU")
         return _run_linear(self, padded, steps)
 
 

@@ -137,6 +137,25 @@ def test_df64_config_guards():
     with pytest.raises(ValueError, match="dirichlet0"):
         engine.StencilEngine.for_shape(
             "star2d1r", (40, 200), dtype="df64", boundary="periodic")
+    with pytest.raises(ValueError, match="run_diff"):
+        engine.StencilEngine.for_shape(
+            "star2d1r", (40, 200), dtype="df64").run_diff(
+                np.zeros((46, 206)), 1)
+
+
+def test_df64_custom_coeffs():
+    """for_coeffs + df64: an arbitrary (non-integer-tap) 2-D stencil,
+    where the tap lo halves are genuinely nonzero."""
+    rng = np.random.default_rng(5)
+    S = rng.standard_normal((5, 5))
+    S = S + S.T  # symmetric, like the reference's specs
+    eng = engine.StencilEngine.for_coeffs(S, (40, 200), dtype="df64")
+    g0 = (reference.random_padded(eng.spec, (40, 200), seed=36)
+          * (np.e / 100.0))
+    got = eng.run(g0, 3)
+    want = reference.run(g0, eng.spec, 3)
+    rel = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert rel < 1e-12
 
 
 def test_df64_cli_check(capsys):
