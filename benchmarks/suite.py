@@ -66,12 +66,16 @@ QUICK = [
 def run_config(name, interior, steps, pipeline=1, chain=1, **kw):
     eng = engine.StencilEngine.for_shape(name, interior, **kw)
 
+    # df64 state is stacked (2, *padded) fp32 pairs, not a layout array
+    state_shape = ((2,) + eng.spec.padded_shape(interior)
+                   if eng.df64 else eng.layout.shape)
+
     @jax.jit
     def f(key):
         # eng.dtype, not fp32: the kernels key their numerics tier off
         # the STATE dtype (a fp32 state through a bf16-configured engine
         # silently measures the fp32 tier)
-        state = jax.random.uniform(key, eng.layout.shape, eng.dtype,
+        state = jax.random.uniform(key, state_shape, eng.dtype,
                                    0.0, 0.01)
         if chain > 1:
             # CHAINed runs: each run's output is the next run's input --
@@ -92,8 +96,9 @@ def run_config(name, interior, steps, pipeline=1, chain=1, **kw):
     # report per-run time/steps (chain only amortizes dispatch latency);
     # non-fp32 tiers carry the dtype in the backend tag so the
     # regression gate never compares across numerics tiers
-    tag = f"pallas-{eng.algorithm}"  # resolved, not the 'auto' alias
-    if eng.config.dtype != "float32":
+    # resolved, not the 'auto' alias; df64 runs its own XLA pair path
+    tag = "xla-df64" if eng.df64 else f"pallas-{eng.algorithm}"
+    if not eng.df64 and eng.config.dtype != "float32":
         tag += f"-{eng.config.dtype}"
     if chain > 1:
         tag += f"-chain{chain}"

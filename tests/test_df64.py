@@ -143,14 +143,17 @@ def test_df64_config_guards():
                 np.zeros((46, 206)), 1)
 
 
-def test_df64_custom_coeffs():
-    """for_coeffs + df64: an arbitrary (non-integer-tap) 2-D stencil,
-    where the tap lo halves are genuinely nonzero."""
+@pytest.mark.parametrize("coeffs_shape", [(7,), (5, 5)])
+def test_df64_custom_coeffs(coeffs_shape):
+    """for_coeffs + df64: arbitrary (non-integer-tap) stencils, where
+    the tap lo halves are genuinely nonzero."""
     rng = np.random.default_rng(5)
-    S = rng.standard_normal((5, 5))
-    S = S + S.T  # symmetric, like the reference's specs
-    eng = engine.StencilEngine.for_coeffs(S, (40, 200), dtype="df64")
-    g0 = (reference.random_padded(eng.spec, (40, 200), seed=36)
+    S = rng.standard_normal(coeffs_shape)
+    if S.ndim == 2:
+        S = S + S.T  # symmetric, like the reference's specs
+    interior = INTERIORS[S.ndim]
+    eng = engine.StencilEngine.for_coeffs(S, interior, dtype="df64")
+    g0 = (reference.random_padded(eng.spec, interior, seed=36)
           * (np.e / 100.0))
     got = eng.run(g0, 3)
     want = reference.run(g0, eng.spec, 3)
