@@ -108,6 +108,8 @@ def run_config(name, interior, steps, pipeline=1, chain=1, **kw):
 
 def _tier(backend: str) -> str:
     """Numerics tier of a results.jsonl row's backend tag."""
+    if "df64" in backend:
+        return "df64"
     return "bf16" if "bfloat16" in backend else "fp32"
 
 
@@ -127,9 +129,10 @@ def recorded_best(outpath, platform):
                 if rec.get("backend_platform") != platform:
                     continue
                 # suite rows only: skip sharded-overhead records and the
-                # fp64 CPU tier
+                # fp64 CPU tier (xla-df64 gates as its own tier)
                 be = rec.get("backend", "")
-                if not be.startswith("pallas-") or "float64" in be:
+                if ((not be.startswith("pallas-") and be != "xla-df64")
+                        or "float64" in be):
                     continue
                 key = (_tier(be), rec.get("shape"),
                        tuple(rec.get("interior", ())), rec.get("steps"))

@@ -141,6 +141,10 @@ def main(argv=None) -> int:
         fused_steps=args.fused_steps, tile=tile,
         boundary=args.boundary,
     )
+    if args.autotune and args.dtype in ("float64", "df64"):
+        p.error("--autotune tunes the Pallas kernel tiers; the "
+                f"{args.dtype} correctness tier has no tile/algorithm "
+                "knobs to measure")
     if args.autotune:
         from .utils import autotune
 
@@ -165,7 +169,8 @@ def main(argv=None) -> int:
         lambda: eng.run_checksum(grid0, steps), repeats=args.repeats
     )
     res = metrics.bench_result(
-        spec, interior, steps, secs, eng.backend, args.precision,
+        spec, interior, steps, secs,
+        "xla-df64" if eng.df64 else eng.backend, args.precision,
         args.repeats,
     )
     print(res.human(), flush=True)
@@ -250,14 +255,17 @@ def _check(args, spec, grid0, steps, run_fn) -> int:
             "for --check (values grow by sum|coeffs| each step)"
         )
         return 1
-    if (args.dtype in ("float32", "df64")
-            and scale > np.finfo(np.float32).max):
-        # df64's hi word is fp32: same dynamic range, more precision
+    # df64's hi word is fp32 but its Veltkamp splitter scales
+    # intermediates by 4097 (ops/df64.py), so its usable range ends at
+    # fp32_max / 4097 (~8.3e34)
+    limit = (np.finfo(np.float32).max / 4097.0 if args.dtype == "df64"
+             else np.finfo(np.float32).max)
+    if args.dtype in ("float32", "df64") and scale > limit:
         print(
-            f"FAILED: ground truth reaches {scale:.2e}, beyond fp32 "
-            f"range -- use fewer --check steps (values grow by "
-            f"sum|coeffs| per step; the reference checks 1 step) or "
-            f"--dtype float64 off-TPU"
+            f"FAILED: ground truth reaches {scale:.2e}, beyond the "
+            f"{args.dtype} range ({limit:.2e}) -- use fewer --check "
+            f"steps (values grow by sum|coeffs| per step; the "
+            f"reference checks 1 step) or --dtype float64 off-TPU"
         )
         return 1
     diff = np.abs(got - want)

@@ -79,8 +79,8 @@ def veltkamp_split(a):
     """a == hi + lo with both halves on <= 12 mantissa bits.
 
     |a| must stay below fp32_max / 4097 (~8.3e34) -- the scaled
-    intermediate overflows beyond that (the CLI's fp32 range guard
-    trips far earlier for reference-style runs).
+    intermediate overflows beyond that (the CLI's --check range guard
+    uses this limit for the df64 tier).
     """
     t = _SPLITTER * a
     hi = t - (t - a)
@@ -152,9 +152,7 @@ def dense_step(state2: jax.Array, spec: StencilSpec) -> jax.Array:
     wh = w64.astype(np.float32)
     wl = (w64 - wh.astype(np.float64)).astype(np.float32)
     # host-split tap halves: bh + bl == wh exactly, each <= 12 bits
-    t = np.float32(_SPLITTER) * wh
-    bh = t - (t - wh)
-    bl = wh - bh
+    bh, bl = veltkamp_split(wh)  # NumPy in, NumPy out (dtype-generic)
     # slice start per tap: halo corner + offset (offset = idx - r)
     starts = jnp.asarray(
         idxs - r + np.asarray(spec.halo), jnp.int32)

@@ -349,6 +349,11 @@ def autotune_params(shape, interior, dtype: str = "float32",
 
     spec = shape if isinstance(shape, StencilSpec) else get_shape(shape)
     interior = tuple(int(s) for s in np.atleast_1d(interior))
+    if dtype in ("float64", "df64"):
+        raise ValueError(
+            f"autotune measures the Pallas kernel tiers; the {dtype} "
+            f"correctness tier has no tile/algorithm knobs (its state "
+            f"is not layout-shaped)")
     if spec.ndim == 1:
         key = _key(spec, interior, "params1d", "-", dtype)
         return _autotune_params(spec, interior, key, candidates_1d(),

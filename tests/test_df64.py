@@ -141,6 +141,12 @@ def test_df64_config_guards():
         engine.StencilEngine.for_shape(
             "star2d1r", (40, 200), dtype="df64").run_diff(
                 np.zeros((46, 206)), 1)
+    from lorastencil_tpu.utils import autotune
+    with pytest.raises(ValueError, match="autotune"):
+        autotune.autotune_params("star2d1r", (40, 200), dtype="df64")
+    with pytest.raises(SystemExit):  # argparse p.error
+        cli.main(["star2d1r", "40", "200", "3", "--dtype", "df64",
+                  "--autotune"])
 
 
 @pytest.mark.parametrize("coeffs_shape", [(7,), (5, 5)])

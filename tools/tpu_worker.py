@@ -47,9 +47,11 @@ for attempt in range(20):
         print("worker health:", float(np.asarray(_health(_x))), flush=True)
         break
     except Exception as exc:  # noqa: BLE001 -- backend setup errors vary
+        # >= 10 quiet minutes between attach attempts (CLAUDE.md rule 3:
+        # rapid-succession attaches extend the relay stall)
         print(f"attach attempt {attempt} failed: {exc!r}; retrying in "
-              f"120 s", flush=True)
-        time.sleep(120.0)
+              f"600 s", flush=True)
+        time.sleep(600.0)
 else:
     sys.exit("device never became available")
 with open(os.path.join(JOBS, "READY"), "w") as f:
