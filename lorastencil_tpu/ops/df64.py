@@ -148,7 +148,18 @@ def dense_step(state2: jax.Array, spec: StencilSpec) -> jax.Array:
     out = jnp.zeros_like(state2)
     if not len(idxs):
         return out
+    # taps in GROUPS of G per loop iteration: the accumulator pair's
+    # read+write (16 B/cell) amortizes over G taps instead of paying
+    # per tap (~2x fewer HBM bytes at G=8), while the body stays small
+    # enough that XLA:CPU's codegen does not blow up (the 7-tap
+    # unrolled case compiled in ~2 s; 34 unrolled took 70 s).  The
+    # list is padded with zero-weight copies of tap 0 -- exact no-ops.
+    G = min(8, len(idxs))
+    pad = -len(idxs) % G
+    idxs = np.concatenate([idxs, np.repeat(idxs[:1], pad, axis=0)])
     w64 = np.array([S[tuple(i)] for i in idxs], np.float64)
+    if pad:
+        w64[-pad:] = 0.0
     wh = w64.astype(np.float32)
     wl = (w64 - wh.astype(np.float64)).astype(np.float32)
     # host-split tap halves: bh + bl == wh exactly, each <= 12 bits
@@ -160,30 +171,34 @@ def dense_step(state2: jax.Array, spec: StencilSpec) -> jax.Array:
     bhj, blj = jnp.asarray(bh), jnp.asarray(bl)
     his, hil = veltkamp_split(hi)  # hoisted: exact halves of hi
 
-    def tap(t, acc):
+    def group(g, acc):
         ah, al = acc
-        st = [starts[t, d] for d in range(len(ishape))]
-        xs = jax.lax.dynamic_slice(his, st, ishape)
-        xl2 = jax.lax.dynamic_slice(hil, st, ishape)
-        xlo = jax.lax.dynamic_slice(lo, st, ishape)
-        x = xs + xl2  # == the hi slice, exactly
-        w_h, w_l = whj[t], wlj[t]
-        b_h, b_l = bhj[t], blj[t]
-        # four EXACT partial products of x * w_h
-        q1 = xs * b_h
-        q2 = xs * b_l
-        q3 = xl2 * b_h
-        q4 = xl2 * b_l
-        # rounded correction terms (~2^-24 relative; fma-safe)
-        c = xlo * w_h + x * w_l
-        t1, u1 = two_sum(q2, q3)
-        ph, pe = two_sum(q1, t1)
-        pl = pe + ((u1 + q4) + c)
-        # accumulate the product pair (ph is add-rooted: fma-safe)
-        return df_add(ah, al, ph, pl)
+        for j in range(G):
+            t = g * G + j
+            st = [starts[t, d] for d in range(len(ishape))]
+            xs = jax.lax.dynamic_slice(his, st, ishape)
+            xl2 = jax.lax.dynamic_slice(hil, st, ishape)
+            xlo = jax.lax.dynamic_slice(lo, st, ishape)
+            x = xs + xl2  # == the hi slice, exactly
+            w_h, w_l = whj[t], wlj[t]
+            b_h, b_l = bhj[t], blj[t]
+            # four EXACT partial products of x * w_h
+            q1 = xs * b_h
+            q2 = xs * b_l
+            q3 = xl2 * b_h
+            q4 = xl2 * b_l
+            # rounded correction terms (~2^-24 relative; fma-safe)
+            c = xlo * w_h + x * w_l
+            t1, u1 = two_sum(q2, q3)
+            ph, pe = two_sum(q1, t1)
+            pl = pe + ((u1 + q4) + c)
+            # accumulate the product pair (ph is add-rooted: fma-safe)
+            ah, al = df_add(ah, al, ph, pl)
+        return ah, al
 
     zero = jnp.zeros(ishape, jnp.float32)
-    acc_h, acc_l = jax.lax.fori_loop(0, len(idxs), tap, (zero, zero))
+    acc_h, acc_l = jax.lax.fori_loop(0, len(idxs) // G, group,
+                                     (zero, zero))
     it = _interior(spec, hi.shape)
     return out.at[(slice(None),) + it].set(jnp.stack([acc_h, acc_l]))
 

@@ -167,6 +167,44 @@ def test_df64_custom_coeffs(coeffs_shape):
     assert rel < 1e-12
 
 
+def test_suite_gate_tiers(tmp_path):
+    """xla-df64 rows form their OWN regression-gate tier -- they must
+    neither be invisible to the baseline nor compared against the ~30x
+    faster fp32 pallas rows (review finding, round 7)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from benchmarks import suite
+
+    rows = [
+        dict(shape="star2d1r", interior=[8192, 8192], steps=256,
+             gcells_per_s=60.0, backend="pallas-mxu_hybrid1",
+             backend_platform="tpu"),
+        dict(shape="star2d1r", interior=[8192, 8192], steps=256,
+             gcells_per_s=99.0, backend="pallas-mxu_hybrid1-bfloat16",
+             backend_platform="tpu"),
+        dict(shape="star2d1r", interior=[8192, 8192], steps=256,
+             gcells_per_s=2.0, backend="xla-df64",
+             backend_platform="tpu"),
+        # fp64 CPU-tier and sharded rows must stay excluded
+        dict(shape="star2d1r", interior=[8192, 8192], steps=256,
+             gcells_per_s=1.0, backend="pallas-vpu_roll-float64",
+             backend_platform="tpu"),
+        dict(shape="star2d1r", interior=[8192, 8192], steps=256,
+             gcells_per_s=47.0, backend="sharded-1x1-overlap",
+             backend_platform="tpu"),
+    ]
+    path = tmp_path / "results.jsonl"
+    path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    best = suite.recorded_best(str(path), "tpu")
+    key = ("star2d1r", (8192, 8192), 256)
+    assert best[("fp32",) + key] == 60.0
+    assert best[("bf16",) + key] == 99.0
+    assert best[("df64",) + key] == 2.0
+    assert len(best) == 3  # float64/sharded rows excluded
+
+
 def test_df64_cli_check(capsys):
     rc = cli.main(["star2d1r", "40", "200", "3", "--dtype", "df64",
                    "--check", "--repeats", "1"])
