@@ -167,6 +167,19 @@ def test_df64_custom_coeffs(coeffs_shape):
     assert rel < 1e-12
 
 
+def test_suite_run_config_df64():
+    """benchmarks.suite.run_config measures the df64 tier (pair-shaped
+    state, xla-df64 tag)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from benchmarks.suite import run_config
+
+    r = run_config("star2d1r", (64, 128), 2, dtype="df64")
+    assert r.backend == "xla-df64"
+    assert r.gcells_per_s > 0
+
+
 def test_suite_gate_tiers(tmp_path):
     """xla-df64 rows form their OWN regression-gate tier -- they must
     neither be invisible to the baseline nor compared against the ~30x
