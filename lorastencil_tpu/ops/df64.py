@@ -121,12 +121,15 @@ def dense_step(state2: jax.Array, spec: StencilSpec) -> jax.Array:
     dense stencil is written into the interior, every output halo cell
     is zero, so step one sees the user halo and later steps see zeros.
 
-    The tap loop is a ``fori_loop`` over dynamic slices, NOT an
-    unrolled slice-add chain: unrolling the ~20-op df64 chain per tap
-    makes XLA:CPU's fused-loop codegen superlinear in tap count
-    (measured 2 s at 7 taps -> 70 s at 34), while the loop body
-    compiles once.  The state's Veltkamp halves are hoisted out of the
-    loop (shared by every tap's partial products).
+    The tap loop is a ``fori_loop`` over dynamic slices whose body
+    unrolls a BOUNDED group of G=8 taps (plus one <G unrolled
+    remainder epilogue): fully unrolling the ~30-op df64 chain makes
+    XLA:CPU's fused-loop codegen superlinear in tap count (measured
+    2 s at 7 taps -> 70 s at 34), while one tap per iteration pays the
+    accumulator pair's HBM read+write per tap -- the bounded group
+    amortizes it 8x with a body that still compiles in ~2 s.  The
+    state's Veltkamp halves are hoisted out of the loop (shared by
+    every tap's partial products).
 
     FMA-contraction hazard (measured, XLA:CPU): fused mul+add chains
     are contracted into FMAs -- ``p + e`` with ``p = x*w`` becomes
@@ -153,13 +156,10 @@ def dense_step(state2: jax.Array, spec: StencilSpec) -> jax.Array:
     # per tap (~2x fewer HBM bytes at G=8), while the body stays small
     # enough that XLA:CPU's codegen does not blow up (the 7-tap
     # unrolled case compiled in ~2 s; 34 unrolled took 70 s).  The
-    # list is padded with zero-weight copies of tap 0 -- exact no-ops.
+    # len % G leftover taps run as one unrolled epilogue (zero-weight
+    # padding would pay the full ~30-op chain per wasted tap).
     G = min(8, len(idxs))
-    pad = -len(idxs) % G
-    idxs = np.concatenate([idxs, np.repeat(idxs[:1], pad, axis=0)])
     w64 = np.array([S[tuple(i)] for i in idxs], np.float64)
-    if pad:
-        w64[-pad:] = 0.0
     wh = w64.astype(np.float32)
     wl = (w64 - wh.astype(np.float64)).astype(np.float32)
     # host-split tap halves: bh + bl == wh exactly, each <= 12 bits
@@ -171,34 +171,38 @@ def dense_step(state2: jax.Array, spec: StencilSpec) -> jax.Array:
     bhj, blj = jnp.asarray(bh), jnp.asarray(bl)
     his, hil = veltkamp_split(hi)  # hoisted: exact halves of hi
 
+    def one_tap(t, ah, al):
+        st = [starts[t, d] for d in range(len(ishape))]
+        xs = jax.lax.dynamic_slice(his, st, ishape)
+        xl2 = jax.lax.dynamic_slice(hil, st, ishape)
+        xlo = jax.lax.dynamic_slice(lo, st, ishape)
+        x = xs + xl2  # == the hi slice, exactly
+        w_h, w_l = whj[t], wlj[t]
+        b_h, b_l = bhj[t], blj[t]
+        # four EXACT partial products of x * w_h
+        q1 = xs * b_h
+        q2 = xs * b_l
+        q3 = xl2 * b_h
+        q4 = xl2 * b_l
+        # rounded correction terms (~2^-24 relative; fma-safe)
+        c = xlo * w_h + x * w_l
+        t1, u1 = two_sum(q2, q3)
+        ph, pe = two_sum(q1, t1)
+        pl = pe + ((u1 + q4) + c)
+        # accumulate the product pair (ph is add-rooted: fma-safe)
+        return df_add(ah, al, ph, pl)
+
     def group(g, acc):
         ah, al = acc
         for j in range(G):
-            t = g * G + j
-            st = [starts[t, d] for d in range(len(ishape))]
-            xs = jax.lax.dynamic_slice(his, st, ishape)
-            xl2 = jax.lax.dynamic_slice(hil, st, ishape)
-            xlo = jax.lax.dynamic_slice(lo, st, ishape)
-            x = xs + xl2  # == the hi slice, exactly
-            w_h, w_l = whj[t], wlj[t]
-            b_h, b_l = bhj[t], blj[t]
-            # four EXACT partial products of x * w_h
-            q1 = xs * b_h
-            q2 = xs * b_l
-            q3 = xl2 * b_h
-            q4 = xl2 * b_l
-            # rounded correction terms (~2^-24 relative; fma-safe)
-            c = xlo * w_h + x * w_l
-            t1, u1 = two_sum(q2, q3)
-            ph, pe = two_sum(q1, t1)
-            pl = pe + ((u1 + q4) + c)
-            # accumulate the product pair (ph is add-rooted: fma-safe)
-            ah, al = df_add(ah, al, ph, pl)
+            ah, al = one_tap(g * G + j, ah, al)
         return ah, al
 
     zero = jnp.zeros(ishape, jnp.float32)
     acc_h, acc_l = jax.lax.fori_loop(0, len(idxs) // G, group,
                                      (zero, zero))
+    for t in range(len(idxs) - len(idxs) % G, len(idxs)):  # epilogue
+        acc_h, acc_l = one_tap(t, acc_h, acc_l)
     it = _interior(spec, hi.shape)
     return out.at[(slice(None),) + it].set(jnp.stack([acc_h, acc_l]))
 

@@ -8,6 +8,9 @@ error-free transformations.  Ground truth for every comparison is the
 NumPy fp64 reference (utils/reference.py).
 """
 
+import os
+import sys
+
 import jax
 import numpy as np
 import pytest
@@ -167,12 +170,13 @@ def test_df64_custom_coeffs(coeffs_shape):
     assert rel < 1e-12
 
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def test_suite_run_config_df64():
     """benchmarks.suite.run_config measures the df64 tier (pair-shaped
     state, xla-df64 tag)."""
-    import sys
-
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, REPO_ROOT)
     from benchmarks.suite import run_config
 
     r = run_config("star2d1r", (64, 128), 2, dtype="df64")
@@ -185,9 +189,8 @@ def test_suite_gate_tiers(tmp_path):
     neither be invisible to the baseline nor compared against the ~30x
     faster fp32 pallas rows (review finding, round 7)."""
     import json
-    import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, REPO_ROOT)
     from benchmarks import suite
 
     rows = [
