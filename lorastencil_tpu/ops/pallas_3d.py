@@ -249,9 +249,10 @@ def _stencil3d_kernel(
 
     if has_bounds:
         # dynamic validity box: (4,) = (rlo, rhi, clo, chi) in local
-        # coordinates (domain decomposition -- z is never sharded), or
-        # (6,) = (zlo, zhi, rlo, rhi, clo, chi) (periodic z rings must
-        # survive the intermediate-level mask)
+        # coordinates (plane-only domain decomposition), or (6,) =
+        # (zlo, zhi, rlo, rhi, clo, chi) (z-sharded meshes and ghost
+        # boundaries: received ghost planes/rings must survive the
+        # intermediate-level mask)
         six = bounds_ref.shape[0] == 6
         b_zlo, b_zhi = (bounds_ref[0], bounds_ref[1]) if six else (0, H)
         off = 2 if six else 0
@@ -407,9 +408,10 @@ def stencil3d_step(
     bounds: "jax.Array | None" = None,
     region=None,
 ) -> jax.Array:
-    """``bounds`` (optional, (4,) int32): dynamic global-interior
-    (row_lo, row_hi, col_lo, col_hi) in local coordinates for
-    domain-decomposed runs (z is never sharded).  ``region`` (optional,
+    """``bounds`` (optional, (4,) or (6,) int32): dynamic global-interior
+    (row_lo, row_hi, col_lo, col_hi) -- or, with a z range,
+    (z_lo, z_hi, row_lo, ...) -- in local coordinates for
+    domain-decomposed runs (z-sharded meshes pass 6).  ``region`` (optional,
     ((ti0, ti1), (tj0, tj1))): restrict this call to a tile-index
     sub-rectangle (the overlapped sharded engine's interior/boundary
     split)."""

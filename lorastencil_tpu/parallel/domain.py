@@ -116,7 +116,11 @@ def make_mesh(shape: Tuple[int, ...], axis_names=("x", "y"),
 
 @dataclasses.dataclass(frozen=True)
 class ShardedConfig:
-    mesh_shape: Tuple[int, int]  # (devices along rows, along cols)
+    # devices per grid axis: (rows, cols) for 2-D/3-D plane meshes, (n,)
+    # for 1-D, or (z, rows, cols) for 3-D meshes that also decompose the
+    # z axis (SURVEY section 5 long-context row; the z-sweep pipeline is
+    # the reference's 3-D scaling axis, /root/reference/src/3d/gpu_box.cu:126-139)
+    mesh_shape: Tuple[int, ...]
     tile: Optional[Tuple[int, int]] = None
     # state dtype in HBM: "float32" (exact) or "bfloat16" (throughput
     # tier: half the HBM traffic AND half the exchanged halo bytes;
@@ -625,10 +629,15 @@ class ShardedStencil2D:
 
 
 class ShardedStencil3D:
-    """Domain-decomposed 3-D stencil: the (row, col) plane axes shard over
-    a 2-D mesh (the in-kernel z sweep stays local per device -- the same
-    2.5-D blocking as the single-chip kernel), with the two-phase ppermute
-    halo exchange applied plane-wise."""
+    """Domain-decomposed 3-D stencil.  ``mesh_shape=(dx, dy)`` shards the
+    (row, col) plane axes over a 2-D mesh (the in-kernel z sweep stays
+    local per device -- the same 2.5-D blocking as the single-chip
+    kernel); ``mesh_shape=(dz, dx, dy)`` also decomposes the z axis over
+    a 3-D mesh: a z-plane ppermute phase runs before the (rows, cols)
+    phases, the z guard planes double as the z halo-receive buffer, and
+    later phases' strips carry the earlier phases' received data so the
+    8 corner octants propagate exactly (the 3-axis generalization of the
+    two-phase corner ride-along)."""
 
     def __init__(self, spec: StencilSpec, interior, config: ShardedConfig,
                  mesh: Optional[Mesh] = None):
@@ -639,9 +648,19 @@ class ShardedStencil3D:
         self.config = config
         _check_reflect_fused(spec, config)
         h, gm, gn = interior
-        dx, dy = config.mesh_shape
+        ms = tuple(config.mesh_shape)
+        if len(ms) == 3:
+            dz, dx, dy = ms
+        else:
+            dz, (dx, dy) = 1, ms
+        self.dz, self.dxy = dz, (dx, dy)
         self.interior = tuple(interior)
-        self.mesh = mesh if mesh is not None else make_mesh((dx, dy))
+        if mesh is not None:
+            self.mesh = mesh
+        elif dz > 1:
+            self.mesh = make_mesh((dz, dx, dy), ("z", "x", "y"))
+        else:
+            self.mesh = make_mesh((dx, dy))
         k = max(1, config.fused_steps)
         self.fused_steps = k
         lm, ln = -(-gm // dx), -(-gn // dy)
@@ -651,15 +670,27 @@ class ShardedStencil3D:
         # anchor the wrap/mirror at the last device's true tail)
         lm, ln, tile = _pad_local_block(lm, ln, tile,
                                         config.tile is not None)
-        self.local_interior = (h, lm, ln)
+        # z blocks need no lane/sublane alignment (planes are the leading
+        # axis); non-divisible H pads the last block, masked via bounds
+        lz = -(-h // dz)
+        self.local_interior = (lz, lm, ln)
         # exchange depth per pass: k*radius cells feed the fused substeps
         # (the in-plane window guard is SUBLANE rows / LANE cols)
         self.depth = max(max(spec.halo[1:]), k * spec.radius)
+        zd = max(spec.halo[0], k * spec.radius)
+        self.zdepth = zd
         if config.boundary == "dirichlet0":
             self.tails = (lm, ln)
+            self.ztail = lz
         else:
             self.tails = (gm - (dx - 1) * lm, gn - (dy - 1) * ln)
+            self.ztail = h - (dz - 1) * lz
         _check_tails(config.boundary, self.tails, self.depth, (dx, dy))
+        if dz > 1:
+            _check_tails(config.boundary, (self.ztail,), zd, (dz,))
+            assert zd <= lz, (
+                f"z exchange depth {zd} exceeds the local z block {lz}; "
+                f"use fewer z devices or lower fused_steps")
         assert self.depth <= SUBLANE, (
             f"3-D fused exchange depth {self.depth} exceeds the {SUBLANE}-"
             f"row window guard; lower fused_steps")
@@ -667,8 +698,7 @@ class ShardedStencil3D:
             f"exchange depth {self.depth} exceeds the local block "
             f"{(lm, ln)}; use fewer devices or lower fused_steps")
         self.layout = Layout3D(interior=self.local_interior, halo=spec.halo,
-                               tile=tile,
-                               zguard=max(spec.halo[0], k * spec.radius))
+                               tile=tile, zguard=zd)
         self.precision = (jax.lax.Precision.HIGHEST
                           if config.precision == "highest"
                           else jax.lax.Precision.DEFAULT)
@@ -682,17 +712,61 @@ class ShardedStencil3D:
         """See the 2-D twin: true-tail ghost starts along (rows, cols)."""
         _, m, n = self.layout.interior
         tm, tn = self.tails
-        dx, dy = self.config.mesh_shape
+        dx, dy = self.dxy
         rs = m if tm == m else jnp.where(
             jax.lax.axis_index("x") == dx - 1, tm, m)
         cs = n if tn == n else jnp.where(
             jax.lax.axis_index("y") == dy - 1, tn, n)
         return rs, cs
 
+    def _z_start(self):
+        """Flat start of the high-side z ghost: the true tail on the
+        last z device under a ghost boundary (see _hi_starts)."""
+        lz = self.local_interior[0]
+        if self.ztail == lz:
+            return lz
+        return jnp.where(jax.lax.axis_index("z") == self.dz - 1,
+                         self.ztail, lz)
+
+    def _z_parts(self, buf):
+        """z-phase ppermute of the zdepth-deep boundary plane slabs
+        (full (row, col) extent, guard rings included, so the row/col
+        phases that follow carry the z ghosts into the corners).
+        Returns (topz, botz, from_up, from_down, zs)."""
+        zd = self.zdepth
+        z0 = self.layout.origin[0]
+        wrap = self.config.boundary == "periodic"
+        zs = self._z_start()
+        topz = buf[z0: z0 + zd]
+        botz = _take(buf, z0 + zs - zd, zd, 0)
+        from_up = _shift(botz, "z", True, self.dz, wrap)
+        from_down = _shift(topz, "z", False, self.dz, wrap)
+        return topz, botz, from_up, from_down, zs
+
+    def _z_exchange(self, buf):
+        """Fill the z guard planes from the z-mesh neighbors (the 3-D
+        analog of the row phase; dirichlet0 global-edge devices keep
+        their existing planes -- the user z halo on step 1)."""
+        zd = self.zdepth
+        z0 = self.layout.origin[0]
+        wrap = self.config.boundary == "periodic"
+        refl = self.config.boundary == "reflect"
+        iz = jax.lax.axis_index("z")
+        topz, botz, from_up, from_down, zs = self._z_parts(buf)
+        e_lo = (jnp.flip(topz, axis=0) if refl else buf[z0 - zd: z0])
+        e_hi = (jnp.flip(botz, axis=0) if refl
+                else _take(buf, z0 + zs, zd, 0))
+        buf = buf.at[z0 - zd: z0].set(
+            from_up if wrap else jnp.where(iz > 0, from_up, e_lo))
+        return _put(buf,
+                    from_down if wrap else
+                    jnp.where(iz < self.dz - 1, from_down, e_hi),
+                    z0 + zs, 0)
+
     def _exchange(self, buf):
         hm = hn = self.depth
         _, r0, c0 = self.layout.origin
-        dx, dy = self.config.mesh_shape
+        dx, dy = self.dxy
 
         wrap = self.config.boundary == "periodic"
         refl = self.config.boundary == "reflect"
@@ -700,7 +774,9 @@ class ShardedStencil3D:
         iy = jax.lax.axis_index("y")
         rs, cs = self._hi_starts()
 
-        if wrap or refl:
+        if self.dz > 1:
+            buf = self._z_exchange(buf)
+        elif wrap or refl:
             buf = self._z_ghost(buf)
         top = buf[:, r0: r0 + hm, :]
         bot = _take(buf, r0 + rs - hm, hm, 1)
@@ -732,10 +808,11 @@ class ShardedStencil3D:
         return buf
 
     def _z_ghost(self, buf):
-        """Local ghost refresh of the z guard planes (z is never
-        sharded): wrap for periodic, mirror for reflect, spanning the
+        """Local ghost refresh of the z guard planes (unsharded-z
+        meshes): wrap for periodic, mirror for reflect, spanning the
         full (row, col) extent so the subsequent row/col exchanges
-        carry the z ghost rings too."""
+        carry the z ghost rings too.  z-sharded meshes use the
+        _z_exchange ppermute phase instead."""
         h = self.local_interior[0]
         z0 = self.layout.origin[0]
         dz = self.layout.zguard
@@ -749,23 +826,53 @@ class ShardedStencil3D:
         return buf.at[z0 + h: z0 + h + dz].set(hi)
 
     def _exchange_strips(self, buf):
-        """Plane-wise two-phase ppermute WITHOUT writing into ``buf``
-        (the 3-D analog of ShardedStencil2D._exchange_strips)."""
+        """Plane-wise multi-phase ppermute WITHOUT writing into ``buf``
+        (the 3-D analog of ShardedStencil2D._exchange_strips).  On a
+        3-D mesh a z-plane phase runs first; its received planes are
+        patched into the row strips (and, transitively, the col strips)
+        so all corner octants ride along."""
         hm = hn = self.depth
-        _, r0, c0 = self.layout.origin
-        dx, dy = self.config.mesh_shape
+        z0, r0, c0 = self.layout.origin
+        dx, dy = self.dxy
         wrap = self.config.boundary == "periodic"
         refl = self.config.boundary == "reflect"
         ix = jax.lax.axis_index("x")
         rs, cs = self._hi_starts()
 
-        top = buf[:, r0: r0 + hm, :]
-        bot = _take(buf, r0 + rs - hm, hm, 1)
+        zparts = None
+        if self.dz > 1:
+            zd = self.zdepth
+            iz = jax.lax.axis_index("z")
+            topz, botz, from_up, from_down, zs = self._z_parts(buf)
+            zparts = (from_up, from_down)
+
+        def patch_z(s, take_axis, lo):
+            """Patch the received z-ghost planes into a row/col strip
+            (output-ring semantics: dirichlet global z edges get
+            zeros, reflect mirrors the strip's own edge planes)."""
+            if self.dz <= 1:
+                return s
+            fu = _take(from_up, lo, s.shape[take_axis], take_axis)
+            fd = _take(from_down, lo, s.shape[take_axis], take_axis)
+            eu = (jnp.flip(_take(topz, lo, s.shape[take_axis], take_axis),
+                           axis=0) if refl else jnp.zeros_like(fu))
+            ed = (jnp.flip(_take(botz, lo, s.shape[take_axis], take_axis),
+                           axis=0) if refl else jnp.zeros_like(fd))
+            s = s.at[z0 - zd: z0].set(
+                fu if wrap else jnp.where(iz > 0, fu, eu))
+            return _put(s, fd if wrap else
+                        jnp.where(iz < self.dz - 1, fd, ed), z0 + zs, 0)
+
+        def row_strip(r_lo):
+            return patch_z(_take(buf, r_lo, hm, 1), 1, r_lo)
+
+        top = row_strip(r0)
+        bot = row_strip(r0 + rs - hm)
         from_north = _shift(bot, "x", True, dx, wrap)
         from_south = _shift(top, "x", False, dx, wrap)
 
         def col_strip(c_lo):
-            s = _take(buf, c_lo, hn, 2)
+            s = patch_z(_take(buf, c_lo, hn, 2), 2, c_lo)
             fn = _take(from_north, c_lo, hn, 2)
             fs = _take(from_south, c_lo, hn, 2)
             en = (jnp.flip(_take(top, c_lo, hn, 2), axis=1) if refl
@@ -780,18 +887,35 @@ class ShardedStencil3D:
 
         from_west = _shift(col_strip(c0 + cs - hn), "y", True, dy, wrap)
         from_east = _shift(col_strip(c0), "y", False, dy, wrap)
-        return from_north, from_south, from_west, from_east
+        return zparts, from_north, from_south, from_west, from_east
 
     def _write_ring(self, buf, parts):
         hm = hn = self.depth
-        _, r0, c0 = self.layout.origin
-        dx, dy = self.config.mesh_shape
+        z0, r0, c0 = self.layout.origin
+        dx, dy = self.dxy
         ix = jax.lax.axis_index("x")
         iy = jax.lax.axis_index("y")
         wrap = self.config.boundary == "periodic"
         refl = self.config.boundary == "reflect"
         rs, cs = self._hi_starts()
-        from_north, from_south, from_west, from_east = parts
+        zparts, from_north, from_south, from_west, from_east = parts
+        if zparts is not None:
+            # z planes first; the row/col writes below overwrite their
+            # (stale-at-the-sender) ring cells with fresh patched strips
+            zd = self.zdepth
+            iz = jax.lax.axis_index("z")
+            zs = self._z_start()
+            from_up, from_down = zparts
+            e_lo = (jnp.flip(buf[z0: z0 + zd], axis=0) if refl
+                    else jnp.zeros_like(from_up))
+            e_hi = (jnp.flip(_take(buf, z0 + zs - zd, zd, 0), axis=0)
+                    if refl else jnp.zeros_like(from_down))
+            buf = buf.at[z0 - zd: z0].set(
+                from_up if wrap else jnp.where(iz > 0, from_up, e_lo))
+            buf = _put(buf,
+                       from_down if wrap else
+                       jnp.where(iz < self.dz - 1, from_down, e_hi),
+                       z0 + zs, 0)
         en = (jnp.flip(buf[:, r0: r0 + hm, :], axis=1) if refl
               else jnp.zeros_like(from_north))
         es = (jnp.flip(_take(buf, r0 + rs - hm, hm, 1), axis=1) if refl
@@ -817,18 +941,31 @@ class ShardedStencil3D:
         return buf
 
     def _bounds(self):
-        _, lm, ln = self.local_interior
+        lz, lm, ln = self.local_interior
         H, gm, gn = self.interior
         ix = jax.lax.axis_index("x")
         iy = jax.lax.axis_index("y")
-        if self.config.boundary != "dirichlet0":
+        ghost = self.config.boundary != "dirichlet0"
+        if self.dz > 1:
+            # z sharded: the global-interior z range in local plane
+            # coordinates (ghost modes widen by the exchange depth so
+            # received ghost planes survive intermediate-level masks)
+            iz = jax.lax.axis_index("z")
+            d = self.depth if ghost else 0
+            zd = self.zdepth if ghost else 0
+            return jnp.stack([
+                -iz * lz - zd, H - iz * lz + zd,
+                -ix * lm - d, gm - ix * lm + d,
+                -iy * ln - d, gn - iy * ln + d,
+            ]).astype(jnp.int32)
+        if ghost:
             # 6-length box with a z range: the ghost z guard planes
             # and global-edge rings must survive the kernel's
             # intermediate-level masks
             d = self.depth
-            dz = self.layout.zguard
+            dzg = self.layout.zguard
             return jnp.stack([
-                jnp.int32(-dz), jnp.int32(H + dz),
+                jnp.int32(-dzg), jnp.int32(H + dzg),
                 -ix * lm - d, gm - ix * lm + d,
                 -iy * ln - d, gn - iy * ln + d,
             ]).astype(jnp.int32)
@@ -854,6 +991,11 @@ class ShardedStencil3D:
         TM, TN = self.layout.tile
         _, lm, ln = self.local_interior
         tm, tn = self.tails
+        if self.dz > 1:
+            # the z strips (first/last interior planes over the FULL
+            # plane extent) are produced by every tile, so there is no
+            # boundary frame to exchange early -- ring-in-output instead
+            return "z-sharded meshes exchange after the full-grid kernel"
         if gi < 3 or gj < 3:
             return f"local tile grid {gi}x{gj} < 3x3"
         if _S > TM or _L > TN or self.depth > min(TM, TN):
@@ -879,10 +1021,13 @@ class ShardedStencil3D:
     def _local_step_ringout(self, cur, donor, fused_k):
         """Small-grid ring-in-output step (see the 2-D twin): one
         full-grid kernel call, then the exchange writes into the fresh
-        output -- no exchange-into-input full-buffer copies."""
+        output -- no exchange-into-input full-buffer copies.  On a
+        z-sharded mesh this is the standard step: ``cur``'s full ring
+        (z planes included) was written at the end of the previous
+        pass (the embedding's ring on pass 1)."""
         from ..ops import pallas_3d
 
-        if self.config.boundary != "dirichlet0":
+        if self._needs_local_zghost():
             cur = self._z_ghost(cur)
         out = pallas_3d.stencil3d_step(
             cur, donor, self.spec, self.layout,
@@ -891,6 +1036,11 @@ class ShardedStencil3D:
             bounds=self._bounds())
         parts = self._exchange_strips(out)
         return self._write_ring(out, parts)
+
+    def _needs_local_zghost(self) -> bool:
+        """A z-sharded mesh refreshes z ghosts via the z ppermute phase;
+        only unsharded-z ghost boundaries use the local wrap/mirror."""
+        return self.dz == 1 and self.config.boundary != "dirichlet0"
 
     def _local_step_overlap(self, cur, donor, fused_k):
         """Boundary-first pass: the ppermute of the freshly written edge
@@ -908,7 +1058,7 @@ class ShardedStencil3D:
                 algorithm=self._alg3(), fused_steps=fused_k,
                 bounds=bounds, region=region)
 
-        if self.config.boundary != "dirichlet0":
+        if self._needs_local_zghost():
             cur = self._z_ghost(cur)  # local; rows/cols ride the overlap
         out = step(cur, donor, ((0, 1), (0, gj)))
         out = step(cur, out, ((gi - 1, gi), (0, gj)))
@@ -935,32 +1085,47 @@ class ShardedStencil3D:
             return ping_pong_loop(step_fn, local, steps,
                                   self.fused_steps)
 
+        zspec = "z" if self.dz > 1 else None
         fn = shard_map(body_fn, mesh=self.mesh,
-                       in_specs=P(None, "x", "y"),
-                       out_specs=P(None, "x", "y"), check_vma=False)
+                       in_specs=P(zspec, "x", "y"),
+                       out_specs=P(zspec, "x", "y"), check_vma=False)
         return fn(state)
 
     def to_sharded(self, padded):
-        """Embed with a DEPTH-wide (row, col) ring from the global array
-        (see the 2-D twin; z is never sharded)."""
+        """Embed with a DEPTH-wide (row, col) ring -- and, on a z-sharded
+        mesh, a zdepth-wide z ring -- from the global array (see the 2-D
+        twin)."""
         spec, lay = self.spec, self.layout
         hz, hm, hn = spec.halo
-        h, lm, ln = self.local_interior
-        dx, dy = self.config.mesh_shape
+        lz, lm, ln = self.local_interior
+        dz, (dx, dy) = self.dz, self.dxy
         Hp, Mp, Np = lay.shape
         z0, r0, c0 = lay.origin
         d = self.depth
-        _, gm, gn = self.interior
+        # z embedding ring: pass-1 neighbor planes when z is sharded,
+        # just the user halo otherwise (the per-pass _z_ghost refresh
+        # covers unsharded ghost boundaries)
+        zd = self.zdepth if dz > 1 else hz
+        H, gm, gn = self.interior
         # block-padded extent (== true interior when divisible)
         Gm, Gn = dx * lm, dy * ln
         padded = jnp.asarray(padded, jnp.float32)
-        gpad = jnp.zeros((h + 2 * hz, Gm + 2 * d, Gn + 2 * d), jnp.float32)
-        gpad = gpad.at[:, d - hm: d + gm + hm, d - hn: d + gn + hn].set(
-            padded)
+        gpad = jnp.zeros((dz * lz + 2 * zd, Gm + 2 * d, Gn + 2 * d),
+                         jnp.float32)
+        gpad = gpad.at[zd - hz: zd + H + hz,
+                       d - hm: d + gm + hm, d - hn: d + gn + hn].set(padded)
         if self.config.boundary == "periodic":
-            # global row/col wrap ring (the z ghost is a per-pass local
-            # refresh -- z is never sharded); high-side ghosts sit at
-            # the TRUE edges gm/gn, block-padded cells beyond stay zero
+            if dz > 1:
+                # global z wrap ring first (TRUE edge H; block-padded
+                # planes beyond stay zero); the row/col fills below span
+                # the full z extent so corners ride along
+                gpad = gpad.at[:zd, d: d + gm, d: d + gn].set(
+                    gpad[H: H + zd, d: d + gm, d: d + gn])
+                gpad = gpad.at[zd + H: 2 * zd + H, d: d + gm,
+                               d: d + gn].set(
+                    gpad[zd: 2 * zd, d: d + gm, d: d + gn])
+            # global row/col wrap ring; high-side ghosts sit at the TRUE
+            # edges gm/gn, block-padded cells beyond stay zero
             gpad = gpad.at[:, :d, d: d + gn].set(
                 gpad[:, gm: gm + d, d: d + gn])
             gpad = gpad.at[:, d + gm: 2 * d + gm, d: d + gn].set(
@@ -969,6 +1134,14 @@ class ShardedStencil3D:
             gpad = gpad.at[:, :, d + gn: 2 * d + gn].set(
                 gpad[:, :, d: 2 * d])
         elif self.config.boundary == "reflect":
+            if dz > 1:
+                gpad = gpad.at[:zd, d: d + gm, d: d + gn].set(
+                    jnp.flip(gpad[zd: 2 * zd, d: d + gm, d: d + gn],
+                             axis=0))
+                gpad = gpad.at[zd + H: 2 * zd + H, d: d + gm,
+                               d: d + gn].set(
+                    jnp.flip(gpad[H: H + zd, d: d + gm, d: d + gn],
+                             axis=0))
             gpad = gpad.at[:, :d, d: d + gn].set(
                 jnp.flip(gpad[:, d: 2 * d, d: d + gn], axis=1))
             gpad = gpad.at[:, d + gm: 2 * d + gm, d: d + gn].set(
@@ -977,42 +1150,60 @@ class ShardedStencil3D:
                 jnp.flip(gpad[:, :, d: 2 * d], axis=2))
             gpad = gpad.at[:, :, d + gn: 2 * d + gn].set(
                 jnp.flip(gpad[:, :, gn: gn + d], axis=2))
-        out = jnp.zeros((Hp, dx * Mp, dy * Np), jnp.float32)
-        for i in range(dx):
-            for j in range(dy):
-                src = gpad[:, i * lm: i * lm + lm + 2 * d,
-                           j * ln: j * ln + ln + 2 * d]
-                out = out.at[
-                    z0 - hz: z0 + h + hz,
-                    i * Mp + r0 - d: i * Mp + r0 + lm + d,
-                    j * Np + c0 - d: j * Np + c0 + ln + d,
-                ].set(src)
+        out = jnp.zeros((dz * Hp, dx * Mp, dy * Np), jnp.float32)
+        for zi in range(dz):
+            for i in range(dx):
+                for j in range(dy):
+                    src = gpad[zi * lz: zi * lz + lz + 2 * zd,
+                               i * lm: i * lm + lm + 2 * d,
+                               j * ln: j * ln + ln + 2 * d]
+                    out = out.at[
+                        zi * Hp + z0 - zd: zi * Hp + z0 + lz + zd,
+                        i * Mp + r0 - d: i * Mp + r0 + lm + d,
+                        j * Np + c0 - d: j * Np + c0 + ln + d,
+                    ].set(src)
+        zspec = "z" if dz > 1 else None
         return jax.lax.with_sharding_constraint(
             out.astype(jnp.dtype(self.config.dtype)),
-            NamedSharding(self.mesh, P(None, "x", "y")))
+            NamedSharding(self.mesh, P(zspec, "x", "y")))
 
     def from_sharded(self, state):
         spec, lay = self.spec, self.layout
         hz, hm, hn = spec.halo
-        h, lm, ln = self.local_interior
-        dx, dy = self.config.mesh_shape
+        lz, lm, ln = self.local_interior
+        dz, (dx, dy) = self.dz, self.dxy
         Hp, Mp, Np = lay.shape
         z0, r0, c0 = lay.origin
-        _, gm, gn = self.interior
-        out = jnp.zeros((h + 2 * hz, gm + 2 * hm, gn + 2 * hn), state.dtype)
-        for i in range(dx):
-            tm = min(lm, gm - i * lm)  # clamp the block-padded tail
-            if tm <= 0:
+        H, gm, gn = self.interior
+        out = jnp.zeros((H + 2 * hz, gm + 2 * hm, gn + 2 * hn), state.dtype)
+        for zi in range(dz):
+            tz = min(lz, H - zi * lz)  # clamp the block-padded z tail
+            if tz <= 0:
                 continue
-            for j in range(dy):
-                tn = min(ln, gn - j * ln)
-                if tn <= 0:
+            # z-sharded: interior planes only (the output z halo is zero
+            # after a step -- reference halo-decay semantics; the local
+            # guard holds exchanged neighbor data, not output).  The
+            # dz == 1 extraction keeps the guard planes: they are zero
+            # after any step and the user halo at steps == 0.
+            zsl = (slice(z0, z0 + tz) if dz > 1
+                   else slice(z0 - hz, z0 + lz + hz))
+            osl = (slice(hz + zi * lz, hz + zi * lz + tz) if dz > 1
+                   else slice(0, H + 2 * hz))
+            for i in range(dx):
+                tm = min(lm, gm - i * lm)  # clamp the block-padded tail
+                if tm <= 0:
                     continue
-                block = state[z0 - hz: z0 + h + hz,
-                              i * Mp + r0: i * Mp + r0 + tm,
-                              j * Np + c0: j * Np + c0 + tn]
-                out = out.at[:, hm + i * lm: hm + i * lm + tm,
-                             hn + j * ln: hn + j * ln + tn].set(block)
+                for j in range(dy):
+                    tn = min(ln, gn - j * ln)
+                    if tn <= 0:
+                        continue
+                    block = state[
+                        zi * Hp + zsl.start: zi * Hp + zsl.stop,
+                        i * Mp + r0: i * Mp + r0 + tm,
+                        j * Np + c0: j * Np + c0 + tn]
+                    out = out.at[osl,
+                                 hm + i * lm: hm + i * lm + tm,
+                                 hn + j * ln: hn + j * ln + tn].set(block)
         return out
 
     def run(self, padded, steps: int):
