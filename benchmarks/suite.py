@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from lorastencil_tpu import engine
-from lorastencil_tpu.utils import metrics
+from lorastencil_tpu.utils import metrics, profiling
 
 # (shape, interior, steps, pipeline) per BASELINE.md; star2d1r also at
 # the 8192^2 north-star size.  ``pipeline`` = calls per timed region
@@ -102,8 +102,21 @@ def run_config(name, interior, steps, pipeline=1, chain=1, **kw):
         tag += f"-{eng.config.dtype}"
     if chain > 1:
         tag += f"-chain{chain}"
-    return metrics.bench_result(eng.spec, interior, steps, secs / chain,
-                                tag, eng.config.precision, 2)
+    res = metrics.bench_result(eng.spec, interior, steps, secs / chain,
+                               tag, eng.config.precision, 2)
+    # per-row roofline vs the measured pattern ceilings (round-3 VERDICT
+    # item 5: the north-star accounting is machine-checkable per row,
+    # not PERF.md prose); None for tiers without a ceiling model
+    roof = profiling.engine_roofline(eng)
+    res.roofline_bound = roof.bound if roof else None
+    res.governing_bound_gcells = roof.governing_gcells if roof else None
+    res.pct_of_governing_bound = (
+        res.gcells_per_s / roof.governing_gcells if roof else None)
+    return res
+
+
+def chain_of(kw) -> int:
+    return kw.get("chain", 1) if isinstance(kw, dict) else 1
 
 
 def _tier(backend: str) -> str:
@@ -164,20 +177,36 @@ def main(argv=None) -> int:
                 rec = json.loads(res.json())
                 rec["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
                 rec["backend_platform"] = jax.default_backend()
+                rec["roofline_bound"] = res.roofline_bound
+                rec["governing_bound_gcells"] = res.governing_bound_gcells
+                rec["pct_of_governing_bound"] = res.pct_of_governing_bound
                 out.write(json.dumps(rec) + "\n")
                 out.flush()
                 ref = best.get((_tier(rec.get("backend", "")), name,
                                 tuple(interior), steps))
                 vs = (f"  {res.gcells_per_s / ref - 1.0:+6.1%} vs best "
                       f"{ref:.2f}" if ref else "")
+                pct = res.pct_of_governing_bound
+                roofs = (f"  [{pct:4.0%} of {res.roofline_bound}-bound "
+                         f"{res.governing_bound_gcells:.0f}]"
+                         if pct is not None else "")
                 if ref and res.gcells_per_s < 0.9 * ref:
                     regressions.append(
                         f"{name} {interior} x{steps}: "
                         f"{res.gcells_per_s:.2f} < 90% of recorded best "
                         f"{ref:.2f} GCells/s")
+                # advisory floor (never gates): a TPU row far below its
+                # governing ceiling is worth a look -- EXCEPT chained
+                # tiny grids, which are dispatch-bound by construction
+                if (pct is not None and pct < 0.4 and chain_of(kw) == 1
+                        and jax.default_backend() == "tpu"):
+                    print(f"WARNING: {name} {interior} at {pct:.0%} of "
+                          f"its governing {res.roofline_bound} bound "
+                          f"({res.governing_bound_gcells:.1f} GCells/s)",
+                          flush=True)
                 print(f"{name:10s} {str(interior):18s} x{steps:<4d} "
                       f"{res.gcells_per_s:7.2f} GCells/s  "
-                      f"{res.gstencil_per_s:7.2f} GStencil/s{vs}",
+                      f"{res.gstencil_per_s:7.2f} GStencil/s{vs}{roofs}",
                       flush=True)
             except Exception as e:
                 print(f"{name:10s} {str(interior):18s} FAILED: "

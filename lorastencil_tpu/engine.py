@@ -19,8 +19,10 @@ Design notes (TPU-first):
     baseline for bench).  On non-TPU backends Pallas runs in interpret
     mode automatically.
   * ``algorithm`` picks the compute path inside the kernels (see
-    EngineConfig.algorithm); the default 'auto' resolves per shape to
-    the measured-fastest EXACT path ('mxu_hybrid3' or 'vpu_roll').
+    EngineConfig.algorithm); the default 'auto' resolves per shape/dtype
+    to the measured-fastest path of matching accuracy (resolve_algorithm:
+    2-D 'mxu_hybrid1' / bf16 no-residue 'mxu_hybrid', 1-D 'mxu',
+    3-D 'vpu', fp64 'vpu_roll').
 """
 
 from __future__ import annotations
@@ -169,24 +171,28 @@ class EngineConfig:
     backend: str = "auto"  # 'pallas' | 'xla' | 'auto'
     tile: Optional[Tuple[int, int]] = None
     interpret: Optional[bool] = None  # force Pallas interpret mode
-    # 'auto' (default): pick per shape -- 'mxu_hybrid3' (exact-fp32-grade
-    # 3-pass split banded MXU GEMMs) when the spec has <= 2 matmul axes
-    # and no residue (star2d3r: 51.0 vs 48.3 GCells/s), else 'vpu_roll'
-    # (exact-fp32 aligned cyclic-roll convs; star2d1r 8192^2: 44.3
-    # GCells/s vs 26-28 for the slice-based 'vpu').  Explicit options:
-    # 'vpu_roll', 'vpu', 'mxu_hybrid3' (exact ~1.5e-7/step),
-    # 'mxu_hybrid' (2-pass, ~6e-6/step, fastest where MXU share small:
-    # star2d1r 55 GCells/s), 'mxu_split' (all terms incl. residue on the
-    # MXU, ~6e-6), 'mxu' (Mosaic-precision banded GEMMs).
-    # 3-D kernels use the 'vpu' plane convs for any vpu*/auto setting.
+    # 'auto' (default): pick per shape/dtype the measured-fastest path
+    # of matching accuracy (see resolve_algorithm's docstring for the
+    # numbers) -- 2-D: 'mxu_hybrid1' (column convs on the MXU at full
+    # split depth, rows + residue on the VPU, exact-fp32-grade), except
+    # bf16 few-term no-residue specs -> 'mxu_hybrid' (both axes on the
+    # MXU at one part each); 1-D: 'mxu' (per-128-group banded matmuls
+    # on the lanes layout, exact split); 3-D: 'vpu' (shifted-slice
+    # plane convs); fp64: 'vpu_roll'.  Explicit options: 'vpu_roll'
+    # (exact-fp32 aligned cyclic-roll convs), 'vpu' (shifted slices),
+    # 'mxu_hybrid1', 'mxu_hybrid3' (exact 3-pass split banded GEMMs,
+    # superseded by hybrid1), 'mxu_hybrid' (2-pass, ~6e-6/step),
+    # 'mxu_split' (all terms incl. residue on the MXU, ~6e-6), 'mxu'
+    # (Mosaic-precision banded GEMMs, ~1e-3/step at precision=default).
+    # 3-D kernels map vpu*/auto to 'vpu' and also accept 'mxu_hybrid1'.
     algorithm: str = "auto"
-    # timesteps fused per HBM round trip (1-D and 2-D).  None = auto:
-    # 1 for 2-D (with double-buffered DMA the window traffic hides under
-    # compute, and unfused substeps have the smallest extents -- measured
-    # v5e optimum at 4096^2-8192^2), 2 for 1-D (sync-calibrated round-3
-    # optimum on the overlapped-lane kernel: k=2 38.4 vs k=4 35.7
-    # GCells/s at 16M -- deeper fusion widens the lane halo and its
-    # storage/compute amplification faster than it saves DMA).
+    # timesteps fused per HBM round trip (1-D and 2-D).  None = auto
+    # (see _fused_k for the measured numbers): 1-D k=4 on the MXU lanes
+    # path (k=2 on the roll-VPU fallback); 2-D k=2 for no-residue
+    # few-term specs (star2d3r 8192^2: 81.9 vs 68.8 fp32) and k=1
+    # elsewhere (residue/box fused substeps measured neutral-to-worse;
+    # with double-buffered DMA the window traffic already hides under
+    # compute).
     fused_steps: Optional[int] = None
     # 3-D fusion (k steps per slab sweep with z lookback); k=2 measured
     # best at 256^3 (23.3 vs 21.5 GCells/s unfused); deeper fusion loses

@@ -141,6 +141,11 @@ class Roofline:
         stream is the slower of the VPU and MXU streams."""
         return min(self.vpu_bound_gcells, self.mxu_bound_gcells)
 
+    @property
+    def governing_gcells(self) -> float:
+        """The governing ceiling: min(bandwidth, compute) bound."""
+        return min(self.bw_bound_gcells, self.compute_bound_gcells)
+
     def human(self) -> str:
         return (
             f"roofline: {self.bytes_per_cell_step:.2f} B/cell/step, "
@@ -150,6 +155,53 @@ class Roofline:
             f"compute-bound {self.compute_bound_gcells:.0f} GCells/s "
             f"({self.bound}-bound)"
         )
+
+
+def engine_roofline(eng) -> Optional["Roofline"]:
+    """Roofline for a BUILT StencilEngine: derives tile / fusion /
+    algorithm / dtype from the engine's resolved configuration so suite
+    rows carry a machine-checkable ``pct_of_governing_bound`` (the
+    BASELINE north-star accounting) instead of PERF.md prose.
+
+    Returns None for tiers without a measured ceiling model (df64 pair
+    arithmetic, the fp64 CPU tier, the pure-XLA backend)."""
+    import jax.numpy as jnp
+
+    if getattr(eng, "df64", False) or eng.backend == "xla":
+        return None
+    if eng.dtype == jnp.dtype(jnp.float64):
+        return None
+    spec = eng.spec
+    dtype_bytes = eng.dtype.itemsize
+    if spec.ndim == 3:
+        from ..ops.pallas_3d import pick_slab
+
+        k3 = min(max(1, eng.config.fused_steps_3d),
+                 _SUBLANE // max(1, spec.radius))
+        TM, TN = eng.layout.tile
+        slab = pick_slab(eng.layout.interior[0], TM, TN, dtype_bytes,
+                         fused_steps=k3, radius=spec.radius)
+        alg = eng.algorithm if eng.algorithm.startswith("mxu") else "vpu"
+        return stencil_roofline(spec, (TM, TN), k3, dtype_bytes,
+                                algorithm=alg, slab=slab)
+    k = eng._fused_k()
+    if spec.ndim == 2:
+        # pallas_2d's per-dtype MXU column-term cap (mirrors the
+        # default_cap logic there; the env override too)
+        mxu_terms = None
+        if eng.algorithm == "mxu_hybrid1":
+            import os as _os
+
+            exact_split = dtype_bytes == 4
+            cap = 1 if (exact_split and _n_col_terms(spec) > 2) else 99
+            mxu_terms = int(_os.environ.get("LORASTENCIL_H1_MXU_TERMS",
+                                            str(cap)))
+        return stencil_roofline(spec, eng.layout.tile, k, dtype_bytes,
+                                algorithm=eng.algorithm,
+                                mxu_terms=mxu_terms)
+    # 1-D: the lanes-layout bandwidth model governs; tile is unused
+    return stencil_roofline(spec, (_SUBLANE, _LANE), k, dtype_bytes,
+                            algorithm=eng.algorithm)
 
 
 def stencil_roofline(

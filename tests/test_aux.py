@@ -120,6 +120,33 @@ def test_roofline_3d_and_1d_match_probes():
     assert abs(r1.bw_bound_gcells - 97.0) / 97.0 < 0.20, r1
 
 
+def test_engine_roofline_and_suite_rows():
+    """engine_roofline derives the per-row roofline from a built engine
+    (suite integration, round-3 VERDICT item 5); tiers without a ceiling
+    model return None; suite rows carry pct_of_governing_bound."""
+    from lorastencil_tpu import engine as eng_mod
+
+    eng = eng_mod.StencilEngine.for_shape("star2d1r", (8192, 8192))
+    r = profiling.engine_roofline(eng)
+    assert r is not None and r.governing_gcells == min(
+        r.bw_bound_gcells, r.compute_bound_gcells)
+    assert r.bound == "bw"
+    e3 = eng_mod.StencilEngine.for_shape("box3d1r", (64, 128, 256))
+    assert profiling.engine_roofline(e3) is not None
+    e1 = eng_mod.StencilEngine.for_shape("1d1r", (1 << 24,))
+    assert profiling.engine_roofline(e1) is not None
+    edf = eng_mod.StencilEngine.for_shape("star2d1r", (64, 256),
+                                          dtype="df64")
+    assert profiling.engine_roofline(edf) is None
+
+    import benchmarks.suite as suite
+
+    res = suite.run_config("star2d1r", (64, 256), 2, pipeline=1)
+    assert res.pct_of_governing_bound is not None
+    assert res.roofline_bound in ("bw", "vpu", "mxu")
+    assert res.governing_bound_gcells > 0
+
+
 def test_profiler_trace_smoke(tmp_path):
     import jax.numpy as jnp
 
