@@ -66,9 +66,11 @@ QUICK = [
 def run_config(name, interior, steps, pipeline=1, chain=1, **kw):
     eng = engine.StencilEngine.for_shape(name, interior, **kw)
 
-    # df64 state is stacked (2, *padded) fp32 pairs, not a layout array
-    state_shape = ((2,) + eng.spec.padded_shape(interior)
-                   if eng.df64 else eng.layout.shape)
+    # df64 state is stacked fp32 pairs: (2, *internal) for the 2-D
+    # Pallas pair kernel, (2, *padded) for the XLA pair path
+    state_shape = (((2,) + eng.layout.shape) if eng.df64_pallas
+                   else ((2,) + eng.spec.padded_shape(interior)
+                         if eng.df64 else eng.layout.shape))
 
     @jax.jit
     def f(key):
@@ -96,8 +98,10 @@ def run_config(name, interior, steps, pipeline=1, chain=1, **kw):
     # report per-run time/steps (chain only amortizes dispatch latency);
     # non-fp32 tiers carry the dtype in the backend tag so the
     # regression gate never compares across numerics tiers
-    # resolved, not the 'auto' alias; df64 runs its own XLA pair path
-    tag = "xla-df64" if eng.df64 else f"pallas-{eng.algorithm}"
+    # resolved, not the 'auto' alias; df64 tags its pair path (the 2-D
+    # Pallas pair kernel vs the XLA dense fallback)
+    tag = (f"pallas-df64-{eng.df64_algorithm}" if eng.df64_pallas
+           else "xla-df64" if eng.df64 else f"pallas-{eng.algorithm}")
     if not eng.df64 and eng.config.dtype != "float32":
         tag += f"-{eng.config.dtype}"
     if chain > 1:

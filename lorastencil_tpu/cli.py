@@ -170,7 +170,8 @@ def main(argv=None) -> int:
     )
     res = metrics.bench_result(
         spec, interior, steps, secs,
-        "xla-df64" if eng.df64 else eng.backend, args.precision,
+        ("pallas-df64" if eng.df64_pallas
+         else "xla-df64" if eng.df64 else eng.backend), args.precision,
         args.repeats,
     )
     print(res.human(), flush=True)

@@ -246,18 +246,36 @@ class StencilEngine:
         self.df64 = config.dtype == "df64"
         self.dtype = jnp.dtype("float32" if self.df64 else config.dtype)
         if self.df64:
-            if config.backend not in ("auto", "xla"):
+            if config.backend not in ("auto", "xla", "pallas"):
                 raise ValueError(
-                    "dtype df64 runs its own XLA double-float path; "
-                    "backend must be 'auto' (the Pallas kernels compute "
-                    "in fp32 -- use dtype float32 for them)")
+                    f"unknown backend {config.backend!r} for dtype df64")
             if config.boundary != "dirichlet0":
                 raise ValueError(
                     "df64 implements the reference's dirichlet0 halo-"
                     "decay semantics only (use float64 off-TPU for "
                     "ghost-boundary fp64 runs)")
-            config = dataclasses.replace(config, backend="xla")
+            # 2-D df64 runs the Pallas pair kernel (window read once,
+            # error-free tap chain in VMEM -- ops/pallas_df64.py); 1-D
+            # and 3-D keep the XLA dense pair path (ops/df64.py)
+            want_pallas = spec.ndim == 2 and config.backend != "xla"
+            if config.backend == "pallas" and not want_pallas:
+                raise ValueError(
+                    "the df64 Pallas kernel is 2-D only; 1-D/3-D df64 "
+                    "runs the XLA pair path (backend 'auto'/'xla')")
+            self.df64_algorithm = ("vpu_roll"
+                                   if config.algorithm == "auto"
+                                   else config.algorithm)
+            if want_pallas and self.df64_algorithm not in ("vpu",
+                                                           "vpu_roll"):
+                raise ValueError(
+                    f"df64 kernel algorithm must be 'auto', 'vpu' or "
+                    f"'vpu_roll', got {config.algorithm!r} (no error-"
+                    f"free product path exists on the MXU)")
+            config = dataclasses.replace(
+                config, backend="pallas" if want_pallas else "xla",
+                algorithm="auto")
             self.config = config
+        self.df64_pallas = self.df64 and config.backend == "pallas"
         if self.dtype == jnp.float64 and not jax.config.read("jax_enable_x64"):
             raise ValueError(
                 "dtype float64 needs jax_enable_x64 (JAX truncates to "
@@ -490,6 +508,19 @@ class StencilEngine:
                     *interior,
                     mxu_residue=(self.algorithm.startswith("mxu")
                                  and bool(spec.residue)))
+                if self.df64_pallas and self.interpret:
+                    # interpret mode inlines a single-tile grid's trip-1
+                    # emulation loop and XLA:CPU's elemental fusion then
+                    # re-expands the deep df64 tap chain per use --
+                    # compile explodes (>5 min vs ~2 s at >= 2 tiles).
+                    # Split the tile so the grid loop survives.
+                    tm, tn = tile
+                    if -(-interior[0] // tm) * -(-interior[1] // tn) == 1:
+                        if tm >= 2 * SUBLANE:
+                            tm = SUBLANE * (-(-(tm // SUBLANE) // 2))
+                        elif tn >= 2 * LANE:
+                            tn = LANE * (-(-(tn // LANE) // 2))
+                    tile = (tm, tn)
             k = self._fused_k() if self.backend != "xla" else 1
             if self._fusion_mode() == "skew":
                 # the output stripe lags the input band by k*s rows,
@@ -654,8 +685,8 @@ class StencilEngine:
             algorithm=alg3, fused_steps=fused_k, bounds=bounds)
 
     def _fused_k(self) -> int:
-        if self.backend == "xla":
-            return 1
+        if self.backend == "xla" or self.df64:
+            return 1  # the df64 pair kernel is single-step (for now)
         if self.spec.ndim == 2 and self._fusion_mode() == "skew":
             k = self.config.fused_steps or 2
             # col-guard creep bounds k (k*radius <= 128; __init__
@@ -714,7 +745,17 @@ class StencilEngine:
             return 1
         return min(k, LANE // max(1, self.spec.radius))
 
+    def _df64_step(self, cur, donor, fused_k: int = 1):
+        from .ops import pallas_df64
+
+        del fused_k  # single-step kernel
+        return pallas_df64.df64_step(
+            cur, donor, self.spec, self.layout,
+            interpret=self.interpret, algorithm=self.df64_algorithm)
+
     def _run_internal(self, state, steps: int):
+        if self.df64_pallas:
+            return ping_pong_loop(self._df64_step, state, steps, 1)
         if self.df64:
             from .ops import df64 as _df64
 
@@ -750,7 +791,18 @@ class StencilEngine:
         if self.df64:
             from .ops import df64 as _df64
             # host split: fp64 never reaches the device
-            return jnp.asarray(_df64.split_host(np.asarray(padded)))
+            s2 = _df64.split_host(np.asarray(padded))
+            if self.df64_pallas:
+                # pair planes on the internal 2-D layout (guard ring
+                # holds the user halo for step 1, zeros beyond); one
+                # jitted embed -- eager ops over a tunneled TPU are
+                # pathological (CLAUDE.md rule 1)
+                if not hasattr(self, "_df64_embed_jit"):
+                    self._df64_embed_jit = jax.jit(lambda s: jnp.stack(
+                        [self.layout.to_internal(s[0]),
+                         self.layout.to_internal(s[1])]))
+                return self._df64_embed_jit(s2)
+            return jnp.asarray(s2)
         if self.backend == "xla":
             return jnp.asarray(padded, dtype=self.dtype)
         return self.layout.to_internal(padded, dtype=self.dtype)
@@ -758,7 +810,12 @@ class StencilEngine:
     def from_internal(self, state):
         if self.df64:
             from .ops import df64 as _df64
-            return _df64.merge_host(np.asarray(state))
+            state = np.asarray(state)
+            if self.df64_pallas:
+                state = np.stack([
+                    np.asarray(self.layout.from_internal(state[0])),
+                    np.asarray(self.layout.from_internal(state[1]))])
+            return _df64.merge_host(state)
         if self.backend == "xla":
             return state
         return self.layout.from_internal(state)

@@ -1,0 +1,295 @@
+"""df64 (double-float) 2-D stencil Pallas kernel: fp64-GRADE on the TPU
+at kernel speed.
+
+The XLA df64 path (ops/df64.py) re-reads ~4 HBM planes per tap group and
+is HBM-bound; this kernel is the TPU answer to the reference's "fp64
+stencils at tensor-core rate" thesis (``/root/reference/src/1d/1d_utils.h:44``
+``DATA_TYPE double``; fp64 WMMA kernels ``src/2d/gpu.cu:31-273``): the
+(hi, lo) window streams into VMEM ONCE per tile (double-buffered DMA, the
+same pipeline as the fp32 kernel) and the whole error-free tap chain --
+Veltkamp-split exact partial products, TwoSum accumulation, ~30 VPU
+flops/tap/cell (ops/df64.py's dense_step semantics) -- runs on VMEM
+values.  HBM traffic drops to the fp32 kernel's 2x (pair state), so the
+measured ceiling is the VPU flop rate, not bandwidth.
+
+Numerics: identical formulation to ops/df64.dense_step (the tap body is
+built so FMA contraction CANNOT change any value -- every runtime product
+is exact, rounded correction terms only enter plain adds); state is
+stacked (2, Mp, Np) fp32 (hi, lo) pairs on the engine's internal 2-D
+layout.  Accuracy contract ~1e-14/step, verified on device
+(tests/test_df64.py gates interpret mode; PERF.md records the device run).
+
+Algorithms:
+  * 'vpu_roll' (default): shifted operands as (8,128)-aligned cyclic
+    ``pltpu.roll`` at the full window extent (Mosaic lowers misaligned
+    sub-extent slices to costlier rotate+select chains; wrap garbage
+    creeps <= radius into the guard margin and the final interior slice
+    cuts it off -- the fp32 kernel's round-2 argument);
+  * 'vpu': statically shifted window slices at the tile extent (less
+    arithmetic, costlier shifts -- measure per device).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.shapes import StencilSpec
+from .df64 import df_add, two_sum, veltkamp_split
+from .layout import Layout2D
+
+
+def _tap_table(spec: StencilSpec):
+    """Static per-tap constants: (dr, dc, w_h, w_l, b_h, b_l) with
+    w_h + w_l == the fp64 tap exactly and b_h + b_l == w_h exactly on
+    <= 12 mantissa bits each (Veltkamp halves -- partial products with
+    12-bit state halves are exact in fp32)."""
+    S = spec.dense_coeffs()
+    r = spec.radius
+    taps = []
+    for idx in np.argwhere(np.abs(S) > 0):
+        w64 = np.float64(S[tuple(idx)])
+        wh = np.float32(w64)
+        wl = np.float32(w64 - np.float64(wh))
+        bh, bl = veltkamp_split(wh)  # NumPy in, NumPy out
+        taps.append((int(idx[0]) - r, int(idx[1]) - r,
+                     float(wh), float(wl), float(bh), float(bl)))
+    return tuple(taps)
+
+
+def _tap_product(xs, xl2, xlo, x, tap):
+    """Exact-partial-product df64 multiply of a shifted state pair by a
+    static tap (ops/df64.dense_step's one_tap body; see its FMA-hazard
+    docstring -- contraction cannot change any value here)."""
+    _, _, w_h, w_l, b_h, b_l = tap
+    q1 = xs * b_h
+    q3 = xl2 * b_h
+    c = xlo * w_h
+    if w_l != 0.0:
+        c = c + x * w_l
+    if b_l != 0.0:
+        q2 = xs * b_l
+        q4 = xl2 * b_l
+        t1, u1 = two_sum(q2, q3)
+        ph, pe = two_sum(q1, t1)
+        pl_ = pe + ((u1 + q4) + c)
+    else:
+        ph, pe = two_sum(q1, q3)
+        pl_ = pe + c
+    return ph, pl_
+
+
+def _df64_kernel(
+    in_hbm,
+    donor_hbm,  # aliased to out; never read
+    *rest,
+    spec: StencilSpec,
+    layout: Layout2D,
+    taps,
+    algorithm: str,
+    has_bounds: bool,
+):
+    bounds_ref = None
+    if has_bounds:
+        bounds_ref = rest[0]
+        rest = rest[1:]
+    out_hbm = rest[0]
+    win = rest[1]       # (2, 2, TM+2HR, TN+2HC) dbl-buffered pair windows
+    out_tile = rest[2]  # (2, 2, TM, TN)
+    sem_in = rest[3]
+    sem_out = rest[4]
+
+    TM, TN = layout.tile
+    m, n = layout.interior
+    r0, c0 = layout.origin
+    HR, HC = layout.guard
+    WR, WC = TM + 2 * HR, TN + 2 * HC
+
+    gi, gj = layout.grid
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    idx = ti * gj + tj
+    total = gi * gj
+    slot = jax.lax.rem(idx, jnp.int32(2))
+
+    def in_dma(t_i, t_j, s):
+        return pltpu.make_async_copy(
+            in_hbm.at[
+                :,
+                pl.ds(r0 + t_i * TM - HR, WR),
+                pl.ds(c0 + t_j * TN - HC, WC),
+            ],
+            win.at[s],
+            sem_in.at[s],
+        )
+
+    def out_dma(t_i, t_j, s):
+        return pltpu.make_async_copy(
+            out_tile.at[s],
+            out_hbm.at[:, pl.ds(r0 + t_i * TM, TM),
+                       pl.ds(c0 + t_j * TN, TN)],
+            sem_out.at[s],
+        )
+
+    # double-buffered window prefetch (the fp32 kernel's pipeline)
+    @pl.when(idx == 0)
+    def _prologue():
+        in_dma(0, 0, 0).start()
+
+    nidx = idx + 1
+    nti = jax.lax.div(nidx, jnp.int32(gj))
+    ntj = jax.lax.rem(nidx, jnp.int32(gj))
+
+    @pl.when(nidx < total)
+    def _prefetch():
+        in_dma(nti, ntj, jax.lax.rem(nidx, jnp.int32(2))).start()
+
+    in_dma(ti, tj, slot).wait()
+
+    W = win[pl.ds(slot, 1)][0]  # (2, WR, WC)
+    hi, lo = W[0], W[1]
+    # hoisted exact halves of hi (shared by every tap's partials)
+    his, hil = veltkamp_split(hi)
+
+    if has_bounds:
+        b_rlo, b_rhi = bounds_ref[0], bounds_ref[1]
+        b_clo, b_chi = bounds_ref[2], bounds_ref[3]
+    else:
+        b_rlo, b_rhi, b_clo, b_chi = 0, m, 0, n
+
+    def mask(val, er, ec):
+        R, C = TM + 2 * er, TN + 2 * ec
+        gr = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) + ti * TM - er
+        gc = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1) + tj * TN - ec
+        val = val * ((gr >= b_rlo) & (gr < b_rhi)).astype(val.dtype)
+        return val * ((gc >= b_clo) & (gc < b_chi)).astype(val.dtype)
+
+    if algorithm == "vpu_roll":
+        # aligned cyclic rolls at the full window extent; row rolls of
+        # the four state views are memoized across taps sharing dr
+        views = (his, hil, lo, hi)
+        rowroll = {}
+
+        def rolled(dr, dc):
+            if (dr, 0) not in rowroll:
+                rowroll[(dr, 0)] = tuple(
+                    pltpu.roll(v, (-dr) % WR, 0) if dr else v
+                    for v in views)
+            vs = rowroll[(dr, 0)]
+            if dc:
+                vs = tuple(pltpu.roll(v, (-dc) % WC, 1) for v in vs)
+            return vs
+
+        acc_h = jnp.zeros((WR, WC), jnp.float32)
+        acc_l = jnp.zeros((WR, WC), jnp.float32)
+        for tap in taps:
+            xs, xl2, xlo, x = rolled(tap[0], tap[1])
+            ph, pl_ = _tap_product(xs, xl2, xlo, x, tap)
+            acc_h, acc_l = df_add(acc_h, acc_l, ph, pl_)
+        acc_h = mask(acc_h, HR, HC)[HR: HR + TM, HC: HC + TN]
+        acc_l = mask(acc_l, HR, HC)[HR: HR + TM, HC: HC + TN]
+    else:  # 'vpu': statically shifted slices at the tile extent
+        acc_h = jnp.zeros((TM, TN), jnp.float32)
+        acc_l = jnp.zeros((TM, TN), jnp.float32)
+        for tap in taps:
+            dr, dc = tap[0], tap[1]
+            sl = (slice(HR + dr, HR + dr + TM),
+                  slice(HC + dc, HC + dc + TN))
+            ph, pl_ = _tap_product(his[sl], hil[sl], lo[sl], hi[sl], tap)
+            acc_h, acc_l = df_add(acc_h, acc_l, ph, pl_)
+        acc_h = mask(acc_h, 0, 0)
+        acc_l = mask(acc_l, 0, 0)
+
+    @pl.when(idx >= 2)
+    def _drain_prev():
+        pti = jax.lax.div(idx - 2, jnp.int32(gj))
+        ptj = jax.lax.rem(idx - 2, jnp.int32(gj))
+        out_dma(pti, ptj, slot).wait()
+
+    out_tile[slot, 0] = acc_h
+    out_tile[slot, 1] = acc_l
+    out_dma(ti, tj, slot).start()
+
+    for q in range(2):
+        @pl.when((idx == total - 1) & (total >= q + 1))
+        def _drain_tail(q=q):
+            pti = jax.lax.div(idx - q, jnp.int32(gj))
+            ptj = jax.lax.rem(idx - q, jnp.int32(gj))
+            out_dma(pti, ptj, jax.lax.rem(idx - q, jnp.int32(2))).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "layout", "interpret", "algorithm"),
+)
+def df64_step(
+    cur2: jax.Array,
+    donor2: jax.Array,
+    spec: StencilSpec,
+    layout: Layout2D,
+    interpret: bool = False,
+    algorithm: str = "vpu_roll",
+    bounds: "jax.Array | None" = None,
+) -> jax.Array:
+    """One df64 stencil step on stacked (2, Mp, Np) fp32 internal state.
+
+    ``donor2`` is the zero-ringed spare buffer (aliased to the output:
+    halo cells decay to zero after the step, reference semantics).
+    ``bounds`` (optional, (4,) int32): dynamic global-interior bounds in
+    local coordinates for domain-decomposed runs."""
+    layout.validate()
+    assert cur2.ndim == 3 and cur2.shape[0] == 2, cur2.shape
+    assert cur2.dtype == jnp.float32
+    if interpret and layout.grid == (1, 1):
+        # XLA:CPU inlines the trip-1 grid-emulation loop and its
+        # elemental fusion re-expands the df64 tap chain per use --
+        # compile time explodes (>5 min vs ~2 s at >= 2 tiles; the
+        # engine splits default tiles, see StencilEngine._build_layout)
+        raise ValueError(
+            "df64 interpret mode needs a >= 2-tile grid (single-tile "
+            "grids hit an XLA:CPU compile blowup); split the tile or "
+            "use backend='xla'")
+    if algorithm not in ("vpu", "vpu_roll"):
+        raise ValueError(
+            f"df64 kernel algorithm must be 'vpu' or 'vpu_roll', got "
+            f"{algorithm!r} (the MXU has no error-free product path)")
+    assert spec.radius <= min(layout.guard), "window guard < radius"
+    TM, TN = layout.tile
+    taps = _tap_table(spec)
+    kernel = functools.partial(
+        _df64_kernel,
+        spec=spec, layout=layout, taps=taps, algorithm=algorithm,
+        has_bounds=bounds is not None,
+    )
+    bounds_args = [] if bounds is None else [jnp.asarray(bounds, jnp.int32)]
+    bounds_specs = [] if bounds is None else [
+        pl.BlockSpec(memory_space=pltpu.SMEM)]
+    HR, HC = layout.guard
+    return pl.pallas_call(
+        kernel,
+        grid=layout.grid,
+        out_shape=jax.ShapeDtypeStruct(cur2.shape, cur2.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2 + bounds_specs,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, TM + 2 * HR, TN + 2 * HC), jnp.float32),
+            pltpu.VMEM((2, 2, TM, TN), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={1: 0},
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit()),
+    )(cur2, donor2, *bounds_args)
+
+
+def _vmem_limit() -> int:
+    from .pallas_2d import vmem_limit_bytes
+
+    return vmem_limit_bytes()

@@ -118,8 +118,9 @@ def make_mesh(shape: Tuple[int, ...], axis_names=("x", "y"),
 class ShardedConfig:
     # devices per grid axis: (rows, cols) for 2-D/3-D plane meshes, (n,)
     # for 1-D, or (z, rows, cols) for 3-D meshes that also decompose the
-    # z axis (SURVEY section 5 long-context row; the z-sweep pipeline is
-    # the reference's 3-D scaling axis, /root/reference/src/3d/gpu_box.cu:126-139)
+    # z axis (SURVEY section 5 long-context row; the z-sweep pipeline
+    # is the reference's 3-D scaling axis,
+    # /root/reference/src/3d/gpu_box.cu:126-139)
     mesh_shape: Tuple[int, ...]
     tile: Optional[Tuple[int, int]] = None
     # state dtype in HBM: "float32" (exact) or "bfloat16" (throughput

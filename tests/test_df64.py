@@ -126,17 +126,24 @@ def test_df64_checksum_and_internal_api():
     cs = eng.run_checksum(g0, 2)
     # checksum sums each fp32 plane on device -- fp32 reduction noise
     assert abs(cs - out.sum()) <= 1e-3 * max(1.0, abs(out.sum()))
-    # internal round trip
+    # internal round trip (2-D df64 runs the Pallas pair kernel, so
+    # the pair planes live on the internal 2-D layout)
     state = eng.to_internal(g0)
-    assert state.shape == (2,) + g0.shape
+    assert eng.df64_pallas
+    assert state.shape == (2,) + eng.layout.shape
     out2 = eng.from_internal(eng.run_internal(state, 2))
     assert np.abs(out2 - out).max() <= 1e-12 * max(1.0, np.abs(out).max())
 
 
 def test_df64_config_guards():
+    # the df64 Pallas pair kernel is 2-D only (ops/pallas_df64.py);
+    # 1-D/3-D df64 runs the XLA pair path
+    with pytest.raises(ValueError, match="2-D only"):
+        engine.StencilEngine.for_shape(
+            "1d1r", (300,), dtype="df64", backend="pallas")
     with pytest.raises(ValueError, match="backend"):
         engine.StencilEngine.for_shape(
-            "star2d1r", (40, 200), dtype="df64", backend="pallas")
+            "star2d1r", (40, 200), dtype="df64", backend="mxu")
     with pytest.raises(ValueError, match="dirichlet0"):
         engine.StencilEngine.for_shape(
             "star2d1r", (40, 200), dtype="df64", boundary="periodic")
@@ -175,13 +182,17 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def test_suite_run_config_df64():
     """benchmarks.suite.run_config measures the df64 tier (pair-shaped
-    state, xla-df64 tag)."""
+    state; the 2-D Pallas pair kernel tags its algorithm, the 1-D XLA
+    pair path keeps the xla-df64 tag)."""
     sys.path.insert(0, REPO_ROOT)
     from benchmarks.suite import run_config
 
     r = run_config("star2d1r", (64, 128), 2, dtype="df64")
-    assert r.backend == "xla-df64"
+    assert r.backend == "pallas-df64-vpu_roll"
     assert r.gcells_per_s > 0
+    r1 = run_config("1d1r", (4096,), 2, dtype="df64")
+    assert r1.backend == "xla-df64"
+    assert r1.gcells_per_s > 0
 
 
 def test_suite_gate_tiers(tmp_path):
@@ -203,6 +214,10 @@ def test_suite_gate_tiers(tmp_path):
         dict(shape="star2d1r", interior=[8192, 8192], steps=256,
              gcells_per_s=2.0, backend="xla-df64",
              backend_platform="tpu"),
+        # the Pallas pair kernel shares the df64 tier with the XLA path
+        dict(shape="star2d1r", interior=[8192, 8192], steps=256,
+             gcells_per_s=6.0, backend="pallas-df64-vpu_roll",
+             backend_platform="tpu"),
         # fp64 CPU-tier and sharded rows must stay excluded
         dict(shape="star2d1r", interior=[8192, 8192], steps=256,
              gcells_per_s=1.0, backend="pallas-vpu_roll-float64",
@@ -217,7 +232,7 @@ def test_suite_gate_tiers(tmp_path):
     key = ("star2d1r", (8192, 8192), 256)
     assert best[("fp32",) + key] == 60.0
     assert best[("bf16",) + key] == 99.0
-    assert best[("df64",) + key] == 2.0
+    assert best[("df64",) + key] == 6.0  # best across xla/pallas pair paths
     assert len(best) == 3  # float64/sharded rows excluded
 
 
@@ -227,3 +242,60 @@ def test_df64_cli_check(capsys):
     out = capsys.readouterr().out
     assert rc == 0, out
     assert "Correct!" in out
+
+
+# -- the 2-D Pallas pair kernel (ops/pallas_df64.py) --------------------------
+@pytest.mark.parametrize("alg", ["vpu_roll", "vpu"])
+def test_df64_pallas_kernel_accuracy(alg):
+    """Both kernel algorithms hold ~1e-14/step vs the fp64 ground truth
+    (the engine battery covers 'auto'; this pins each algorithm)."""
+    spec = shapes.get_shape("star2d3r")
+    interior = (48, 256)
+    g0 = _padded_input(spec, interior, seed=41)
+    eng = engine.StencilEngine.for_shape(
+        "star2d3r", interior, dtype="df64", algorithm=alg)
+    assert eng.df64_pallas and eng.df64_algorithm == alg
+    got = eng.run(g0, 4)
+    want = reference.run(g0, spec, 4)
+    rel = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert rel < 1e-12, (alg, rel)
+
+
+def test_df64_pallas_unaligned_interior():
+    """Tile round-up: interior not a multiple of the tile -- the bounds
+    mask must zero the fake cells (they alias the output guard ring)."""
+    spec = shapes.get_shape("box2d1r")
+    interior = (40, 200)  # rounds up in both axes at any (8k, 128k) tile
+    g0 = _padded_input(spec, interior, seed=42)
+    eng = engine.StencilEngine.for_shape(
+        "box2d1r", interior, dtype="df64", tile=(16, 128))
+    got = eng.run(g0, 3)
+    want = reference.run(g0, spec, 3)
+    assert np.abs(got - want).max() <= 1e-12 * max(1.0, np.abs(want).max())
+    h = spec.halo
+    assert np.all(got[: h[0]] == 0.0) and np.all(got[:, : h[1]] == 0.0)
+    assert np.all(got[-h[0]:] == 0.0) and np.all(got[:, -h[1]:] == 0.0)
+
+
+def test_df64_pallas_interpret_single_tile_guard():
+    """Interpret mode + a single-tile grid is an XLA:CPU compile blowup
+    (trip-1 grid loop inlined, elemental fusion re-expands the df64
+    chain): the kernel refuses loudly, and the engine's default layout
+    splits the tile instead of hitting the guard."""
+    from lorastencil_tpu.ops import pallas_df64
+    from lorastencil_tpu.ops.layout import Layout2D
+    import jax.numpy as jnp
+
+    spec = shapes.get_shape("star2d1r")
+    lay = Layout2D(interior=(8, 128), halo=spec.halo, tile=(8, 128),
+                   guard=(8, 128))
+    cur = jnp.zeros((2,) + lay.shape, jnp.float32)
+    with pytest.raises(ValueError, match="2-tile grid"):
+        pallas_df64.df64_step(cur, jnp.zeros_like(cur), spec, lay,
+                              interpret=True)
+    # engine default layouts never produce a single-tile interpret grid
+    for interior in ((64, 256), (8, 256), (40, 200)):
+        eng = engine.StencilEngine.for_shape(
+            "star2d1r", interior, dtype="df64")
+        gi, gj = eng.layout.grid
+        assert gi * gj >= 2, (interior, eng.layout.tile)
