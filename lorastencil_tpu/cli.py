@@ -196,10 +196,12 @@ def _run_sharded(p, args, spec, interior, steps, grid0, tile) -> int:
     if len(mesh_shape) != want_axes:
         p.error(f"--mesh for {args.shape} needs {want_axes} integer(s), "
                 f"got {len(args.mesh)}")
-    if args.dtype in ("float64", "df64"):
-        p.error("--mesh supports float32/bfloat16 state (the fp64 tier "
-                "is the single-process CPU regime; df64 is the "
-                "single-chip correctness tier)")
+    if args.dtype == "float64":
+        p.error("--mesh supports float32/bfloat16/df64 state (the fp64 "
+                "tier is the single-process CPU regime)")
+    if args.dtype == "df64" and spec.ndim != 2:
+        p.error("--mesh with --dtype df64 is 2-D only (the Pallas pair "
+                "kernel; 1-D/3-D df64 runs single-chip)")
     if args.autotune:
         p.error("--autotune tunes the single-chip engine; pass --tile/"
                 "--fused-steps explicitly with --mesh")

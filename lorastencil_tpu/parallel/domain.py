@@ -153,10 +153,10 @@ class ShardedConfig:
     residue_mxu: str = "auto"
 
     def __post_init__(self):
-        if self.dtype not in ("float32", "bfloat16"):
+        if self.dtype not in ("float32", "bfloat16", "df64"):
             raise ValueError(
-                f"sharded dtype must be 'float32' or 'bfloat16', got "
-                f"{self.dtype!r}")
+                f"sharded dtype must be 'float32', 'bfloat16' or "
+                f"'df64', got {self.dtype!r}")
         if self.boundary not in ("dirichlet0", "periodic", "reflect"):
             raise ValueError(
                 f"sharded boundary must be 'dirichlet0', 'periodic' or "
@@ -174,6 +174,10 @@ class ShardedStencil2D:
     def __init__(self, spec: StencilSpec, interior: Tuple[int, int],
                  config: ShardedConfig, mesh: Optional[Mesh] = None):
         assert spec.ndim == 2
+        if config.dtype == "df64" and type(self) is ShardedStencil2D:
+            raise ValueError(
+                "dtype='df64' pair state needs ShardedStencilDF64 "
+                "(sharded_engine routes there)")
         self.spec = spec
         self.config = config
         _check_reflect_fused(spec, config)
@@ -629,6 +633,157 @@ class ShardedStencil2D:
         return self._checksum_jit(padded, steps=steps)
 
 
+class ShardedStencilDF64(ShardedStencil2D):
+    """Domain-decomposed fp64-GRADE 2-D stencil: double-float fp32 pair
+    state over a device mesh.
+
+    The reference's native-fp64 regime
+    (/root/reference/src/1d/1d_utils.h:44, src/2d/gpu.cu:31-273) is
+    strictly single-GPU; scaling it is new TPU capability.  State is a
+    stacked (2, dx*Mp, dy*Np) fp32 array sharded P(None, 'x', 'y'): the
+    hi/lo planes ride the SAME two-phase ppermute halo exchange as the
+    fp32 tier (vmapped over the pair axis, so each phase stays one
+    collective with a doubled payload), and each device runs the Pallas
+    pair kernel (ops/pallas_df64.py) on its local block with the
+    dynamic global-interior bounds.
+
+    Tier boundaries (loud errors, mirroring the single-device engine):
+    dirichlet0 only, fused_steps == 1 (the pair kernel is single-step),
+    2-D only (1-D/3-D sharded df64 raises in sharded_engine), and no
+    exchange/compute overlap (the pair kernel takes no region calls) --
+    the ring-in-output dataflow (_local_step_ringout) is used instead,
+    so the +175% exchange-into-input copy cliff is still avoided.
+    """
+
+    def __init__(self, spec: StencilSpec, interior: Tuple[int, int],
+                 config: ShardedConfig, mesh: Optional[Mesh] = None):
+        from ..ops.layout import LANE, SUBLANE
+
+        if config.dtype != "df64":
+            raise ValueError("ShardedStencilDF64 needs dtype='df64'")
+        if config.boundary != "dirichlet0":
+            raise ValueError(
+                "sharded df64 implements the reference's dirichlet0 "
+                "halo-decay semantics only (the engine contract; use "
+                "float64 off-TPU for ghost-boundary fp64 runs)")
+        if max(1, config.fused_steps) != 1:
+            raise ValueError(
+                "sharded df64 needs fused_steps=1 (the pair kernel is "
+                "single-step)")
+        alg = "vpu_roll" if config.algorithm == "auto" else config.algorithm
+        if alg not in ("vpu", "vpu_roll"):
+            raise ValueError(
+                f"df64 kernel algorithm must be 'auto', 'vpu' or "
+                f"'vpu_roll', got {config.algorithm!r} (no error-free "
+                f"product path exists on the MXU)")
+        self.df64_algorithm = alg
+        base = dataclasses.replace(config, dtype="float32", algorithm=alg)
+        super().__init__(spec, interior, base, mesh)
+        if self.interpret and self.layout.grid == (1, 1):
+            # interpret mode inlines a single-tile grid's trip-1
+            # emulation loop and XLA:CPU's elemental fusion re-expands
+            # the df64 tap chain per use -- compile explodes (>5 min vs
+            # ~2 s at >= 2 tiles; same split as the single-device
+            # engine, StencilEngine._build_layout)
+            tm, tn = self.layout.tile
+            if tm >= 2 * SUBLANE:
+                tm = SUBLANE * (-(-(tm // SUBLANE) // 2))
+            elif tn >= 2 * LANE:
+                tn = LANE * (-(-(tn // LANE) // 2))
+            else:
+                raise ValueError(
+                    "df64 interpret mode needs a >= 2-tile local grid "
+                    "(single-tile grids hit an XLA:CPU compile blowup); "
+                    "grow the local block or set config.tile")
+            super().__init__(spec, interior,
+                             dataclasses.replace(base, tile=(tm, tn)),
+                             mesh)
+
+    # -- per-device step (pair state) -------------------------------------
+    def _local_step(self, cur2, donor2, fused_k):
+        from ..ops import pallas_df64
+
+        cur2 = jax.vmap(self._exchange)(cur2)
+        return pallas_df64.df64_step(
+            cur2, donor2, self.spec, self.layout,
+            interpret=self.interpret, algorithm=self.df64_algorithm,
+            bounds=self._bounds())
+
+    def _local_step_ringout(self, cur2, donor2, fused_k):
+        """Ring-in-output pass: cur2's ring already holds this pass's
+        neighbor data; the fresh output's edge strips exchange after the
+        kernel and the received ring lands in the (uniquely owned)
+        output, ready for the next pass."""
+        from ..ops import pallas_df64
+
+        out2 = pallas_df64.df64_step(
+            cur2, donor2, self.spec, self.layout,
+            interpret=self.interpret, algorithm=self.df64_algorithm,
+            bounds=self._bounds())
+        parts = jax.vmap(self._exchange_strips)(out2)
+        return jax.vmap(self._write_ring)(out2, parts)
+
+    def _run(self, state2, steps: int):
+        """state2: (2, dx*Mp, dy*Np) fp32 pair stack, P(None, 'x', 'y')."""
+        from jax import shard_map
+
+        from ..engine import ping_pong_loop
+
+        step_fn = (self._local_step_ringout if self.config.overlap
+                   else self._local_step)
+
+        def body_fn(local2):
+            return ping_pong_loop(step_fn, local2, steps, 1)
+
+        fn = shard_map(
+            body_fn, mesh=self.mesh,
+            in_specs=P(None, "x", "y"), out_specs=P(None, "x", "y"),
+            check_vma=False,
+        )
+        return fn(state2)
+
+    # -- user API ---------------------------------------------------------
+    def to_sharded(self, pair):
+        """(2, gm+2h, gn+2h) fp32 hi/lo planes (ops/df64.split_host) ->
+        sharded (2, dx*Mp, dy*Np) pair stack."""
+        embed = ShardedStencil2D.to_sharded
+        out = jnp.stack([embed(self, pair[0]), embed(self, pair[1])])
+        return jax.lax.with_sharding_constraint(
+            out, NamedSharding(self.mesh, P(None, "x", "y")))
+
+    def from_sharded(self, state2):
+        extract = ShardedStencil2D.from_sharded
+        return jnp.stack([extract(self, state2[0]),
+                          extract(self, state2[1])])
+
+    def run(self, padded, steps: int):
+        """User global fp64 padded array in, fp64 NumPy out (pair
+        split/merge on the host; one jitted program in between)."""
+        from ..ops import df64 as _df64
+
+        pair = _df64.split_host(np.asarray(padded))
+        if not hasattr(self, "_full_jit"):
+            self._full_jit = jax.jit(
+                lambda p, steps: self.from_sharded(
+                    self._run(self.to_sharded(p), steps)),
+                static_argnames=("steps",),
+            )
+        return _df64.merge_host(np.asarray(self._full_jit(pair,
+                                                          steps=steps)))
+
+    def run_checksum(self, padded, steps: int):
+        from ..ops import df64 as _df64
+
+        pair = _df64.split_host(np.asarray(padded))
+        if not hasattr(self, "_checksum_jit"):
+            self._checksum_jit = jax.jit(
+                lambda p, steps: jnp.sum(
+                    self._run(self.to_sharded(p), steps)),
+                static_argnames=("steps",),
+            )
+        return self._checksum_jit(pair, steps=steps)
+
+
 class ShardedStencil3D:
     """Domain-decomposed 3-D stencil.  ``mesh_shape=(dx, dy)`` shards the
     (row, col) plane axes over a 2-D mesh (the in-kernel z sweep stays
@@ -645,6 +800,10 @@ class ShardedStencil3D:
         assert spec.ndim == 3
         from ..ops.layout import LANE, SUBLANE, Layout3D, default_tile_3d
 
+        if config.dtype == "df64":
+            raise ValueError(
+                "sharded df64 is 2-D only (the Pallas pair kernel); "
+                "run 3-D df64 single-device via StencilEngine")
         self.spec = spec
         self.config = config
         _check_reflect_fused(spec, config)
@@ -1245,6 +1404,10 @@ class ShardedStencil1D:
         from ..ops import pallas_1d
         from ..ops.layout import LANE, SUBLANE, Layout1D, Layout1DLanes
 
+        if config.dtype == "df64":
+            raise ValueError(
+                "sharded df64 is 2-D only (the Pallas pair kernel); "
+                "run 1-D df64 single-device via StencilEngine")
         self.spec = spec
         self.config = config
         _check_reflect_fused(spec, config)
@@ -1577,6 +1740,16 @@ def sharded_engine(shape, interior, mesh_shape, **kw):
     ``StencilSpec`` (e.g. from ``StencilEngine.for_coeffs(...).spec``)."""
     spec = shape if isinstance(shape, StencilSpec) else get_shape(shape)
     cfg = ShardedConfig(mesh_shape=tuple(mesh_shape), **kw)
+    if cfg.dtype == "df64":
+        # sharded df64 is 2-D only: the Pallas pair kernel
+        # (ops/pallas_df64.py) is 2-D; 1-D/3-D df64 runs single-device
+        # via StencilEngine's XLA pair path (documented tier boundary)
+        if spec.ndim != 2:
+            raise ValueError(
+                f"sharded df64 is 2-D only (the Pallas pair kernel); "
+                f"run {spec.ndim}-D df64 single-device via "
+                f"StencilEngine(dtype='df64')")
+        return ShardedStencilDF64(spec, tuple(interior), cfg)
     if spec.ndim == 3:
         return ShardedStencil3D(spec, tuple(interior), cfg)
     if spec.ndim == 1:

@@ -299,3 +299,118 @@ def test_df64_pallas_interpret_single_tile_guard():
             "star2d1r", interior, dtype="df64")
         gi, gj = eng.layout.grid
         assert gi * gj >= 2, (interior, eng.layout.tile)
+
+
+# -- sharded df64 (pair state through the halo exchange) ---------------------
+@pytest.mark.parametrize("name,mesh_shape", [
+    ("star2d1r", (2, 2)), ("star2d3r", (1, 2)), ("box2d3r", (2, 2)),
+    ("star2d1r", (4, 2)),
+])
+def test_sharded_df64_matches_fp64_reference(name, mesh_shape):
+    """Domain-decomposed df64: the hi/lo planes ride the fp32 tier's
+    two-phase ppermute exchange; accuracy must stay fp64-grade across
+    device boundaries and corners."""
+    from lorastencil_tpu.parallel import domain
+
+    spec = shapes.get_shape(name)
+    interior = (16 * mesh_shape[0], 128 * mesh_shape[1])
+    g0 = _padded_input(spec, interior, seed=77)
+    sh = domain.sharded_engine(name, interior, mesh_shape, dtype="df64")
+    assert isinstance(sh, domain.ShardedStencilDF64)
+    got = sh.run(g0, 3)
+    assert got.dtype == np.float64
+    want = reference.run(g0, spec, 3)
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 1e-12, (name, mesh_shape, rel)
+
+
+def test_sharded_df64_nondivisible_and_sequential():
+    """Block-padded non-divisible grids, both dataflows (ring-in-output
+    default and the explicit overlap=False sequential exchange)."""
+    from lorastencil_tpu.parallel import domain
+
+    spec = shapes.get_shape("star2d1r")
+    interior = (30, 300)
+    g0 = _padded_input(spec, interior, seed=3)
+    want = reference.run(g0, spec, 4)
+    for overlap in (True, False):
+        sh = domain.sharded_engine("star2d1r", interior, (2, 2),
+                                   dtype="df64", overlap=overlap)
+        got = sh.run(g0, 4)
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 1e-12, (overlap, rel)
+
+
+def test_sharded_df64_beats_sharded_fp32():
+    """The sharded pair state must actually carry the extra mantissa
+    bits end-to-end (a downcast anywhere would still pass a loose
+    fp32-level comparison)."""
+    from lorastencil_tpu.parallel import domain
+
+    spec = shapes.get_shape("star2d1r")
+    interior = (32, 256)
+    g0 = _padded_input(spec, interior, seed=11)
+    want = reference.run(g0, spec, 5)
+    scale = np.abs(want).max()
+    sh64 = domain.sharded_engine("star2d1r", interior, (2, 2),
+                                 dtype="df64")
+    err64 = np.abs(sh64.run(g0, 5) - want).max() / scale
+    sh32 = domain.sharded_engine("star2d1r", interior, (2, 2))
+    err32 = np.abs(np.asarray(sh32.run(g0, 5), np.float64)
+                   - want).max() / scale
+    assert err64 < 1e-12
+    assert err32 > 1e-8  # fp32 noise floor for contrast
+    assert err64 < err32 * 1e-3
+
+
+def test_sharded_df64_checksum_matches_run():
+    from lorastencil_tpu.parallel import domain
+
+    spec = shapes.get_shape("star2d1r")
+    interior = (32, 256)
+    g0 = _padded_input(spec, interior, seed=13)
+    sh = domain.sharded_engine("star2d1r", interior, (2, 2), dtype="df64")
+    got = sh.run(g0, 2)
+    assert np.isfinite(got).all()
+    # the checksum is the timing/sync entry point (it sums the padded
+    # pair state INCLUDING the exchanged guard rings, like the fp32
+    # tier): finite and deterministic, not the interior sum
+    cs = float(sh.run_checksum(g0, 2))
+    assert np.isfinite(cs)
+    assert cs == float(sh.run_checksum(g0, 2))
+
+
+def test_sharded_df64_guards():
+    """Tier boundaries are loud: 1-D/3-D, ghost boundaries, fused
+    steps, MXU algorithms, and direct 2-D-class misuse all raise."""
+    from lorastencil_tpu.parallel import domain
+
+    with pytest.raises(ValueError, match="2-D only"):
+        domain.sharded_engine("1d1r", 4096, (8,), dtype="df64")
+    with pytest.raises(ValueError, match="2-D only"):
+        domain.sharded_engine("star3d1r", (6, 16, 256), (2, 2),
+                              dtype="df64")
+    with pytest.raises(ValueError, match="dirichlet0"):
+        domain.sharded_engine("star2d1r", (32, 256), (2, 2),
+                              dtype="df64", boundary="periodic")
+    with pytest.raises(ValueError, match="fused_steps=1"):
+        domain.sharded_engine("star2d1r", (32, 256), (2, 2),
+                              dtype="df64", fused_steps=2)
+    with pytest.raises(ValueError, match="error-free"):
+        domain.sharded_engine("star2d1r", (32, 256), (2, 2),
+                              dtype="df64", algorithm="mxu_hybrid1")
+    with pytest.raises(ValueError, match="ShardedStencilDF64"):
+        domain.ShardedStencil2D(
+            shapes.get_shape("star2d1r"), (32, 256),
+            domain.ShardedConfig(mesh_shape=(2, 2), dtype="df64"))
+
+
+def test_sharded_df64_cli_check(capsys):
+    rc = cli.main(["star2d1r", "32", "256", "3", "--dtype", "df64",
+                   "--mesh", "2", "2", "--check", "--repeats", "1"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "Correct!" in out
+    # 1-D/3-D df64 meshes refuse loudly
+    with pytest.raises(SystemExit):
+        cli.main(["1d1r", "4096", "3", "--dtype", "df64", "--mesh", "4"])
