@@ -447,12 +447,33 @@ class StencilEngine:
                                  self.dtype)
 
     def _fusion_mode(self) -> str:
-        """'extent' or 'skew' (2-D only; 'auto' resolves to 'extent'
-        until device measurements earn skew a per-shape default)."""
+        """'extent' or 'skew' (2-D only).  'auto' consults the
+        per-device autotune cache (autotune.cached_fusion): when the
+        measured params-stage winner for this exact operating point
+        chose the skew traversal with this engine's algorithm and
+        depth, auto adopts it; otherwise 'extent'.  Cache reads only
+        -- 'auto' never measures."""
+        if not hasattr(self, "_fusion_resolved"):
+            self._fusion_resolved = self._resolve_fusion()
+        return self._fusion_resolved
+
+    def _resolve_fusion(self) -> str:
         f = self.config.fusion
-        if f == "auto" or self.spec.ndim != 2:
+        if self.spec.ndim != 2:
             return "extent"
-        return f
+        if f != "auto":
+            return f
+        # skew's own operating constraints (mirrors the explicit
+        # fusion='skew' validation in __init__)
+        if (self.backend == "xla" or self.df64
+                or self.config.boundary != "dirichlet0"
+                or self.algorithm not in ("vpu_roll", "mxu_hybrid1")
+                or LANE // max(1, self.spec.radius) < 2):
+            return "extent"
+        from .utils.autotune import cached_fusion
+
+        return cached_fusion(self.spec, self.interior, self.algorithm,
+                             self.config.fused_steps, str(self.dtype))
 
     def _skew_stride(self) -> int:
         from .ops.pallas_2d import skew_stride

@@ -83,6 +83,30 @@ def _key(spec, interior, algorithm, fused_steps, dtype) -> str:
     ])
 
 
+def cached_fusion(spec, interior, algorithm, fused_steps,
+                  dtype) -> str:
+    """Read-only cache consult behind engine ``fusion='auto'`` (round-3
+    VERDICT item 8): 'skew' when the measured 2-D params-stage winner
+    for this (device kind, spec, interior, dtype) chose the time-skewed
+    traversal AT this algorithm and fusion depth, else 'extent'.  Skew
+    measured parity-at-best on v5e (PERF.md item 8), so it never wins
+    by default there -- but a device where it does win flips 'auto'
+    with no code change.  Never triggers a measurement or backend
+    attach beyond the device-kind probe."""
+    try:
+        key = _key(spec, tuple(interior), "params2d", "-", dtype)
+        rec = _load_cache().get(key) or {}
+    except Exception:
+        return "extent"
+    p = rec.get("params") or {}
+    if (p.get("fusion") == "skew"
+            and p.get("algorithm") == algorithm
+            and (fused_steps is None
+                 or p.get("fused_steps") == fused_steps)):
+        return "skew"
+    return "extent"
+
+
 def default_candidates_2d(interior) -> Tuple[Tuple[int, int], ...]:
     """A small measured-candidate set around the known-good geometry."""
     m, n = interior

@@ -152,3 +152,56 @@ def test_skew_layout_unaffected_elsewhere():
     # extra_row_tiles defaults to 0 and extent layouts are unchanged
     eng = engine.StencilEngine.for_shape("star2d1r", (40, 200))
     assert eng.layout.extra_row_tiles == 0
+
+
+def test_fusion_auto_consults_autotune_cache(tmp_path, monkeypatch):
+    """fusion='auto' is backed by the per-device autotune cache, not a
+    constant (round-3 VERDICT item 8): a cached params-stage skew win
+    at the engine's exact operating point flips auto to 'skew'; any
+    mismatch (algorithm, depth, no entry) resolves to 'extent'."""
+    import json
+
+    from lorastencil_tpu.utils import autotune
+
+    monkeypatch.setenv("LORASTENCIL_CACHE", str(tmp_path))
+    spec = shapes.get_shape("star2d1r")
+    interior = (70, 300)
+
+    # no cache entry -> extent
+    eng = engine.StencilEngine.for_shape("star2d1r", interior)
+    assert eng._fusion_mode() == "extent"
+
+    # plant a measured skew win at this operating point
+    key = autotune._key(spec, interior, "params2d", "-", "float32")
+    cache_file = tmp_path / "autotune.json"
+    cache_file.write_text(json.dumps({key: {"params": {
+        "algorithm": "vpu_roll", "fusion": "skew", "fused_steps": 2},
+        "secs": 1e-3}}))
+
+    # matching operating point adopts skew AND stays exact
+    eng = engine.StencilEngine.for_shape("star2d1r", interior,
+                                         algorithm="vpu_roll",
+                                         tile=(16, 128))
+    assert eng._fusion_mode() == "skew"
+    assert eng._fused_k() == 2
+    g0 = reference.random_padded(spec, interior, seed=11)
+    got = np.asarray(
+        eng.run(jnp.asarray(g0, jnp.float32), 5).astype(jnp.float32),
+        np.float64)
+    want = reference.run(g0, spec, 5)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
+
+    # different algorithm than the cached winner -> extent
+    eng = engine.StencilEngine.for_shape("star2d1r", interior)
+    assert eng.algorithm == "mxu_hybrid1"
+    assert eng._fusion_mode() == "extent"
+    # explicit depth differing from the cached winner -> extent
+    eng = engine.StencilEngine.for_shape("star2d1r", interior,
+                                         algorithm="vpu_roll",
+                                         fused_steps=4)
+    assert eng._fusion_mode() == "extent"
+    # ghost boundaries can't skew regardless of the cache
+    eng = engine.StencilEngine.for_shape("star2d1r", interior,
+                                         algorithm="vpu_roll",
+                                         boundary="periodic")
+    assert eng._fusion_mode() == "extent"
