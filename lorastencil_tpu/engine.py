@@ -46,6 +46,37 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _ring_refresh_nd(state, mode: str, origin, dims, d: int):
+    """Axis-by-axis ghost-ring fill (depth ``d``) around the box at
+    ``origin``/``dims``: 'periodic' copies the opposite interior edge,
+    'reflect' mirrors the same edge, 'zero' clears the ring.  Later axes
+    copy the already-written rings, so corners (and 3-D edges) compose
+    exactly like np.pad / the sharded two-phase exchange."""
+    ext = [slice(o, o + sdim) for o, sdim in zip(origin, dims)]
+    s = state
+    for a in range(len(ext)):
+        o, nd = origin[a], dims[a]
+
+        def at(sl_a, ext=tuple(ext), a=a):
+            t = list(ext)
+            t[a] = sl_a
+            return tuple(t)
+
+        head = s[at(slice(o, o + d))]
+        tail = s[at(slice(o + nd - d, o + nd))]
+        if mode == "reflect":
+            lsrc = jnp.flip(head, axis=a)
+            rsrc = jnp.flip(tail, axis=a)
+        elif mode == "periodic":
+            lsrc, rsrc = tail, head
+        else:
+            lsrc = rsrc = jnp.zeros_like(head)
+        s = s.at[at(slice(o - d, o))].set(lsrc)
+        s = s.at[at(slice(o + nd, o + nd + d))].set(rsrc)
+        ext[a] = slice(o - d, o + nd + d)
+    return s
+
+
 def resolve_algorithm(spec: StencilSpec, name: str,
                       dtype=jnp.float32) -> str:
     """Resolve algorithm='auto' per shape to the measured-fastest EXACT
@@ -249,11 +280,10 @@ class StencilEngine:
             if config.backend not in ("auto", "xla", "pallas"):
                 raise ValueError(
                     f"unknown backend {config.backend!r} for dtype df64")
-            if config.boundary != "dirichlet0":
-                raise ValueError(
-                    "df64 implements the reference's dirichlet0 halo-"
-                    "decay semantics only (use float64 off-TPU for "
-                    "ghost-boundary fp64 runs)")
+            # ghost boundaries (periodic/reflect) ride the same ring
+            # refresh as the fp32 tier, applied per pair plane: the
+            # refresh is pure copies/flips, so the (hi, lo) invariant is
+            # preserved exactly (round-4; previously a loud tier error)
             # 2-D df64 runs the Pallas pair kernel (window read once,
             # error-free tap chain in VMEM -- ops/pallas_df64.py); 1-D
             # and 3-D keep the XLA dense pair path (ops/df64.py)
@@ -294,7 +324,10 @@ class StencilEngine:
             raise ValueError(
                 f"boundary must be 'dirichlet0', 'periodic' or "
                 f"'reflect', got {config.boundary!r}")
-        if config.boundary != "dirichlet0" and config.backend == "xla":
+        if (config.boundary != "dirichlet0" and config.backend == "xla"
+                and not self.df64):
+            # (df64 is exempt: its 1-D/3-D tier runs the XLA pair path
+            # with a per-step padded-ring refresh, _ring_refresh_padded)
             raise ValueError(
                 f"{config.boundary} boundaries need the Pallas backend "
                 f"(the XLA reference path implements the reference's "
@@ -617,31 +650,22 @@ class StencilEngine:
             flat = flat.at[o + n: o + n + d].set(rsrc)
             return flat.reshape(state.shape)
 
-        origin = lay.origin
-        dims = lay.interior
-        ext = [slice(o, o + sdim) for o, sdim in zip(origin, dims)]
-        s = state
-        for a in range(self.spec.ndim):
-            o, nd = origin[a], dims[a]
+        return _ring_refresh_nd(state, mode, lay.origin, lay.interior, d)
 
-            def at(sl_a, ext=tuple(ext), a=a):
-                t = list(ext)
-                t[a] = sl_a
-                return tuple(t)
+    def _ring_refresh_pair(self, state2, mode: str):
+        """Ring refresh on stacked (2, *layout) df64 pair planes: pure
+        copies/flips per plane, so the (hi, lo) invariant is exact."""
+        return jnp.stack([self._ring_refresh(state2[0], mode),
+                          self._ring_refresh(state2[1], mode)])
 
-            head = s[at(slice(o, o + d))]
-            tail = s[at(slice(o + nd - d, o + nd))]
-            if mode == "reflect":
-                lsrc = jnp.flip(head, axis=a)
-                rsrc = jnp.flip(tail, axis=a)
-            elif mode == "periodic":
-                lsrc, rsrc = tail, head
-            else:
-                lsrc = rsrc = jnp.zeros_like(head)
-            s = s.at[at(slice(o - d, o))].set(lsrc)
-            s = s.at[at(slice(o + nd, o + nd + d))].set(rsrc)
-            ext[a] = slice(o - d, o + nd + d)
-        return s
+    def _ring_refresh_padded(self, state2, mode: str):
+        """Ghost refresh for the XLA pair path's REFERENCE-padded pair
+        state (no internal layout): origin = the spec halo, depth = the
+        radius (dense_step reads at most radius-deep halo cells)."""
+        return jnp.stack([
+            _ring_refresh_nd(state2[i], mode, self.spec.halo,
+                             self.interior, self.spec.radius)
+            for i in range(2)])
 
     def _ghost_bounds(self):
         """Validity bounds that keep the ghost ring alive through every
@@ -770,17 +794,31 @@ class StencilEngine:
         from .ops import pallas_df64
 
         del fused_k  # single-step kernel
+        bounds = None
+        if self.ghost:
+            cur = self._ring_refresh_pair(cur, self.config.boundary)
+            bounds = self._ghost_bounds()
         return pallas_df64.df64_step(
             cur, donor, self.spec, self.layout,
-            interpret=self.interpret, algorithm=self.df64_algorithm)
+            interpret=self.interpret, algorithm=self.df64_algorithm,
+            bounds=bounds)
 
     def _run_internal(self, state, steps: int):
         if self.df64_pallas:
-            return ping_pong_loop(self._df64_step, state, steps, 1)
+            out = ping_pong_loop(self._df64_step, state, steps, 1)
+            if self.ghost and steps > 0:
+                # masked-kernel writes inside the tile round-up region;
+                # the output halo contract is zeros (per pair plane)
+                out = self._ring_refresh_pair(out, "zero")
+            return out
         if self.df64:
             from .ops import df64 as _df64
 
-            return _df64.run(state, self.spec, steps)
+            refresh = None
+            if self.ghost:
+                mode = self.config.boundary
+                refresh = lambda s2: self._ring_refresh_padded(s2, mode)
+            return _df64.run(state, self.spec, steps, refresh=refresh)
         if (self.backend != "xla" and self.spec.ndim == 1 and steps > 0
                 and not self.ghost):
             from .ops import pallas_1d

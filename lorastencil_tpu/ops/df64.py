@@ -207,9 +207,19 @@ def dense_step(state2: jax.Array, spec: StencilSpec) -> jax.Array:
     return out.at[(slice(None),) + it].set(jnp.stack([acc_h, acc_l]))
 
 
-def run(state2: jax.Array, spec: StencilSpec, steps: int) -> jax.Array:
-    """``steps`` df64 stencil steps (trace-time constant step count)."""
+def run(state2: jax.Array, spec: StencilSpec, steps: int,
+        refresh=None) -> jax.Array:
+    """``steps`` df64 stencil steps (trace-time constant step count).
+
+    ``refresh`` (optional): a pair-state -> pair-state ghost-ring fill
+    applied before EVERY step (engine._ring_refresh_padded for
+    periodic/reflect boundaries -- pure copies/flips, so the (hi, lo)
+    invariant survives exactly); None keeps the reference's halo-decay
+    semantics (the step-one user halo, zeros afterwards)."""
     if steps <= 0:
         return state2
+    if refresh is None:
+        return jax.lax.fori_loop(
+            0, steps, lambda _, s: dense_step(s, spec), state2)
     return jax.lax.fori_loop(
-        0, steps, lambda _, s: dense_step(s, spec), state2)
+        0, steps, lambda _, s: dense_step(refresh(s), spec), state2)

@@ -647,8 +647,12 @@ class ShardedStencilDF64(ShardedStencil2D):
     pair kernel (ops/pallas_df64.py) on its local block with the
     dynamic global-interior bounds.
 
+    Boundary conditions: dirichlet0, periodic and reflect (the base
+    exchange's wrap/mirror machinery vmapped over the pair planes --
+    ring copies/flips are exact on (hi, lo) pairs).
+
     Tier boundaries (loud errors, mirroring the single-device engine):
-    dirichlet0 only, fused_steps == 1 (the pair kernel is single-step),
+    fused_steps == 1 (the pair kernel is single-step),
     2-D only (1-D/3-D sharded df64 raises in sharded_engine), and no
     exchange/compute overlap (the pair kernel takes no region calls) --
     the ring-in-output dataflow (_local_step_ringout) is used instead,
@@ -661,11 +665,10 @@ class ShardedStencilDF64(ShardedStencil2D):
 
         if config.dtype != "df64":
             raise ValueError("ShardedStencilDF64 needs dtype='df64'")
-        if config.boundary != "dirichlet0":
-            raise ValueError(
-                "sharded df64 implements the reference's dirichlet0 "
-                "halo-decay semantics only (the engine contract; use "
-                "float64 off-TPU for ghost-boundary fp64 runs)")
+        # ghost boundaries (periodic/reflect) inherit from the base
+        # exchange: _exchange/_write_ring wrap and mirror are vmapped
+        # over the pair planes, and ring copies/flips preserve the
+        # (hi, lo) invariant exactly (round-4; previously a tier error)
         if max(1, config.fused_steps) != 1:
             raise ValueError(
                 "sharded df64 needs fused_steps=1 (the pair kernel is "

@@ -144,9 +144,6 @@ def test_df64_config_guards():
     with pytest.raises(ValueError, match="backend"):
         engine.StencilEngine.for_shape(
             "star2d1r", (40, 200), dtype="df64", backend="mxu")
-    with pytest.raises(ValueError, match="dirichlet0"):
-        engine.StencilEngine.for_shape(
-            "star2d1r", (40, 200), dtype="df64", boundary="periodic")
     with pytest.raises(ValueError, match="run_diff"):
         engine.StencilEngine.for_shape(
             "star2d1r", (40, 200), dtype="df64").run_diff(
@@ -341,6 +338,63 @@ def test_sharded_df64_nondivisible_and_sequential():
         assert rel < 1e-12, (overlap, rel)
 
 
+@pytest.mark.parametrize("name,boundary", [
+    ("star2d1r", "periodic"), ("box2d3r", "reflect"),
+    ("star2d3r", "reflect"),
+    ("1d2r", "periodic"), ("1d1r", "reflect"),
+    ("box3d1r", "periodic"), ("star3d1r", "reflect"),
+])
+def test_df64_ghost_boundaries(name, boundary):
+    """periodic/reflect ghost rings on the df64 tier: 2-D rides the
+    Pallas pair kernel (per-plane ring refresh + ghost bounds), 1-D/3-D
+    the XLA pair path (per-step padded-ring refresh).  Ring copies and
+    flips are exact on (hi, lo) pairs, so accuracy must stay fp64-grade
+    vs the host ghost truths."""
+    spec = shapes.get_shape(name)
+    interior = INTERIORS[spec.ndim]
+    g0 = _padded_input(spec, interior, seed=51)
+    it = reference.interior_slices(spec, g0.shape)
+    eng = engine.StencilEngine.for_shape(name, interior, dtype="df64",
+                                         boundary=boundary)
+    got = eng.run(g0, 3)
+    assert got.dtype == np.float64
+    truth = (reference.run_periodic if boundary == "periodic"
+             else reference.run_reflect)
+    want = truth(g0, spec, 3)
+    rel = (np.abs(got[it] - want[it]).max()
+           / max(1.0, np.abs(want).max()))
+    assert rel < 1e-12, (name, boundary, rel)
+    # fp64-grade beats the fp32 tier's rounding at the same config by
+    # orders of magnitude (the tier's reason to exist)
+    if spec.ndim == 2:
+        f32 = np.asarray(engine.StencilEngine.for_shape(
+            name, interior, boundary=boundary).run(
+                g0.astype(np.float32), 3), np.float64)
+        err32 = np.abs(f32[it] - want[it]).max() / max(
+            1.0, np.abs(want).max())
+        assert rel < 1e-3 * max(err32, 1e-30), (rel, err32)
+
+
+def test_sharded_df64_ghost_boundaries():
+    """Sharded df64 ghost rings: the base exchange's ppermute wrap /
+    edge mirrors, vmapped over the pair planes, across a (2, 2) mesh."""
+    from lorastencil_tpu.parallel import domain
+
+    spec = shapes.get_shape("star2d1r")
+    interior = (32, 256)
+    g0 = _padded_input(spec, interior, seed=52)
+    it = reference.interior_slices(spec, g0.shape)
+    for boundary, truth in (("periodic", reference.run_periodic),
+                            ("reflect", reference.run_reflect)):
+        sh = domain.sharded_engine("star2d1r", interior, (2, 2),
+                                   dtype="df64", boundary=boundary)
+        got = np.asarray(sh.run(g0, 3))
+        want = truth(g0, spec, 3)
+        rel = (np.abs(got[it] - want[it]).max()
+               / max(1.0, np.abs(want).max()))
+        assert rel < 1e-12, (boundary, rel)
+
+
 def test_sharded_df64_beats_sharded_fp32():
     """The sharded pair state must actually carry the extra mantissa
     bits end-to-end (a downcast anywhere would still pass a loose
@@ -390,9 +444,6 @@ def test_sharded_df64_guards():
     with pytest.raises(ValueError, match="2-D only"):
         domain.sharded_engine("star3d1r", (6, 16, 256), (2, 2),
                               dtype="df64")
-    with pytest.raises(ValueError, match="dirichlet0"):
-        domain.sharded_engine("star2d1r", (32, 256), (2, 2),
-                              dtype="df64", boundary="periodic")
     with pytest.raises(ValueError, match="fused_steps=1"):
         domain.sharded_engine("star2d1r", (32, 256), (2, 2),
                               dtype="df64", fused_steps=2)
