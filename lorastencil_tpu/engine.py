@@ -562,6 +562,16 @@ class StencilEngine:
                     *interior,
                     mxu_residue=(self.algorithm.startswith("mxu")
                                  and bool(spec.residue)))
+                if self.df64_pallas and not self.interpret:
+                    # the pair kernel's Mosaic stack scales with the
+                    # WINDOW area (deep per-tap chains over four window
+                    # views): a (256, 2048) tile measured 68.9M scoped
+                    # vmem vs the 64M limit (r4 device OOM).  Measured
+                    # tile sweep at 4096^2 (vpu_roll): (128, 1024) 33.1
+                    # > (256, 512) 32.4 > (256, 1024) 30.6 GCells/s --
+                    # df64 is VPU-compute bound, so smaller windows
+                    # (less roll garbage margin per cell) win.
+                    tile = (min(tile[0], 128), min(tile[1], 1024))
                 if self.df64_pallas and self.interpret:
                     # interpret mode inlines a single-tile grid's trip-1
                     # emulation loop and XLA:CPU's elemental fusion then

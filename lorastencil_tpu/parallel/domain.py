@@ -682,6 +682,17 @@ class ShardedStencilDF64(ShardedStencil2D):
         self.df64_algorithm = alg
         base = dataclasses.replace(config, dtype="float32", algorithm=alg)
         super().__init__(spec, interior, base, mesh)
+        if not self.interpret and config.tile is None:
+            # the pair kernel's Mosaic stack scales with the WINDOW
+            # area; a (256, 2048) tile measured 68.9M scoped vmem vs
+            # the 64M limit (r4 device OOM).  Same measured cap as the
+            # single-device engine (StencilEngine._build_layout).
+            tm, tn = self.layout.tile
+            cap = (min(tm, 128), min(tn, 1024))
+            if cap != (tm, tn):
+                super().__init__(spec, interior,
+                                 dataclasses.replace(base, tile=cap),
+                                 mesh)
         if self.interpret and self.layout.grid == (1, 1):
             # interpret mode inlines a single-tile grid's trip-1
             # emulation loop and XLA:CPU's elemental fusion re-expands
