@@ -939,11 +939,66 @@ class StencilEngine:
         kernel internals (the operator is linear; no residuals stored)."""
         if self.df64:
             raise ValueError(
-                "run_diff is not wired for the df64 pair state (its "
-                "adjoint chain would silently downcast the fp64 "
-                "cotangent); differentiate via dtype float32 (exact "
-                "VJP) or float64 off-TPU")
+                "run_diff is not wired for the df64 pair state (JAX "
+                "autodiff would silently downcast the fp64 cotangent); "
+                "use engine.run_vjp for an fp64-grade adjoint product, "
+                "or differentiate via dtype float32 (exact VJP)")
         return _run_linear(self, padded, steps)
+
+    def run_vjp(self, cotangent, steps: int):
+        """Host-level exact adjoint product: the gradient of
+        ``sum(run(x, steps) * cotangent)`` with respect to ``x`` (the
+        operator is linear, so no primal point is needed).
+
+        For the df64 tier the chain stays fp64-grade end to end -- the
+        round-3 gap ("adjoint would downcast the fp64 cotangent"): the
+        interior-masked cotangent runs ``steps-1`` passes of the FLIPPED
+        df64 engine on device (~1e-14/step, the forward tier's own
+        accuracy), and the final unmasked correlation -- plus the whole
+        reflect fold-back chain, whose per-step fold is not an engine
+        step -- runs in exact host float64 (utils/reference.py; the
+        backward of inversion workloads runs once per solve, not in the
+        hot loop).  fp64 in, fp64 out.
+
+        For every other tier this returns exactly what
+        ``jax.grad`` through :meth:`run_diff` computes (same code path:
+        the custom-VJP backward), as a convenience for host-driven
+        adjoint loops.  Reference has no autodiff at all; this extends
+        the artifact's linear-operator semantics
+        (``/root/reference/src/2d/main.cu:38-93``) to its transpose."""
+        if not self.df64:
+            return _run_linear_bwd(self, steps, None,
+                                   jnp.asarray(cotangent, self.dtype))[0]
+        g = np.asarray(cotangent, np.float64)
+        if steps <= 0:
+            return g
+        it = tuple(slice(h, s - h) for h, s in zip(self.spec.halo,
+                                                   g.shape))
+        if self.config.boundary == "reflect":
+            # per-step fold-back on the interior extent in exact fp64;
+            # the input halo is ignored under reflect -> zero gradient
+            from .utils import reference as _ref
+
+            flipped = self.spec.flipped()
+            y = g[it]
+            for _ in range(steps):
+                y = _ref.fold_adjoint_step(y, flipped)
+            out = np.zeros_like(g)
+            out[it] = y
+            return out
+        mg = np.zeros_like(g)
+        mg[it] = g[it]
+        adj = self.adjoint()
+        if self.config.boundary == "periodic":
+            # circulant transpose = flipped-spec periodic operator, all
+            # k steps through the df64 adjoint engine; the input halo is
+            # ignored under periodic -> zero gradient (the ghost-ring
+            # output contract already zeroes the halo)
+            return adj.run(mg, steps)
+        lam = adj.run(mg, steps - 1) if steps > 1 else mg
+        from .utils import reference as _ref
+
+        return _ref.conv_full(lam, adj.spec)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 2))

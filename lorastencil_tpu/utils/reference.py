@@ -115,6 +115,53 @@ def run_reflect(grid0: np.ndarray, spec: StencilSpec,
     return out
 
 
+def conv_full(grid: np.ndarray, spec: StencilSpec) -> np.ndarray:
+    """Unmasked correlation over the FULL padded extent in float64:
+    out[p] = sum_o S[o] * grid[p+o] for every p, reads beyond the array
+    treated as zero.  Host twin of ops/xla_ref.conv_full -- the final
+    factor of the adjoint chain (engine.run_vjp), writing halo positions
+    too (step one of the forward pass reads the input halo)."""
+    grid = np.asarray(grid, np.float64)
+    S = spec.dense_coeffs()
+    r = spec.radius
+    gp = np.pad(grid, r)
+    acc = np.zeros_like(grid)
+    for idx in np.argwhere(np.abs(S) > 0):
+        src = tuple(slice(int(i), int(i) + s)
+                    for i, s in zip(idx, grid.shape))
+        acc += S[tuple(idx)] * gp[src]
+    return acc
+
+
+def fold_adjoint_step(y: np.ndarray, spec_flipped: StencilSpec
+                      ) -> np.ndarray:
+    """One float64 adjoint step of the reflect operator
+    R = crop-conv o pad_sym: R^T = pad_sym^T o conv^T.  conv^T is the
+    flipped correlation scattered onto the padded extent; pad_sym^T
+    FOLDS each ghost strip back onto the interior cells it mirrored.
+    ``y`` is an interior-extent array.  Host twin of
+    engine._fold_adjoint_step (the df64 tier's reflect adjoint runs in
+    exact host fp64 -- engine.run_vjp)."""
+    r = spec_flipped.radius
+    z = conv_full(np.pad(np.asarray(y, np.float64), r), spec_flipped)
+
+    def at(sl, a, nd):
+        t = [slice(None)] * nd
+        t[a] = sl
+        return tuple(t)
+
+    for a in range(z.ndim):
+        nd = z.ndim
+        core = z[at(slice(r, z.shape[a] - r), a, nd)].copy()
+        left = np.flip(z[at(slice(0, r), a, nd)], axis=a)
+        right = np.flip(z[at(slice(z.shape[a] - r, None), a, nd)], axis=a)
+        na = core.shape[a]
+        core[at(slice(0, r), a, nd)] += left
+        core[at(slice(na - r, None), a, nd)] += right
+        z = core
+    return z
+
+
 def random_padded(spec: StencilSpec, interior, seed: int = 0,
                   lo: int = 0, hi: int = 100) -> np.ndarray:
     """Random integer-valued padded grid, mirroring the reference's

@@ -181,6 +181,85 @@ def test_run_diff_reflect_nonsymmetric_k1():
     assert np.abs(got - want).max() / scale < 1e-5
 
 
+def test_run_vjp_matches_autodiff_fp32():
+    """run_vjp (host-level adjoint product) is the same code path as
+    run_diff's custom-VJP backward -- identical values to jax.grad."""
+    spec = shapes.get_shape("star2d1r")
+    interior = (24, 200)
+    rng = np.random.default_rng(81)
+    x = jnp.asarray(reference.random_padded(spec, interior, seed=81),
+                    jnp.float32) * 0.01
+    w = jnp.asarray(rng.normal(size=x.shape), jnp.float32)
+    eng = engine.StencilEngine.for_shape("star2d1r", interior)
+
+    def loss(v):
+        return jnp.sum(eng.run_diff(v, 3) * w)
+
+    want = np.asarray(jax.grad(loss)(x), np.float64)
+    got = np.asarray(eng.run_vjp(w, 3), np.float64)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("boundary", ["dirichlet0", "periodic",
+                                      "reflect"])
+@pytest.mark.parametrize("name", ["1d2r", "star2d1r"])
+def test_df64_run_vjp_dot_identity(name, boundary):
+    """fp64-grade adjoint: <A x, g> == <x, A^T g> at df64 accuracy
+    (~1e-13), computed in fp64 on the host.  A = eng.run (linear),
+    A^T g = eng.run_vjp."""
+    spec = shapes.get_shape(name)
+    interior = {1: (300,), 2: (40, 200)}[spec.ndim]
+    rng = np.random.default_rng(83)
+    shape = spec.padded_shape(interior)
+    x = rng.standard_normal(shape) * np.pi
+    g = rng.standard_normal(shape)
+    eng = engine.StencilEngine.for_shape(name, interior, dtype="df64",
+                                         boundary=boundary)
+    ax = eng.run(x, 2)
+    atg = eng.run_vjp(g, 2)
+    assert ax.dtype == np.float64 and atg.dtype == np.float64
+    lhs = float(np.vdot(ax, g))
+    rhs = float(np.vdot(x, atg))
+    scale = max(1.0, abs(lhs))
+    assert abs(lhs - rhs) / scale < 1e-12, (name, boundary, lhs, rhs)
+
+
+@pytest.mark.parametrize("boundary,runner", [
+    ("dirichlet0", reference.run),
+    ("periodic", reference.run_periodic),
+    ("reflect", reference.run_reflect)])
+def test_df64_run_vjp_matches_dense_matrix(boundary, runner):
+    """Exactness against the explicit operator matrix: build A column
+    by column from the fp64 ground-truth runner on basis vectors, then
+    compare run_vjp(g) to A^T g (pure fp64)."""
+    spec = shapes.get_shape("1d1r")
+    interior = (24,)
+    steps = 2
+    shape = spec.padded_shape(interior)
+    n = shape[0]
+    A = np.zeros((n, n))
+    for j in range(n):
+        e = np.zeros(shape)
+        e[j] = 1.0
+        A[:, j] = runner(e, spec, steps)
+    rng = np.random.default_rng(85)
+    g = rng.standard_normal(shape)
+    want = A.T @ g
+    eng = engine.StencilEngine.for_shape("1d1r", interior, dtype="df64",
+                                         boundary=boundary)
+    got = eng.run_vjp(g, steps)
+    scale = max(1.0, np.abs(want).max())
+    assert np.abs(got - want).max() / scale < 1e-13, boundary
+
+
+def test_df64_run_vjp_steps_zero_identity():
+    eng = engine.StencilEngine.for_shape("star2d1r", (24, 200),
+                                         dtype="df64")
+    g = np.random.default_rng(86).standard_normal(
+        eng.spec.padded_shape((24, 200)))
+    np.testing.assert_array_equal(eng.run_vjp(g, 0), g)
+
+
 def test_flipped_spec_roundtrip():
     spec = shapes.get_shape("box2d3r")
     S = spec.dense_coeffs()
