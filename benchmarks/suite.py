@@ -6,7 +6,8 @@ and diffs every config against the best recorded TPU number for the same
 (shape, sizes, steps): a >10% drop is flagged as a REGRESSION (run-to-run
 session variance on this chip is ~2-9%, PERF.md).
 
-    python benchmarks/suite.py [--quick] [--gate] [--bf16 | --all-tiers]
+    python benchmarks/suite.py [--quick] [--gate]
+                               [--bf16 | --df64 | --all-tiers]
 
 ``--gate``: exit nonzero when any config regresses (CI/worker-job mode).
 """
@@ -55,6 +56,16 @@ BF16 = [(name, interior, steps,
          dict(opts if isinstance(opts, dict) else {"pipeline": opts},
               dtype="bfloat16"))
         for name, interior, steps, opts in CONFIGS]
+
+# df64 correctness-tier throughput rows (fp64-grade pair state; the
+# Pallas pair kernel is 2-D only).  VPU-compute bound at ~5 GCells/s
+# (~1150 error-free-transform flops/cell for star2d1r) -- ~6x the XLA
+# dense pair path.  Gated as its own tier (_tier -> "df64").
+DF64 = [
+    ("star2d1r", (4096, 4096), 64, {"pipeline": 2, "dtype": "df64"}),
+    ("box2d3r", (4096, 4096), 16, {"pipeline": 2, "dtype": "df64"}),
+    ("star2d1r", (8192, 8192), 32, {"pipeline": 2, "dtype": "df64"}),
+]
 
 QUICK = [
     ("star2d1r", (1024, 1024), 64, 2),
@@ -166,8 +177,10 @@ def main(argv=None) -> int:
     configs = QUICK if "--quick" in argv else CONFIGS
     if "--bf16" in argv:
         configs = BF16
+    elif "--df64" in argv:
+        configs = DF64
     elif "--all-tiers" in argv:
-        configs = CONFIGS + BF16
+        configs = CONFIGS + BF16 + DF64
     outpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "results.jsonl")
     best = recorded_best(outpath, jax.default_backend())

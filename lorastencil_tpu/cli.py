@@ -62,14 +62,15 @@ def main(argv=None) -> int:
     p.add_argument("--backend", choices=["auto", "pallas", "xla"],
                    default="auto")
     p.add_argument("--algorithm",
-                   choices=["auto", "vpu", "vpu_roll", "mxu", "mxu_split",
-                            "mxu_hybrid", "mxu_hybrid1", "mxu_hybrid1r",
-                            "mxu_hybrid3"],
+                   choices=["auto", "vpu", "vpu_roll", "vpu_sep", "mxu",
+                            "mxu_split", "mxu_hybrid", "mxu_hybrid1",
+                            "mxu_hybrid1r", "mxu_hybrid3"],
                    default="auto",
                    help="compute path; 'auto' (default) picks the "
                         "measured-fastest EXACT path per shape "
                         "(2-D few-term: mxu_hybrid1; 2-D many-term: "
-                        "vpu_roll; 1-D: mxu; 3-D: vpu); see "
+                        "vpu_roll; 1-D: mxu; 3-D: vpu; df64 2-D: "
+                        "vpu_sep when its op count wins); see "
                         "EngineConfig")
     p.add_argument("--fused-steps", type=int, default=None,
                    help="timesteps fused per HBM round trip (1-D/2-D); "

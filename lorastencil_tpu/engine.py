@@ -209,7 +209,10 @@ class EngineConfig:
     # bf16 few-term no-residue specs -> 'mxu_hybrid' (both axes on the
     # MXU at one part each); 1-D: 'mxu' (per-128-group banded matmuls
     # on the lanes layout, exact split); 3-D: 'vpu' (shifted-slice
-    # plane convs); fp64: 'vpu_roll'.  Explicit options: 'vpu_roll'
+    # plane convs); df64 2-D: 'vpu_sep' (separable low-rank pair
+    # kernel) when its static op count beats the dense rolls, else
+    # 'vpu_roll'; df64 1-D/3-D and float64: 'vpu_roll' semantics via
+    # their dense paths.  Explicit options: 'vpu_roll'
     # (exact-fp32 aligned cyclic-roll convs), 'vpu' (shifted slices),
     # 'mxu_hybrid1', 'mxu_hybrid3' (exact 3-pass split banded GEMMs,
     # superseded by hybrid1), 'mxu_hybrid' (2-pass, ~6e-6/step),
@@ -292,15 +295,22 @@ class StencilEngine:
                 raise ValueError(
                     "the df64 Pallas kernel is 2-D only; 1-D/3-D df64 "
                     "runs the XLA pair path (backend 'auto'/'xla')")
-            self.df64_algorithm = ("vpu_roll"
-                                   if config.algorithm == "auto"
-                                   else config.algorithm)
-            if want_pallas and self.df64_algorithm not in ("vpu",
-                                                           "vpu_roll"):
+            if config.algorithm == "auto":
+                # separable low-rank pair kernel when its static op
+                # count beats the dense roll path (ops/pallas_df64.
+                # pick_algorithm); 'vpu_roll' otherwise
+                from .ops import pallas_df64 as _pdf64
+
+                self.df64_algorithm = (_pdf64.pick_algorithm(spec)
+                                       if want_pallas else "vpu_roll")
+            else:
+                self.df64_algorithm = config.algorithm
+            if want_pallas and self.df64_algorithm not in (
+                    "vpu", "vpu_roll", "vpu_sep"):
                 raise ValueError(
-                    f"df64 kernel algorithm must be 'auto', 'vpu' or "
-                    f"'vpu_roll', got {config.algorithm!r} (no error-"
-                    f"free product path exists on the MXU)")
+                    f"df64 kernel algorithm must be 'auto', 'vpu', "
+                    f"'vpu_roll' or 'vpu_sep', got {config.algorithm!r} "
+                    f"(no error-free product path exists on the MXU)")
             config = dataclasses.replace(
                 config, backend="pallas" if want_pallas else "xla",
                 algorithm="auto")
@@ -567,11 +577,15 @@ class StencilEngine:
                     # WINDOW area (deep per-tap chains over four window
                     # views): a (256, 2048) tile measured 68.9M scoped
                     # vmem vs the 64M limit (r4 device OOM).  Measured
-                    # tile sweep at 4096^2 (vpu_roll): (128, 1024) 33.1
-                    # > (256, 512) 32.4 > (256, 1024) 30.6 GCells/s --
-                    # df64 is VPU-compute bound, so smaller windows
-                    # (less roll garbage margin per cell) win.
-                    tile = (min(tile[0], 128), min(tile[1], 1024))
+                    # tile sweep (vpu_roll, clean r9 session -- the r8
+                    # sweep was a contaminated-session artifact, see
+                    # PERF.md): star2d1r 4096^2 (64,1024) 5.27 >
+                    # (32,1024) 5.19 > (64,2048) 5.09 > (128,1024) 4.88;
+                    # 8192^2 (64,1024) 5.31 best of 8; box2d3r 4096^2
+                    # (64,1024) 2.29 > (128,1024) 1.92 GCells/s -- df64
+                    # is VPU-compute bound, so smaller windows (less
+                    # roll garbage margin per cell) win.
+                    tile = (min(tile[0], 64), min(tile[1], 1024))
                 if self.df64_pallas and self.interpret:
                     # interpret mode inlines a single-tile grid's trip-1
                     # emulation loop and XLA:CPU's elemental fusion then

@@ -20,13 +20,22 @@ layout.  Accuracy contract ~1e-14/step, verified on device
 (tests/test_df64.py gates interpret mode; PERF.md records the device run).
 
 Algorithms:
-  * 'vpu_roll' (default): shifted operands as (8,128)-aligned cyclic
-    ``pltpu.roll`` at the full window extent (Mosaic lowers misaligned
-    sub-extent slices to costlier rotate+select chains; wrap garbage
-    creeps <= radius into the guard margin and the final interior slice
-    cuts it off -- the fp32 kernel's round-2 argument);
-  * 'vpu': statically shifted window slices at the tile extent (less
-    arithmetic, costlier shifts -- measure per device).
+  * 'vpu_roll': DENSE tap set, shifted operands as (8,128)-aligned
+    cyclic ``pltpu.roll`` at the full window extent (Mosaic lowers
+    misaligned sub-extent slices to costlier rotate+select chains; wrap
+    garbage creeps <= radius into the guard margin and the final
+    interior slice cuts it off -- the fp32 kernel's round-2 argument);
+  * 'vpu_sep': SEPARABLE low-rank form -- the reference's own thesis
+    (axis-separated rank-1 terms + sparse residue,
+    ``/root/reference/src/2d/gpu.cu:224-264``) applied to the pair
+    state: per term, a df64 column conv into an intermediate pair, one
+    Veltkamp re-split, a df64 row conv, plus the residue; symmetric
+    taps ±d fold into one product via an exact pair add.  Cuts the
+    EFT flop count ~2x for star2d1r (33 dense taps -> 5+5 conv taps +
+    8 residue points, pairs folded); picked by 'auto' when its static
+    op count wins (_pick_algorithm);
+  * 'vpu': dense statically shifted window slices at the tile extent
+    (less arithmetic, costlier shifts -- measured slower than rolls).
 """
 
 from __future__ import annotations
@@ -60,6 +69,124 @@ def _tap_table(spec: StencilSpec):
         taps.append((int(idx[0]) - r, int(idx[1]) - r,
                      float(wh), float(wl), float(bh), float(bl)))
     return tuple(taps)
+
+
+def _split_weight(w64):
+    """fp64 weight -> (w_h, w_l, b_h, b_l): w_h + w_l == w exactly,
+    b_h + b_l == w_h exactly on <= 12 mantissa bits each."""
+    wh = np.float32(np.float64(w64))
+    wl = np.float32(np.float64(w64) - np.float64(wh))
+    bh, bl = veltkamp_split(wh)
+    return (float(wh), float(wl), float(bh), float(bl))
+
+
+def _fold_taps(taps):
+    """Odd-length 1-D taps -> static folded entries.
+
+    ('single', d, w4): one tap at offset d;
+    ('pair', d, w4):   taps at +d and -d with EQUAL weight -- folded
+    into one product via an exact pair add (x[+d] (+) x[-d]), halving
+    the product/accumulate work for the symmetric coefficients every
+    registry shape has."""
+    taps = [float(t) for t in taps]
+    r = (len(taps) - 1) // 2
+    entries = []
+    if taps[r] != 0.0:
+        entries.append(("single", 0, _split_weight(taps[r])))
+    for d in range(1, r + 1):
+        wp, wm = taps[r + d], taps[r - d]
+        if wp == wm:
+            if wp != 0.0:
+                entries.append(("pair", d, _split_weight(wp)))
+        else:
+            if wp != 0.0:
+                entries.append(("single", d, _split_weight(wp)))
+            if wm != 0.0:
+                entries.append(("single", -d, _split_weight(wm)))
+    return tuple(entries)
+
+
+def _sep_plan(spec: StencilSpec):
+    """Static separable plan: ((col_ops|None, row_ops|None) per term,
+    folded residue entries).  Residue pairs fold offset o with -o when
+    the weights match (the star2d1r residue is fully point-symmetric:
+    +1 at (+-3,0),(0,+-3); -1 at (+-2,+-2))."""
+    terms = []
+    for term in spec.terms:
+        terms.append(tuple(
+            None if t is None else _fold_taps(t) for t in term.taps))
+    items = [(tuple(int(o) for o in off), float(w))
+             for off, w in spec.residue]
+    used = set()
+    res = []
+    for i, (off, w) in enumerate(items):
+        if i in used:
+            continue
+        neg = tuple(-o for o in off)
+        j = next((k for k in range(i + 1, len(items))
+                  if k not in used and items[k][0] == neg
+                  and items[k][1] == w), None)
+        if j is not None and off != neg:
+            used.add(j)
+            res.append(("pair", off, _split_weight(w)))
+        else:
+            res.append(("single", off, _split_weight(w)))
+    return tuple(terms), tuple(res)
+
+
+# static per-elem op-cost weights for the auto pick (arbitrary units;
+# the final arbiter is the device A/B in PERF.md -- these only need to
+# rank dense vs separable correctly)
+_COST_PRODUCT = 20.0  # _tap_product + the accumulating df_add
+_COST_FOLD = 13.0     # df_add of two rolled pairs
+_COST_SPLIT = 3.0     # veltkamp_split
+_COST_ROLL = 3.0      # one pltpu.roll of a window plane
+
+
+def _sep_cost(spec: StencilSpec) -> float:
+    terms, res = _sep_plan(spec)
+    cost = 0.0
+    for axes in terms:
+        for ai, ops in enumerate(axes):
+            if ops is None:
+                continue
+            for kind, d, _ in ops:
+                if kind == "pair":
+                    cost += 4 * _COST_ROLL + _COST_FOLD + _COST_SPLIT
+                else:
+                    cost += (3 * _COST_ROLL if d else 0.0)
+                cost += _COST_PRODUCT
+            if ai > 0:
+                cost += _COST_SPLIT  # re-split of the intermediate
+    for kind, off, _ in res:
+        nroll = sum(1 for o in off if o)
+        if kind == "pair":
+            cost += 4 * nroll * _COST_ROLL + _COST_FOLD + _COST_SPLIT
+        else:
+            cost += 3 * nroll * _COST_ROLL
+        cost += _COST_PRODUCT
+    return cost
+
+
+def _dense_cost(spec: StencilSpec) -> float:
+    S = spec.dense_coeffs()
+    idxs = np.argwhere(np.abs(S) > 0)
+    drs = {int(i[0]) for i in idxs}
+    cost = len(drs) * 4 * _COST_ROLL  # memoized row rolls of 4 views
+    for idx in idxs:
+        r = spec.radius
+        if int(idx[1]) - r:
+            cost += 4 * _COST_ROLL
+        cost += _COST_PRODUCT
+    return cost
+
+
+def pick_algorithm(spec: StencilSpec) -> str:
+    """'auto' resolution for the 2-D pair kernel: separable when its
+    static op count beats the dense roll path (e.g. star2d1r 33 dense
+    taps vs 2x5-tap convs + 8-point residue, pairs folded)."""
+    return "vpu_sep" if _sep_cost(spec) < _dense_cost(spec) else (
+        "vpu_roll")
 
 
 def _tap_product(xs, xl2, xlo, x, tap):
@@ -193,6 +320,97 @@ def _df64_kernel(
             acc_h, acc_l = df_add(acc_h, acc_l, ph, pl_)
         acc_h = mask(acc_h, HR, HC)[HR: HR + TM, HC: HC + TN]
         acc_l = mask(acc_l, HR, HC)[HR: HR + TM, HC: HC + TN]
+    elif algorithm == "vpu_sep":
+        # separable low-rank form on the pair state: per term a df64
+        # column conv into an intermediate pair, ONE Veltkamp re-split,
+        # a df64 row conv; then the sparse residue.  Symmetric taps
+        # +-d fold into one product via an exact-class pair add.  Wrap
+        # garbage composes: the col conv dirties <= radius rows at the
+        # window edge, the row conv <= radius cols -- both inside the
+        # guard margin the final interior slice cuts off (guard >=
+        # radius asserted in df64_step).
+        terms, res_entries = _sep_plan(spec)
+        cache = {}
+
+        def rolled(tag, arr, dr, dc):
+            key = (tag, dr, dc)
+            if key not in cache:
+                v = arr
+                if dr % WR:
+                    v = pltpu.roll(v, (-dr) % WR, 0)
+                if dc % WC:
+                    v = pltpu.roll(v, (-dc) % WC, 1)
+                cache[key] = v
+            return cache[key]
+
+        def conv_axis(ops, axis, vh, vl, vhs, vhl, tag):
+            """df64 1-D correlation along `axis` of the pair (vh, vl);
+            vhs/vhl are the exact 12-bit halves of vh (split hoisted by
+            the caller, shared across this axis's taps)."""
+            ah = al = None
+            for kind, d, w4 in ops:
+                dr, dc = (d, 0) if axis == 0 else (0, d)
+                tap = (0, 0) + w4
+                if kind == "pair":
+                    zh, zl = df_add(
+                        rolled(tag + "h", vh, dr, dc),
+                        rolled(tag + "l", vl, dr, dc),
+                        rolled(tag + "h", vh, -dr, -dc),
+                        rolled(tag + "l", vl, -dr, -dc))
+                    zhs, zhl = veltkamp_split(zh)
+                    ph, pl_ = _tap_product(zhs, zhl, zl, zh, tap)
+                elif d == 0:
+                    ph, pl_ = _tap_product(vhs, vhl, vl, vh, tap)
+                else:
+                    xs = rolled(tag + "hs", vhs, dr, dc)
+                    xl2 = rolled(tag + "hl", vhl, dr, dc)
+                    xlo = rolled(tag + "l", vl, dr, dc)
+                    # xs + xl2 == the rolled vh, exactly (split identity)
+                    ph, pl_ = _tap_product(xs, xl2, xlo, xs + xl2, tap)
+                ah, al = ((ph, pl_) if ah is None
+                          else df_add(ah, al, ph, pl_))
+            if ah is None:
+                ah = al = jnp.zeros((WR, WC), jnp.float32)
+            return ah, al
+
+        acc_h = acc_l = None
+        for t_i, (col_ops, row_ops) in enumerate(terms):
+            if col_ops is not None:
+                yh, yl = conv_axis(col_ops, 0, hi, lo, his, hil, "x")
+            else:
+                yh, yl = hi, lo
+            if row_ops is not None:
+                if col_ops is None:
+                    yhs, yhl, tag = his, hil, "x"
+                else:
+                    yhs, yhl = veltkamp_split(yh)
+                    tag = f"y{t_i}"
+                yh, yl = conv_axis(row_ops, 1, yh, yl, yhs, yhl, tag)
+            acc_h, acc_l = ((yh, yl) if acc_h is None
+                            else df_add(acc_h, acc_l, yh, yl))
+        for kind, off, w4 in res_entries:
+            dr, dc = off
+            tap = (0, 0) + w4
+            if kind == "pair":
+                zh, zl = df_add(rolled("xh", hi, dr, dc),
+                                rolled("xl", lo, dr, dc),
+                                rolled("xh", hi, -dr, -dc),
+                                rolled("xl", lo, -dr, -dc))
+                zhs, zhl = veltkamp_split(zh)
+                ph, pl_ = _tap_product(zhs, zhl, zl, zh, tap)
+            elif (dr, dc) == (0, 0):
+                ph, pl_ = _tap_product(his, hil, lo, hi, tap)
+            else:
+                xs = rolled("xhs", his, dr, dc)
+                xl2 = rolled("xhl", hil, dr, dc)
+                xlo = rolled("xl", lo, dr, dc)
+                ph, pl_ = _tap_product(xs, xl2, xlo, xs + xl2, tap)
+            acc_h, acc_l = ((ph, pl_) if acc_h is None
+                            else df_add(acc_h, acc_l, ph, pl_))
+        if acc_h is None:
+            acc_h = acc_l = jnp.zeros((WR, WC), jnp.float32)
+        acc_h = mask(acc_h, HR, HC)[HR: HR + TM, HC: HC + TN]
+        acc_l = mask(acc_l, HR, HC)[HR: HR + TM, HC: HC + TN]
     else:  # 'vpu': statically shifted slices at the tile extent
         acc_h = jnp.zeros((TM, TN), jnp.float32)
         acc_l = jnp.zeros((TM, TN), jnp.float32)
@@ -254,10 +472,11 @@ def df64_step(
             "df64 interpret mode needs a >= 2-tile grid (single-tile "
             "grids hit an XLA:CPU compile blowup); split the tile or "
             "use backend='xla'")
-    if algorithm not in ("vpu", "vpu_roll"):
+    if algorithm not in ("vpu", "vpu_roll", "vpu_sep"):
         raise ValueError(
-            f"df64 kernel algorithm must be 'vpu' or 'vpu_roll', got "
-            f"{algorithm!r} (the MXU has no error-free product path)")
+            f"df64 kernel algorithm must be 'vpu', 'vpu_roll' or "
+            f"'vpu_sep', got {algorithm!r} (the MXU has no error-free "
+            f"product path)")
     assert spec.radius <= min(layout.guard), "window guard < radius"
     TM, TN = layout.tile
     taps = _tap_table(spec)

@@ -673,12 +673,17 @@ class ShardedStencilDF64(ShardedStencil2D):
             raise ValueError(
                 "sharded df64 needs fused_steps=1 (the pair kernel is "
                 "single-step)")
-        alg = "vpu_roll" if config.algorithm == "auto" else config.algorithm
-        if alg not in ("vpu", "vpu_roll"):
+        if config.algorithm == "auto":
+            from ..ops import pallas_df64 as _pdf64
+
+            alg = _pdf64.pick_algorithm(spec)
+        else:
+            alg = config.algorithm
+        if alg not in ("vpu", "vpu_roll", "vpu_sep"):
             raise ValueError(
-                f"df64 kernel algorithm must be 'auto', 'vpu' or "
-                f"'vpu_roll', got {config.algorithm!r} (no error-free "
-                f"product path exists on the MXU)")
+                f"df64 kernel algorithm must be 'auto', 'vpu', "
+                f"'vpu_roll' or 'vpu_sep', got {config.algorithm!r} "
+                f"(no error-free product path exists on the MXU)")
         self.df64_algorithm = alg
         base = dataclasses.replace(config, dtype="float32", algorithm=alg)
         super().__init__(spec, interior, base, mesh)
@@ -686,9 +691,10 @@ class ShardedStencilDF64(ShardedStencil2D):
             # the pair kernel's Mosaic stack scales with the WINDOW
             # area; a (256, 2048) tile measured 68.9M scoped vmem vs
             # the 64M limit (r4 device OOM).  Same measured cap as the
-            # single-device engine (StencilEngine._build_layout).
+            # single-device engine (StencilEngine._build_layout; r9
+            # clean-session sweep: (64,1024) best at both sizes).
             tm, tn = self.layout.tile
-            cap = (min(tm, 128), min(tn, 1024))
+            cap = (min(tm, 64), min(tn, 1024))
             if cap != (tm, tn):
                 super().__init__(spec, interior,
                                  dataclasses.replace(base, tile=cap),

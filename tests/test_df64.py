@@ -185,7 +185,9 @@ def test_suite_run_config_df64():
     from benchmarks.suite import run_config
 
     r = run_config("star2d1r", (64, 128), 2, dtype="df64")
-    assert r.backend == "pallas-df64-vpu_roll"
+    # 'auto' resolves to the separable low-rank pair kernel for
+    # star2d1r (static op count 2x below the dense roll path)
+    assert r.backend == "pallas-df64-vpu_sep"
     assert r.gcells_per_s > 0
     r1 = run_config("1d1r", (4096,), 2, dtype="df64")
     assert r1.backend == "xla-df64"
@@ -242,20 +244,75 @@ def test_df64_cli_check(capsys):
 
 
 # -- the 2-D Pallas pair kernel (ops/pallas_df64.py) --------------------------
-@pytest.mark.parametrize("alg", ["vpu_roll", "vpu"])
-def test_df64_pallas_kernel_accuracy(alg):
-    """Both kernel algorithms hold ~1e-14/step vs the fp64 ground truth
-    (the engine battery covers 'auto'; this pins each algorithm)."""
-    spec = shapes.get_shape("star2d3r")
+@pytest.mark.parametrize("alg", ["vpu_roll", "vpu", "vpu_sep"])
+@pytest.mark.parametrize("name", ["star2d3r", "star2d1r", "box2d3r"])
+def test_df64_pallas_kernel_accuracy(name, alg):
+    """Every kernel algorithm holds ~1e-14/step vs the fp64 ground
+    truth on every 2-D registry shape (the engine battery covers
+    'auto' = vpu_sep; this pins each algorithm explicitly: vpu_roll
+    the dense rolls, vpu the dense slices, vpu_sep the separable
+    low-rank form with folded symmetric pairs + residue)."""
+    spec = shapes.get_shape(name)
     interior = (48, 256)
     g0 = _padded_input(spec, interior, seed=41)
     eng = engine.StencilEngine.for_shape(
-        "star2d3r", interior, dtype="df64", algorithm=alg)
+        name, interior, dtype="df64", algorithm=alg)
     assert eng.df64_pallas and eng.df64_algorithm == alg
     got = eng.run(g0, 4)
     want = reference.run(g0, spec, 4)
     rel = np.abs(got - want).max() / max(1.0, np.abs(want).max())
-    assert rel < 1e-12, (alg, rel)
+    assert rel < 1e-12, (name, alg, rel)
+
+
+def test_df64_pick_algorithm():
+    """'auto' resolves to the separable kernel exactly when its static
+    op count beats the dense roll path -- true for all three 2-D
+    registry shapes (star2d1r: 33 dense taps vs 2x 5-tap convs + 4
+    folded residue pairs)."""
+    from lorastencil_tpu.ops import pallas_df64
+
+    for name in ("star2d1r", "star2d3r", "box2d3r"):
+        assert pallas_df64.pick_algorithm(
+            shapes.get_shape(name)) == "vpu_sep", name
+        eng = engine.StencilEngine.for_shape(name, (40, 200),
+                                             dtype="df64")
+        assert eng.df64_algorithm == "vpu_sep"
+
+
+def test_df64_sep_asymmetric_coeffs():
+    """vpu_sep's 'single' tap path (+-d weights differ) and asymmetric
+    residue: a non-symmetric random 2-D stencil through for_coeffs must
+    stay fp64-grade."""
+    rng = np.random.default_rng(43)
+    S = rng.standard_normal((5, 5))  # NOT symmetrized
+    interior = (40, 200)
+    eng = engine.StencilEngine.for_coeffs(S, interior, dtype="df64",
+                                          algorithm="vpu_sep")
+    assert eng.df64_pallas and eng.df64_algorithm == "vpu_sep"
+    g0 = (reference.random_padded(eng.spec, interior, seed=44)
+          * (np.e / 100.0))
+    got = eng.run(g0, 3)
+    want = reference.run(g0, eng.spec, 3)
+    rel = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert rel < 1e-12, rel
+
+
+def test_df64_sep_fold_plan():
+    """_fold_taps / _sep_plan statics: symmetric taps fold to pairs,
+    asymmetric stay singles, zeros are skipped, point-symmetric residue
+    offsets fold."""
+    from lorastencil_tpu.ops import pallas_df64
+
+    ops = pallas_df64._fold_taps((0.0, 1.0, 2.0, 4.0, 2.0, 1.0, 0.0))
+    kinds = [(k, d) for k, d, _ in ops]
+    assert kinds == [("single", 0), ("pair", 1), ("pair", 2)]
+    ops = pallas_df64._fold_taps((3.0, 2.0, 1.0))
+    assert [(k, d) for k, d, _ in ops] == [
+        ("single", 0), ("single", 1), ("single", -1)]
+    spec = shapes.get_shape("star2d1r")
+    terms, res = pallas_df64._sep_plan(spec)
+    assert len(terms) == 1 and all(t is not None for t in terms[0])
+    assert all(k == "pair" for k, _, _ in res) and len(res) == 4
 
 
 def test_df64_pallas_unaligned_interior():
