@@ -200,9 +200,9 @@ def _run_sharded(p, args, spec, interior, steps, grid0, tile) -> int:
     if args.dtype == "float64":
         p.error("--mesh supports float32/bfloat16/df64 state (the fp64 "
                 "tier is the single-process CPU regime)")
-    if args.dtype == "df64" and spec.ndim != 2:
-        p.error("--mesh with --dtype df64 is 2-D only (the Pallas pair "
-                "kernel; 1-D/3-D df64 runs single-chip)")
+    if args.dtype == "df64" and spec.ndim == 1:
+        p.error("--mesh with --dtype df64 is 2-D/3-D (the Pallas pair "
+                "kernels; 1-D df64 runs single-chip)")
     if args.autotune:
         p.error("--autotune tunes the single-chip engine; pass --tile/"
                 "--fused-steps explicitly with --mesh")

@@ -211,8 +211,9 @@ class EngineConfig:
     # on the lanes layout, exact split); 3-D: 'vpu' (shifted-slice
     # plane convs); df64 2-D: 'vpu_sep' (separable low-rank pair
     # kernel) when its static op count beats the dense rolls, else
-    # 'vpu_roll'; df64 1-D/3-D and float64: 'vpu_roll' semantics via
-    # their dense paths.  Explicit options: 'vpu_roll'
+    # 'vpu_roll'; df64 3-D: 'vpu_sep' (the pair slab kernel's only
+    # path); df64 1-D and float64: dense-path semantics.  Explicit
+    # options: 'vpu_roll'
     # (exact-fp32 aligned cyclic-roll convs), 'vpu' (shifted slices),
     # 'mxu_hybrid1', 'mxu_hybrid3' (exact 3-pass split banded GEMMs,
     # superseded by hybrid1), 'mxu_hybrid' (2-pass, ~6e-6/step),
@@ -288,29 +289,35 @@ class StencilEngine:
             # refresh is pure copies/flips, so the (hi, lo) invariant is
             # preserved exactly (round-4; previously a loud tier error)
             # 2-D df64 runs the Pallas pair kernel (window read once,
-            # error-free tap chain in VMEM -- ops/pallas_df64.py); 1-D
-            # and 3-D keep the XLA dense pair path (ops/df64.py)
-            want_pallas = spec.ndim == 2 and config.backend != "xla"
+            # error-free tap chain in VMEM -- ops/pallas_df64.py); 3-D
+            # the pair slab kernel (ops/pallas_df64_3d.py); 1-D keeps
+            # the XLA dense pair path (ops/df64.py)
+            want_pallas = spec.ndim in (2, 3) and config.backend != "xla"
             if config.backend == "pallas" and not want_pallas:
                 raise ValueError(
-                    "the df64 Pallas kernel is 2-D only; 1-D/3-D df64 "
+                    "the df64 Pallas kernels are 2-D/3-D; 1-D df64 "
                     "runs the XLA pair path (backend 'auto'/'xla')")
             if config.algorithm == "auto":
-                # separable low-rank pair kernel when its static op
-                # count beats the dense roll path (ops/pallas_df64.
-                # pick_algorithm); 'vpu_roll' otherwise
+                # 2-D: separable low-rank pair kernel when its static
+                # op count beats the dense roll path (ops/pallas_df64.
+                # pick_algorithm); 3-D: the pair slab kernel's only
+                # path is separable slices
                 from .ops import pallas_df64 as _pdf64
 
-                self.df64_algorithm = (_pdf64.pick_algorithm(spec)
-                                       if want_pallas else "vpu_roll")
+                self.df64_algorithm = (
+                    "vpu_sep" if (want_pallas and spec.ndim == 3)
+                    else _pdf64.pick_algorithm(spec) if want_pallas
+                    else "vpu_roll")
             else:
                 self.df64_algorithm = config.algorithm
-            if want_pallas and self.df64_algorithm not in (
-                    "vpu", "vpu_roll", "vpu_sep"):
+            allowed = (("vpu_sep",) if spec.ndim == 3
+                       else ("vpu", "vpu_roll", "vpu_sep"))
+            if want_pallas and self.df64_algorithm not in allowed:
                 raise ValueError(
-                    f"df64 kernel algorithm must be 'auto', 'vpu', "
-                    f"'vpu_roll' or 'vpu_sep', got {config.algorithm!r} "
-                    f"(no error-free product path exists on the MXU)")
+                    f"df64 kernel algorithm must be 'auto' or one of "
+                    f"{allowed} for {spec.ndim}-D, got "
+                    f"{config.algorithm!r} (no error-free product path "
+                    f"exists on the MXU)")
             config = dataclasses.replace(
                 config, backend="pallas" if want_pallas else "xla",
                 algorithm="auto")
@@ -336,7 +343,7 @@ class StencilEngine:
                 f"'reflect', got {config.boundary!r}")
         if (config.boundary != "dirichlet0" and config.backend == "xla"
                 and not self.df64):
-            # (df64 is exempt: its 1-D/3-D tier runs the XLA pair path
+            # (df64 is exempt: its 1-D tier runs the XLA pair path
             # with a per-step padded-ring refresh, _ring_refresh_padded)
             raise ValueError(
                 f"{config.boundary} boundaries need the Pallas backend "
@@ -454,8 +461,11 @@ class StencilEngine:
         2-D: the low-rank decomposition (pivot peel -> SVD fallback +
         sparse residue, models/factorize.py) runs automatically -- the
         generalization of the reference's hand-picked factorizations to
-        user stencils.  1-D: a vector of taps (always dense; a 1-D
-        stencil needs no factorization)."""
+        user stencils.  3-D: a fully-separable z profile when the
+        z-unfolding is rank 1 (the box3d1r structure), per-z-plane 2-D
+        decompositions otherwise (factorize.decompose_3d).  1-D: a
+        vector of taps (always dense; a 1-D stencil needs no
+        factorization)."""
         from .models import factorize
         from .models.shapes import SeparableTerm, StencilSpec
 
@@ -468,6 +478,20 @@ class StencilEngine:
                 halo=tuple(halo) if halo is not None else (radius,),
                 terms=(SeparableTerm(taps=(tuple(S),)),),
                 residue=(), fuse_factor=fuse_factor,
+            )
+        elif S.ndim == 3:
+            assert all(s % 2 for s in S.shape), \
+                "3-D coefficient extents must be odd"
+            radius = max((s - 1) // 2 for s in S.shape)
+            terms, residue = factorize.decompose_3d(S, max_rank=max_rank)
+            spec = StencilSpec(
+                name=name, ndim=3, radius=radius,
+                halo=(tuple(halo) if halo is not None
+                      else (radius, radius, radius)),
+                terms=tuple(
+                    SeparableTerm(taps=(tuple(tz), tuple(u), tuple(v)))
+                    for tz, u, v in terms),
+                residue=residue, fuse_factor=fuse_factor,
             )
         else:
             assert (S.ndim == 2 and S.shape[0] == S.shape[1]
@@ -620,6 +644,18 @@ class StencilEngine:
             return Layout2D(interior=interior, halo=spec.halo, tile=tile,
                             guard=(guard_r, LANE))
         tile = self.config.tile or default_tile_3d(*interior[1:])
+        if self.df64_pallas and self.config.tile is None and self.interpret:
+            # interpret mode + a single-tile plane grid hits the same
+            # XLA:CPU compile blowup as the 2-D pair kernel (trip-1
+            # grid loop inlined, elemental fusion re-expands the df64
+            # chain); split the tile so the grid loop survives
+            tm, tn = tile
+            if (-(-interior[1] // tm)) * (-(-interior[2] // tn)) == 1:
+                if tm >= 2 * SUBLANE:
+                    tm = SUBLANE * (-(-(tm // SUBLANE) // 2))
+                elif tn >= 2 * LANE:
+                    tn = LANE * (-(-(tn // LANE) // 2))
+            tile = (tm, tn)
         k3 = min(max(1, self.config.fused_steps_3d),
                  SUBLANE // max(1, spec.radius))
         zg = max(spec.halo[0], k3 * spec.radius)
@@ -815,13 +851,19 @@ class StencilEngine:
         return min(k, LANE // max(1, self.spec.radius))
 
     def _df64_step(self, cur, donor, fused_k: int = 1):
-        from .ops import pallas_df64
-
-        del fused_k  # single-step kernel
+        del fused_k  # single-step kernels
         bounds = None
         if self.ghost:
             cur = self._ring_refresh_pair(cur, self.config.boundary)
             bounds = self._ghost_bounds()
+        if self.spec.ndim == 3:
+            from .ops import pallas_df64_3d
+
+            return pallas_df64_3d.df64_3d_step(
+                cur, donor, self.spec, self.layout,
+                interpret=self.interpret, bounds=bounds)
+        from .ops import pallas_df64
+
         return pallas_df64.df64_step(
             cur, donor, self.spec, self.layout,
             interpret=self.interpret, algorithm=self.df64_algorithm,

@@ -147,6 +147,84 @@ def decompose_2d(
     return best.terms, sparse_residue(best.residual, tol=tol)
 
 
+def decompose_3d(
+    S: np.ndarray,
+    max_rank: int = 4,
+    residue_budget: int = 24,
+    max_terms: Optional[int] = None,
+    tol: float = 1e-10,
+):
+    """Best-effort decomposition of a 3-D coefficient array into
+    separable (tz, u, v) terms + a sparse residue.  Strategy:
+
+    1. **fully separable z**: if the z-unfolding (nz, nr*nc) is rank 1,
+       ``S = a (x) P`` -- one 2-D decomposition of the plane ``P`` with
+       the z taps ``a`` shared by every term (the box3d1r structure,
+       ``/root/reference/src/3d/main.cu:112-119``); ``a`` is normalized
+       so its largest tap is exactly 1.0 (the kernels' w == +-1
+       shortcut);
+    2. otherwise **per-z-plane**: each nonzero plane decomposes in 2-D
+       with a delta z tap (near-single-point planes go straight to the
+       residue).
+
+    ``max_rank`` bounds each 2-D decomposition; ``max_terms`` (default
+    ``3 * nz``) bounds the total term count (it sizes the kernels' VMEM
+    conv buffers).  Returns (terms, residue) with terms a tuple of
+    (tz, u, v) tap tuples and residue ((dz, dr, dc), w) points."""
+    S = np.asarray(S, dtype=np.float64)
+    assert S.ndim == 3 and all(s % 2 for s in S.shape), S.shape
+    nz = S.shape[0]
+    rz = (nz - 1) // 2
+    r2 = tuple((s - 1) // 2 for s in S.shape[1:])
+    if max_terms is None:
+        max_terms = 3 * nz
+    flat = S.reshape(nz, -1)
+    _, s, _ = np.linalg.svd(flat, full_matrices=False)
+    terms3, residue3 = [], []
+    if s.size == 0 or s[0] <= tol:
+        return (), ()
+    if s.size == 1 or (s[1:] <= tol * s[0]).all():
+        # rank-1 z-unfolding: S = a (x) P exactly (to tol)
+        iz = int(np.argmax(np.max(np.abs(flat), axis=1)))
+        k = int(np.argmax(np.abs(flat[iz])))
+        a = flat[:, k] / flat[iz, k]  # largest-|.| z tap == 1.0 exactly
+        terms2, residue2 = decompose_2d(S[iz], max_rank=max_rank,
+                                        residue_budget=residue_budget,
+                                        tol=tol)
+        for u, v in terms2:
+            terms3.append((tuple(a), tuple(u), tuple(v)))
+        for (dr, dc), w in residue2:
+            for z in range(nz):
+                if abs(a[z]) > tol:
+                    residue3.append(((z - rz, dr, dc), float(a[z] * w)))
+    else:
+        for z in range(nz):
+            plane = S[z]
+            nn = np.argwhere(np.abs(plane) > tol)
+            if len(nn) == 0:
+                continue
+            if len(nn) <= 2:
+                for idx in nn:
+                    residue3.append((
+                        (z - rz, int(idx[0]) - r2[0], int(idx[1]) - r2[1]),
+                        float(plane[tuple(idx)])))
+                continue
+            dz = tuple(1.0 if i == z else 0.0 for i in range(nz))
+            terms2, residue2 = decompose_2d(
+                plane, max_rank=max_rank, residue_budget=residue_budget,
+                tol=tol)
+            for u, v in terms2:
+                terms3.append((dz, tuple(u), tuple(v)))
+            for (dr, dc), w in residue2:
+                residue3.append(((z - rz, dr, dc), w))
+    if len(terms3) > max_terms or len(residue3) > residue_budget:
+        raise ValueError(
+            f"cannot decompose {S.shape} stencil within {max_terms} "
+            f"separable terms / {residue_budget} residue points "
+            f"(got {len(terms3)} terms, {len(residue3)} points)")
+    return tuple(terms3), tuple(residue3)
+
+
 def fuse_taps(taps: Sequence[float], k: int) -> np.ndarray:
     """Temporal fusion of 1-D taps: k-fold self-convolution.
 

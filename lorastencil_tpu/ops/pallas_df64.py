@@ -189,6 +189,22 @@ def pick_algorithm(spec: StencilSpec) -> str:
         "vpu_roll")
 
 
+def _pair_scale(zh, zl, w4, split=None):
+    """(zh, zl) * w for a static split weight w4 = (w_h, w_l, b_h, b_l).
+
+    EXACT shortcuts for w == +-1 (identity / negation of both words --
+    zero flops resp. two); otherwise the exact-partial-product multiply,
+    splitting zh on the fly unless ``split`` carries precomputed
+    (zhs, zhl) halves."""
+    w_h, w_l = w4[0], w4[1]
+    if (w_h, w_l) == (1.0, 0.0):
+        return zh, zl
+    if (w_h, w_l) == (-1.0, 0.0):
+        return -zh, -zl
+    zhs, zhl = veltkamp_split(zh) if split is None else split
+    return _tap_product(zhs, zhl, zl, zh, (0, 0) + w4)
+
+
 def _tap_product(xs, xl2, xlo, x, tap):
     """Exact-partial-product df64 multiply of a shifted state pair by a
     static tap (ops/df64.dense_step's one_tap body; see its FMA-hazard
@@ -350,23 +366,27 @@ def _df64_kernel(
             ah = al = None
             for kind, d, w4 in ops:
                 dr, dc = (d, 0) if axis == 0 else (0, d)
-                tap = (0, 0) + w4
                 if kind == "pair":
                     zh, zl = df_add(
                         rolled(tag + "h", vh, dr, dc),
                         rolled(tag + "l", vl, dr, dc),
                         rolled(tag + "h", vh, -dr, -dc),
                         rolled(tag + "l", vl, -dr, -dc))
-                    zhs, zhl = veltkamp_split(zh)
-                    ph, pl_ = _tap_product(zhs, zhl, zl, zh, tap)
+                    ph, pl_ = _pair_scale(zh, zl, w4)
                 elif d == 0:
-                    ph, pl_ = _tap_product(vhs, vhl, vl, vh, tap)
+                    ph, pl_ = _pair_scale(vh, vl, w4, split=(vhs, vhl))
+                elif (abs(w4[0]), w4[1]) == (1.0, 0.0):
+                    # w == +-1: the shifted pair itself (no product)
+                    ph, pl_ = _pair_scale(rolled(tag + "h", vh, dr, dc),
+                                          rolled(tag + "l", vl, dr, dc),
+                                          w4)
                 else:
                     xs = rolled(tag + "hs", vhs, dr, dc)
                     xl2 = rolled(tag + "hl", vhl, dr, dc)
                     xlo = rolled(tag + "l", vl, dr, dc)
                     # xs + xl2 == the rolled vh, exactly (split identity)
-                    ph, pl_ = _tap_product(xs, xl2, xlo, xs + xl2, tap)
+                    ph, pl_ = _pair_scale(xs + xl2, xlo, w4,
+                                          split=(xs, xl2))
                 ah, al = ((ph, pl_) if ah is None
                           else df_add(ah, al, ph, pl_))
             if ah is None:
@@ -390,21 +410,23 @@ def _df64_kernel(
                             else df_add(acc_h, acc_l, yh, yl))
         for kind, off, w4 in res_entries:
             dr, dc = off
-            tap = (0, 0) + w4
             if kind == "pair":
                 zh, zl = df_add(rolled("xh", hi, dr, dc),
                                 rolled("xl", lo, dr, dc),
                                 rolled("xh", hi, -dr, -dc),
                                 rolled("xl", lo, -dr, -dc))
-                zhs, zhl = veltkamp_split(zh)
-                ph, pl_ = _tap_product(zhs, zhl, zl, zh, tap)
+                ph, pl_ = _pair_scale(zh, zl, w4)
             elif (dr, dc) == (0, 0):
-                ph, pl_ = _tap_product(his, hil, lo, hi, tap)
+                ph, pl_ = _pair_scale(hi, lo, w4, split=(his, hil))
+            elif (abs(w4[0]), w4[1]) == (1.0, 0.0):
+                ph, pl_ = _pair_scale(rolled("xh", hi, dr, dc),
+                                      rolled("xl", lo, dr, dc), w4)
             else:
                 xs = rolled("xhs", his, dr, dc)
                 xl2 = rolled("xhl", hil, dr, dc)
                 xlo = rolled("xl", lo, dr, dc)
-                ph, pl_ = _tap_product(xs, xl2, xlo, xs + xl2, tap)
+                ph, pl_ = _pair_scale(xs + xl2, xlo, w4,
+                                      split=(xs, xl2))
             acc_h, acc_l = ((ph, pl_) if acc_h is None
                             else df_add(acc_h, acc_l, ph, pl_))
         if acc_h is None:

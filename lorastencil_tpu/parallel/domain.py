@@ -652,8 +652,7 @@ class ShardedStencilDF64(ShardedStencil2D):
     ring copies/flips are exact on (hi, lo) pairs).
 
     Tier boundaries (loud errors, mirroring the single-device engine):
-    fused_steps == 1 (the pair kernel is single-step),
-    2-D only (1-D/3-D sharded df64 raises in sharded_engine), and no
+    fused_steps == 1 (the pair kernel is single-step), and no
     exchange/compute overlap (the pair kernel takes no region calls) --
     the ring-in-output dataflow (_local_step_ringout) is used instead,
     so the +175% exchange-into-input copy cliff is still avoided.
@@ -820,10 +819,10 @@ class ShardedStencil3D:
         assert spec.ndim == 3
         from ..ops.layout import LANE, SUBLANE, Layout3D, default_tile_3d
 
-        if config.dtype == "df64":
+        if config.dtype == "df64" and type(self) is ShardedStencil3D:
             raise ValueError(
-                "sharded df64 is 2-D only (the Pallas pair kernel); "
-                "run 3-D df64 single-device via StencilEngine")
+                "dtype='df64' pair state needs ShardedStencilDF64_3D "
+                "(sharded_engine dispatches there)")
         self.spec = spec
         self.config = config
         _check_reflect_fused(spec, config)
@@ -1412,6 +1411,142 @@ class ShardedStencil3D:
         return self._checksum_jit(padded, steps=steps)
 
 
+class ShardedStencilDF64_3D(ShardedStencil3D):
+    """Domain-decomposed fp64-GRADE 3-D stencil: double-float fp32 pair
+    state over a 2-D (rows, cols) or 3-D (z, rows, cols) device mesh.
+
+    The 3-D twin of ShardedStencilDF64: state is a stacked
+    (2, dz*Hp, dx*Mp, dy*Np) fp32 array sharded P(None, ['z',] 'x',
+    'y'); the hi/lo planes ride the SAME multi-phase ppermute exchange
+    as the fp32 tier (vmapped over the pair axis) and each device runs
+    the pair slab kernel (ops/pallas_df64_3d.py) on its local block
+    with the dynamic global-interior bounds.  Boundary conditions:
+    dirichlet0, periodic, reflect (ring copies/flips are exact on
+    (hi, lo) pairs).
+
+    Tier boundaries (loud errors): fused_steps == 1 (the pair kernel
+    is single-step) and no boundary-first overlap (the pair kernel
+    takes no region calls) -- overlap=True uses the ring-in-output
+    dataflow instead, exactly like the 2-D twin."""
+
+    def __init__(self, spec: StencilSpec, interior, config: ShardedConfig,
+                 mesh: Optional[Mesh] = None):
+        from ..ops.layout import LANE, SUBLANE
+
+        if config.dtype != "df64":
+            raise ValueError("ShardedStencilDF64_3D needs dtype='df64'")
+        if max(1, config.fused_steps) != 1:
+            raise ValueError(
+                "sharded df64 needs fused_steps=1 (the pair kernel is "
+                "single-step)")
+        alg = "vpu_sep" if config.algorithm == "auto" else config.algorithm
+        if alg != "vpu_sep":
+            raise ValueError(
+                f"the 3-D pair slab kernel's only path is separable "
+                f"slices ('auto'/'vpu_sep'), got {config.algorithm!r}")
+        self.df64_algorithm = alg
+        base = dataclasses.replace(config, dtype="float32",
+                                   algorithm="auto")
+        super().__init__(spec, interior, base, mesh)
+        if self.interpret and self.layout.grid == (1, 1):
+            # single-tile interpret plane grids hit the XLA:CPU compile
+            # blowup (see the 2-D twin); split the plane tile
+            tm, tn = self.layout.tile
+            if tm >= 2 * SUBLANE:
+                tm = SUBLANE * (-(-(tm // SUBLANE) // 2))
+            elif tn >= 2 * LANE:
+                tn = LANE * (-(-(tn // LANE) // 2))
+            else:
+                raise ValueError(
+                    "df64 interpret mode needs a >= 2-tile local plane "
+                    "grid (single-tile grids hit an XLA:CPU compile "
+                    "blowup); grow the local block or set config.tile")
+            super().__init__(spec, interior,
+                             dataclasses.replace(base, tile=(tm, tn)),
+                             mesh)
+
+    # -- per-device step (pair state) -------------------------------------
+    def _local_step(self, cur2, donor2, fused_k):
+        from ..ops import pallas_df64_3d
+
+        cur2 = jax.vmap(self._exchange)(cur2)
+        return pallas_df64_3d.df64_3d_step(
+            cur2, donor2, self.spec, self.layout,
+            interpret=self.interpret, bounds=self._bounds())
+
+    def _local_step_ringout(self, cur2, donor2, fused_k):
+        from ..ops import pallas_df64_3d
+
+        if self._needs_local_zghost():
+            cur2 = jax.vmap(self._z_ghost)(cur2)
+        out2 = pallas_df64_3d.df64_3d_step(
+            cur2, donor2, self.spec, self.layout,
+            interpret=self.interpret, bounds=self._bounds())
+        parts = jax.vmap(self._exchange_strips)(out2)
+        return jax.vmap(self._write_ring)(out2, parts)
+
+    def _run(self, state2, steps: int):
+        """state2: (2, dz*Hp, dx*Mp, dy*Np) fp32 pair stack."""
+        from jax import shard_map
+
+        from ..engine import ping_pong_loop
+
+        step_fn = (self._local_step_ringout if self.config.overlap
+                   else self._local_step)
+
+        def body_fn(local2):
+            return ping_pong_loop(step_fn, local2, steps, 1)
+
+        zspec = "z" if self.dz > 1 else None
+        fn = shard_map(
+            body_fn, mesh=self.mesh,
+            in_specs=P(None, zspec, "x", "y"),
+            out_specs=P(None, zspec, "x", "y"),
+            check_vma=False,
+        )
+        return fn(state2)
+
+    # -- user API ---------------------------------------------------------
+    def to_sharded(self, pair):
+        embed = ShardedStencil3D.to_sharded
+        out = jnp.stack([embed(self, pair[0]), embed(self, pair[1])])
+        zspec = "z" if self.dz > 1 else None
+        return jax.lax.with_sharding_constraint(
+            out, NamedSharding(self.mesh, P(None, zspec, "x", "y")))
+
+    def from_sharded(self, state2):
+        extract = ShardedStencil3D.from_sharded
+        return jnp.stack([extract(self, state2[0]),
+                          extract(self, state2[1])])
+
+    def run(self, padded, steps: int):
+        """User global fp64 padded array in, fp64 NumPy out (pair
+        split/merge on the host; one jitted program in between)."""
+        from ..ops import df64 as _df64
+
+        pair = _df64.split_host(np.asarray(padded))
+        if not hasattr(self, "_full_jit"):
+            self._full_jit = jax.jit(
+                lambda p, steps: self.from_sharded(
+                    self._run(self.to_sharded(p), steps)),
+                static_argnames=("steps",),
+            )
+        return _df64.merge_host(np.asarray(self._full_jit(pair,
+                                                          steps=steps)))
+
+    def run_checksum(self, padded, steps: int):
+        from ..ops import df64 as _df64
+
+        pair = _df64.split_host(np.asarray(padded))
+        if not hasattr(self, "_checksum_jit"):
+            self._checksum_jit = jax.jit(
+                lambda p, steps: jnp.sum(
+                    self._run(self.to_sharded(p), steps)),
+                static_argnames=("steps",),
+            )
+        return self._checksum_jit(pair, steps=steps)
+
+
 class ShardedStencil1D:
     """Domain-decomposed 1-D stencil over a 1-D mesh: each device owns a
     contiguous flat block; per step the 4-cell edge strips ppermute to the
@@ -1426,7 +1561,7 @@ class ShardedStencil1D:
 
         if config.dtype == "df64":
             raise ValueError(
-                "sharded df64 is 2-D only (the Pallas pair kernel); "
+                "sharded df64 is 2-D/3-D (the Pallas pair kernels); "
                 "run 1-D df64 single-device via StencilEngine")
         self.spec = spec
         self.config = config
@@ -1761,12 +1896,15 @@ def sharded_engine(shape, interior, mesh_shape, **kw):
     spec = shape if isinstance(shape, StencilSpec) else get_shape(shape)
     cfg = ShardedConfig(mesh_shape=tuple(mesh_shape), **kw)
     if cfg.dtype == "df64":
-        # sharded df64 is 2-D only: the Pallas pair kernel
-        # (ops/pallas_df64.py) is 2-D; 1-D/3-D df64 runs single-device
-        # via StencilEngine's XLA pair path (documented tier boundary)
+        # sharded df64 rides the 2-D pair kernel (ops/pallas_df64.py)
+        # or the 3-D pair slab kernel (ops/pallas_df64_3d.py); 1-D df64
+        # runs single-device via StencilEngine's XLA pair path
+        # (documented tier boundary)
+        if spec.ndim == 3:
+            return ShardedStencilDF64_3D(spec, tuple(interior), cfg)
         if spec.ndim != 2:
             raise ValueError(
-                f"sharded df64 is 2-D only (the Pallas pair kernel); "
+                f"sharded df64 is 2-D/3-D (the Pallas pair kernels); "
                 f"run {spec.ndim}-D df64 single-device via "
                 f"StencilEngine(dtype='df64')")
         return ShardedStencilDF64(spec, tuple(interior), cfg)

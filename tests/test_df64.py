@@ -136,11 +136,15 @@ def test_df64_checksum_and_internal_api():
 
 
 def test_df64_config_guards():
-    # the df64 Pallas pair kernel is 2-D only (ops/pallas_df64.py);
-    # 1-D/3-D df64 runs the XLA pair path
-    with pytest.raises(ValueError, match="2-D only"):
+    # the df64 Pallas kernels are 2-D (ops/pallas_df64.py) and 3-D
+    # (ops/pallas_df64_3d.py); 1-D df64 runs the XLA pair path
+    with pytest.raises(ValueError, match="1-D df64"):
         engine.StencilEngine.for_shape(
             "1d1r", (300,), dtype="df64", backend="pallas")
+    with pytest.raises(ValueError, match="3-D"):
+        # the 3-D pair slab kernel's only path is separable slices
+        engine.StencilEngine.for_shape(
+            "box3d1r", (6, 20, 150), dtype="df64", algorithm="vpu_roll")
     with pytest.raises(ValueError, match="backend"):
         engine.StencilEngine.for_shape(
             "star2d1r", (40, 200), dtype="df64", backend="mxu")
@@ -156,7 +160,7 @@ def test_df64_config_guards():
                   "--autotune"])
 
 
-@pytest.mark.parametrize("coeffs_shape", [(7,), (5, 5)])
+@pytest.mark.parametrize("coeffs_shape", [(7,), (5, 5), (3, 3, 3)])
 def test_df64_custom_coeffs(coeffs_shape):
     """for_coeffs + df64: arbitrary (non-integer-tap) stencils, where
     the tap lo halves are genuinely nonzero."""
@@ -331,6 +335,66 @@ def test_df64_pallas_unaligned_interior():
     assert np.all(got[-h[0]:] == 0.0) and np.all(got[:, -h[1]:] == 0.0)
 
 
+def test_df64_3d_pallas_unaligned_interior():
+    """3-D pair slab kernel (ops/pallas_df64_3d.py): tile round-up in
+    both plane axes + an odd z extent (slab=1 fallback); the bounds
+    mask must zero the fake cells and the output halo stays zero."""
+    spec = shapes.get_shape("box3d1r")
+    interior = (5, 20, 150)
+    g0 = _padded_input(spec, interior, seed=45)
+    eng = engine.StencilEngine.for_shape(
+        "box3d1r", interior, dtype="df64", tile=(16, 128))
+    assert eng.df64_pallas and eng.spec.ndim == 3
+    got = eng.run(g0, 3)
+    want = reference.run(g0, spec, 3)
+    assert np.abs(got - want).max() <= 1e-12 * max(1.0, np.abs(want).max())
+    h = spec.halo
+    assert np.all(got[: h[0]] == 0.0) and np.all(got[-h[0]:] == 0.0)
+    assert np.all(got[:, : h[1]] == 0.0) and np.all(got[:, -h[1]:] == 0.0)
+    assert np.all(got[:, :, : h[2]] == 0.0)
+    assert np.all(got[:, :, -h[2]:] == 0.0)
+
+
+def test_df64_3d_custom_coeffs_separable_z():
+    """3-D for_coeffs, fully-separable z profile (decompose_3d branch
+    1) through the pair slab kernel."""
+    S = np.einsum("i,j,k->ijk", [1.0, 3.0, 1.0], [1.0, 2.0, 1.0],
+                  [0.5, 1.0, 0.5])
+    interior = (6, 20, 150)
+    eng = engine.StencilEngine.for_coeffs(S, interior, dtype="df64")
+    assert eng.df64_pallas
+    g0 = (reference.random_padded(eng.spec, interior, seed=46)
+          * (np.pi / 100.0))
+    got = eng.run(g0, 3)
+    want = reference.run(g0, eng.spec, 3)
+    rel = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert rel < 1e-12, rel
+
+
+def test_df64_3d_interpret_single_tile_guard():
+    """The 3-D pair kernel refuses single-tile interpret plane grids
+    (same XLA:CPU blowup as 2-D); engine default layouts split."""
+    from lorastencil_tpu.ops import pallas_df64_3d
+    from lorastencil_tpu.ops.layout import Layout3D
+    import jax.numpy as jnp
+
+    spec = shapes.get_shape("star3d1r")
+    lay = Layout3D(interior=(4, 8, 128), halo=spec.halo, tile=(8, 128),
+                   zguard=1)
+    cur = jnp.zeros((2,) + lay.shape, jnp.float32)
+    with pytest.raises(ValueError, match="2-tile"):
+        pallas_df64_3d.df64_3d_step(cur, jnp.zeros_like(cur), spec, lay,
+                                    interpret=True)
+    # engine default layouts split the plane tile on interpret grids
+    # (interiors below the minimum (8, 128) tile cannot split -- the
+    # kernel's loud error points such tiny grids at backend='xla')
+    for interior in ((6, 20, 150), (4, 16, 256), (8, 32, 512)):
+        eng = engine.StencilEngine.for_shape("star3d1r", interior,
+                                             dtype="df64")
+        gi, gj = eng.layout.grid
+        assert gi * gj >= 2, (interior, eng.layout.tile)
+
+
 def test_df64_pallas_interpret_single_tile_guard():
     """Interpret mode + a single-tile grid is an XLA:CPU compile blowup
     (trip-1 grid loop inlined, elemental fusion re-expands the df64
@@ -492,15 +556,22 @@ def test_sharded_df64_checksum_matches_run():
 
 
 def test_sharded_df64_guards():
-    """Tier boundaries are loud: 1-D/3-D, ghost boundaries, fused
-    steps, MXU algorithms, and direct 2-D-class misuse all raise."""
+    """Tier boundaries are loud: 1-D, fused steps, MXU algorithms, and
+    direct base-class misuse all raise."""
     from lorastencil_tpu.parallel import domain
 
-    with pytest.raises(ValueError, match="2-D only"):
+    with pytest.raises(ValueError, match="1-D df64"):
         domain.sharded_engine("1d1r", 4096, (8,), dtype="df64")
-    with pytest.raises(ValueError, match="2-D only"):
+    with pytest.raises(ValueError, match="separable"):
         domain.sharded_engine("star3d1r", (6, 16, 256), (2, 2),
-                              dtype="df64")
+                              dtype="df64", algorithm="vpu_roll")
+    with pytest.raises(ValueError, match="ShardedStencilDF64_3D"):
+        domain.ShardedStencil3D(
+            shapes.get_shape("star3d1r"), (6, 16, 256),
+            domain.ShardedConfig(mesh_shape=(2, 2), dtype="df64"))
+    with pytest.raises(ValueError, match="fused_steps=1"):
+        domain.sharded_engine("box3d1r", (6, 16, 256), (2, 2),
+                              dtype="df64", fused_steps=2)
     with pytest.raises(ValueError, match="fused_steps=1"):
         domain.sharded_engine("star2d1r", (32, 256), (2, 2),
                               dtype="df64", fused_steps=2)
@@ -519,6 +590,62 @@ def test_sharded_df64_cli_check(capsys):
     out = capsys.readouterr().out
     assert rc == 0, out
     assert "Correct!" in out
-    # 1-D/3-D df64 meshes refuse loudly
+    # 1-D df64 meshes refuse loudly (the XLA pair path is single-chip)
     with pytest.raises(SystemExit):
         cli.main(["1d1r", "4096", "3", "--dtype", "df64", "--mesh", "4"])
+
+
+@pytest.mark.parametrize("name,mesh_shape,interior,boundary", [
+    ("star3d1r", (2, 2), (6, 32, 256), "dirichlet0"),
+    ("star3d1r", (2, 2, 2), (7, 30, 300), "periodic"),
+    ("star3d1r", (2, 2, 2), (8, 32, 256), "reflect"),
+    ("box3d1r", (2, 2, 2), (8, 32, 256), "dirichlet0"),
+])
+def test_sharded_df64_3d(name, mesh_shape, interior, boundary):
+    """Sharded 3-D df64 (ShardedStencilDF64_3D): the pair planes ride
+    the multi-phase exchange (z ppermute included on 3-D meshes) and
+    each device runs the pair slab kernel; fp64-grade across device
+    boundaries, corner octants, non-divisible blocks and ghost modes."""
+    from lorastencil_tpu.parallel import domain
+
+    spec = shapes.get_shape(name)
+    g0 = _padded_input(spec, interior, seed=91)
+    sh = domain.sharded_engine(name, interior, mesh_shape, dtype="df64",
+                               boundary=boundary)
+    assert isinstance(sh, domain.ShardedStencilDF64_3D)
+    got = sh.run(g0, 3)
+    assert got.dtype == np.float64
+    it = reference.interior_slices(spec, g0.shape)
+    truth = {"dirichlet0": reference.run,
+             "periodic": reference.run_periodic,
+             "reflect": reference.run_reflect}[boundary]
+    want = truth(g0, spec, 3)
+    rel = (np.abs(got[it] - want[it]).max()
+           / max(1.0, np.abs(want).max()))
+    assert rel < 1e-12, (name, mesh_shape, boundary, rel)
+
+
+def test_sharded_df64_3d_sequential_and_checksum():
+    from lorastencil_tpu.parallel import domain
+
+    spec = shapes.get_shape("box3d1r")
+    interior = (8, 32, 256)
+    g0 = _padded_input(spec, interior, seed=92)
+    want = reference.run(g0, spec, 3)
+    for overlap in (True, False):
+        sh = domain.sharded_engine("box3d1r", interior, (2, 2, 2),
+                                   dtype="df64", overlap=overlap)
+        got = sh.run(g0, 3)
+        rel = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+        assert rel < 1e-12, (overlap, rel)
+    cs = float(sh.run_checksum(g0, 2))
+    assert np.isfinite(cs)
+    assert cs == float(sh.run_checksum(g0, 2))
+
+
+def test_sharded_df64_3d_cli_check(capsys):
+    rc = cli.main(["star3d1r", "8", "32", "256", "2", "--dtype", "df64",
+                   "--mesh", "2", "2", "2", "--check", "--repeats", "1"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "Correct!" in out

@@ -169,6 +169,46 @@ class TestFactorize:
             acc[tuple(2 + o for o in off)] += w
         np.testing.assert_allclose(acc, S, atol=1e-8)
 
+    def test_decompose_3d_separable(self):
+        # box3d1r structure: rank-1 z-unfolding -> one (tz, u, v) term,
+        # z taps normalized so the largest is exactly 1.0
+        S = np.einsum("i,j,k->ijk", [2.0, 4.0, 2.0], [1.0, 1.0, 1.0],
+                      [1.0, 2.0, 1.0])
+        terms, residue = factorize.decompose_3d(S)
+        assert len(terms) == 1 and residue == ()
+        tz, u, v = terms[0]
+        assert tz[1] == 1.0  # largest z tap normalized to exactly 1
+        acc = np.einsum("i,j,k->ijk", tz, u, v)
+        np.testing.assert_allclose(acc, S, atol=1e-10)
+
+    def test_decompose_3d_per_plane(self):
+        # non-separable z: per-plane decomposition + residue points
+        rng = np.random.default_rng(11)
+        S = rng.standard_normal((3, 5, 5))
+        terms, residue = factorize.decompose_3d(S)
+        acc = np.zeros_like(S)
+        for tz, u, v in terms:
+            acc += np.einsum("i,j,k->ijk", tz, u, v)
+        for (dz, dr, dc), w in residue:
+            acc[1 + dz, 2 + dr, 2 + dc] += w
+        np.testing.assert_allclose(acc, S, atol=1e-8)
+
+    def test_decompose_3d_sparse_planes_to_residue(self):
+        # near-single-point planes skip the 2-D decomposition
+        S = np.zeros((3, 3, 3))
+        S[0, 1, 1] = 2.0
+        S[2, 0, 2] = -1.0
+        S[1] = np.outer([1.0, 2.0, 1.0], [1.0, 2.0, 1.0])
+        terms, residue = factorize.decompose_3d(S)
+        offs = {off for off, _ in residue}
+        assert (-1, 0, 0) in offs and (1, -1, 1) in offs
+        acc = np.zeros_like(S)
+        for tz, u, v in terms:
+            acc += np.einsum("i,j,k->ijk", tz, u, v)
+        for (dz, dr, dc), w in residue:
+            acc[1 + dz, 1 + dr, 1 + dc] += w
+        np.testing.assert_allclose(acc, S, atol=1e-10)
+
     def test_fuse_taps(self):
         np.testing.assert_allclose(
             factorize.fuse_taps([1, 1, 1, 1], 2), [1, 2, 3, 4, 3, 2, 1]
