@@ -57,14 +57,19 @@ BF16 = [(name, interior, steps,
               dtype="bfloat16"))
         for name, interior, steps, opts in CONFIGS]
 
-# df64 correctness-tier throughput rows (fp64-grade pair state; the
-# Pallas pair kernel is 2-D only).  VPU-compute bound at ~5 GCells/s
-# (~1150 error-free-transform flops/cell for star2d1r) -- ~6x the XLA
-# dense pair path.  Gated as its own tier (_tier -> "df64").
+# df64 correctness-tier throughput rows (fp64-grade pair state; Pallas
+# pair kernels for 2-D and 3-D, XLA pair path for 1-D).  VPU-compute
+# bound; the separable (vpu_sep) form is the auto default.  Gated as
+# its own tier (_tier -> "df64").
+# region sizing: >= ~0.3 s raw per pipeline region (short regions are
+# unreliable in BOTH directions through the tunnel sync subtraction --
+# r9 post-mortems); 3-D at ~20 GCells/s needs steps=64, pipeline=4
 DF64 = [
     ("star2d1r", (4096, 4096), 64, {"pipeline": 2, "dtype": "df64"}),
-    ("box2d3r", (4096, 4096), 16, {"pipeline": 2, "dtype": "df64"}),
+    ("box2d3r", (4096, 4096), 32, {"pipeline": 2, "dtype": "df64"}),
     ("star2d1r", (8192, 8192), 32, {"pipeline": 2, "dtype": "df64"}),
+    ("star3d1r", (256, 256, 256), 64, {"pipeline": 4, "dtype": "df64"}),
+    ("box3d1r", (256, 256, 256), 64, {"pipeline": 4, "dtype": "df64"}),
 ]
 
 QUICK = [
