@@ -58,13 +58,17 @@ BF16 = [(name, interior, steps,
         for name, interior, steps, opts in CONFIGS]
 
 # df64 correctness-tier throughput rows (fp64-grade pair state; Pallas
-# pair kernels for 2-D and 3-D, XLA pair path for 1-D).  VPU-compute
-# bound; the separable (vpu_sep) form is the auto default.  Gated as
-# its own tier (_tier -> "df64").
+# pair kernels for every dim: 1-D lanes, 2-D window, 3-D slab).
+# VPU-compute bound; the separable (vpu_sep) form is the 2-D/3-D auto
+# default, lane rolls the 1-D path.  Gated as its own tier
+# (_tier -> "df64").
 # region sizing: >= ~0.3 s raw per pipeline region (short regions are
 # unreliable in BOTH directions through the tunnel sync subtraction --
-# r9 post-mortems); 3-D at ~20 GCells/s needs steps=64, pipeline=4
+# r9 post-mortems); 3-D at ~20 GCells/s needs steps=64, pipeline=4;
+# 1-D at ~20 GCells/s and 16M cells needs steps=256
 DF64 = [
+    ("1d1r", (16 * 1024 * 1024,), 256, {"pipeline": 2, "dtype": "df64"}),
+    ("1d2r", (16 * 1024 * 1024,), 256, {"pipeline": 2, "dtype": "df64"}),
     ("star2d1r", (4096, 4096), 64, {"pipeline": 2, "dtype": "df64"}),
     ("box2d3r", (4096, 4096), 32, {"pipeline": 2, "dtype": "df64"}),
     ("star2d1r", (8192, 8192), 32, {"pipeline": 2, "dtype": "df64"}),

@@ -191,18 +191,18 @@ def _run_sharded(p, args, spec, interior, steps, grid0, tile) -> int:
     from .parallel import domain
 
     mesh_shape = tuple(args.mesh)
-    want_axes = 1 if spec.ndim == 1 else 2
-    if len(mesh_shape) == 1 and want_axes == 2:
+    # 1-D shapes: (dx); 2-D: (dx, dy); 3-D: (dx, dy) row/col meshes or
+    # (dz, dx, dy) with the z axis sharded too (parallel/domain.py)
+    want_axes = {1: (1,), 2: (2,), 3: (2, 3)}[spec.ndim]
+    if len(mesh_shape) == 1 and spec.ndim > 1:
         mesh_shape = (mesh_shape[0], 1)
-    if len(mesh_shape) != want_axes:
-        p.error(f"--mesh for {args.shape} needs {want_axes} integer(s), "
+    if len(mesh_shape) not in want_axes:
+        p.error(f"--mesh for {args.shape} needs "
+                f"{' or '.join(map(str, want_axes))} integer(s), "
                 f"got {len(args.mesh)}")
     if args.dtype == "float64":
         p.error("--mesh supports float32/bfloat16/df64 state (the fp64 "
                 "tier is the single-process CPU regime)")
-    if args.dtype == "df64" and spec.ndim == 1:
-        p.error("--mesh with --dtype df64 is 2-D/3-D (the Pallas pair "
-                "kernels; 1-D df64 runs single-chip)")
     if args.autotune:
         p.error("--autotune tunes the single-chip engine; pass --tile/"
                 "--fused-steps explicitly with --mesh")

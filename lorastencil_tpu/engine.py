@@ -212,8 +212,8 @@ class EngineConfig:
     # plane convs); df64 2-D: 'vpu_sep' (separable low-rank pair
     # kernel) when its static op count beats the dense rolls, else
     # 'vpu_roll'; df64 3-D: 'vpu_sep' (the pair slab kernel's only
-    # path); df64 1-D and float64: dense-path semantics.  Explicit
-    # options: 'vpu_roll'
+    # path); df64 1-D: 'vpu_roll' (pair lane rolls); float64:
+    # dense-path semantics.  Explicit options: 'vpu_roll'
     # (exact-fp32 aligned cyclic-roll convs), 'vpu' (shifted slices),
     # 'mxu_hybrid1', 'mxu_hybrid3' (exact 3-pass split banded GEMMs,
     # superseded by hybrid1), 'mxu_hybrid' (2-pass, ~6e-6/step),
@@ -290,27 +290,40 @@ class StencilEngine:
             # preserved exactly (round-4; previously a loud tier error)
             # 2-D df64 runs the Pallas pair kernel (window read once,
             # error-free tap chain in VMEM -- ops/pallas_df64.py); 3-D
-            # the pair slab kernel (ops/pallas_df64_3d.py); 1-D keeps
+            # the pair slab kernel (ops/pallas_df64_3d.py); 1-D the
+            # pair lanes kernel (ops/pallas_df64_1d.py) when the
+            # effective radius fits the overlapped-lane layout, else
             # the XLA dense pair path (ops/df64.py)
-            want_pallas = spec.ndim in (2, 3) and config.backend != "xla"
+            if spec.ndim == 1:
+                from .ops import pallas_1d as _p1d
+
+                r1 = _p1d.effective_radius(spec)
+                dim_ok = 1 <= r1 <= 32
+            else:
+                dim_ok = True
+            want_pallas = dim_ok and config.backend != "xla"
             if config.backend == "pallas" and not want_pallas:
                 raise ValueError(
-                    "the df64 Pallas kernels are 2-D/3-D; 1-D df64 "
-                    "runs the XLA pair path (backend 'auto'/'xla')")
+                    "no df64 Pallas kernel applies: 1-D needs an "
+                    "effective radius in [1, 32] (the overlapped-lane "
+                    "layout); this spec runs the XLA pair path "
+                    "(backend 'auto'/'xla')")
             if config.algorithm == "auto":
                 # 2-D: separable low-rank pair kernel when its static
                 # op count beats the dense roll path (ops/pallas_df64.
                 # pick_algorithm); 3-D: the pair slab kernel's only
-                # path is separable slices
+                # path is separable slices; 1-D: lane rolls
                 from .ops import pallas_df64 as _pdf64
 
                 self.df64_algorithm = (
                     "vpu_sep" if (want_pallas and spec.ndim == 3)
+                    else "vpu_roll" if (want_pallas and spec.ndim == 1)
                     else _pdf64.pick_algorithm(spec) if want_pallas
                     else "vpu_roll")
             else:
                 self.df64_algorithm = config.algorithm
             allowed = (("vpu_sep",) if spec.ndim == 3
+                       else ("vpu_roll",) if spec.ndim == 1
                        else ("vpu", "vpu_roll", "vpu_sep"))
             if want_pallas and self.df64_algorithm not in allowed:
                 raise ValueError(
@@ -343,8 +356,8 @@ class StencilEngine:
                 f"'reflect', got {config.boundary!r}")
         if (config.boundary != "dirichlet0" and config.backend == "xla"
                 and not self.df64):
-            # (df64 is exempt: its 1-D tier runs the XLA pair path
-            # with a per-step padded-ring refresh, _ring_refresh_padded)
+            # (df64 is exempt: its XLA-pair fallback (wide-radius 1-D)
+            # runs a per-step padded-ring refresh, _ring_refresh_padded)
             raise ValueError(
                 f"{config.boundary} boundaries need the Pallas backend "
                 f"(the XLA reference path implements the reference's "
@@ -556,6 +569,37 @@ class StencilEngine:
             from .ops.layout import Layout1DLanes
 
             n1 = interior[0]
+            if self.df64_pallas:
+                # pair lanes kernel: single-step (k=1) tiled lanes
+                # layout, never resident (no pair variant of the
+                # in-kernel periodic halo refresh)
+                lanes, _ = Layout1DLanes.build(
+                    n1, spec.halo[0], 1, pallas_1d.effective_radius(spec))
+                if self.config.lanes_width or self.config.lanes_tile_rows:
+                    lanes = dataclasses.replace(
+                        lanes,
+                        width=self.config.lanes_width or lanes.width,
+                        tile_rows=(self.config.lanes_tile_rows
+                                   or lanes.tile_rows))
+                    lanes.validate()
+                elif not self.interpret:
+                    # build()'s depth caps are sized for single-plane
+                    # fp32 windows; the pair window doubles the bytes
+                    # and the EFT chain holds several window extents of
+                    # transients -- cap the tile depth (device sweep
+                    # r9 at 16M cells: 64/128/256 flat within ~4%, 64
+                    # best at both 1d1r and 1d2r: 21.4/17.1 GCells/s)
+                    lanes = dataclasses.replace(
+                        lanes, tile_rows=min(lanes.tile_rows, 64))
+                if (self.interpret and lanes.grid == (1,)
+                        and lanes.tile_rows >= 2 * SUBLANE):
+                    # keep the interpret-mode grid loop alive (trip-1
+                    # grids hit the XLA:CPU df64-chain compile blowup,
+                    # same split as the 2-D/3-D pair kernels)
+                    lanes = dataclasses.replace(
+                        lanes, tile_rows=SUBLANE * (
+                            -(-(lanes.tile_rows // SUBLANE) // 2)))
+                return lanes
             rows = max(SUBLANE,
                        min(512, SUBLANE * (-(-n1 // (SUBLANE * LANE)))))
             k = self._fused_k()
@@ -860,6 +904,12 @@ class StencilEngine:
             from .ops import pallas_df64_3d
 
             return pallas_df64_3d.df64_3d_step(
+                cur, donor, self.spec, self.layout,
+                interpret=self.interpret, bounds=bounds)
+        if self.spec.ndim == 1:
+            from .ops import pallas_df64_1d
+
+            return pallas_df64_1d.df64_1d_step(
                 cur, donor, self.spec, self.layout,
                 interpret=self.interpret, bounds=bounds)
         from .ops import pallas_df64

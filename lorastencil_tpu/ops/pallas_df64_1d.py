@@ -1,0 +1,234 @@
+"""df64 1-D stencil Pallas kernel: fp64-grade pair state on the
+overlapped-lane layout.
+
+Closes the last "df64 Pallas" tier boundary: 1-D df64 previously ran the
+HBM-bound XLA dense pair path (ops/df64.py).  This kernel streams the
+(hi, lo) pair window into VMEM (double-buffered, the fp32 lanes kernel's
+pipeline -- ops/pallas_1d.stencil1d_lanes_step) and runs the whole
+error-free tap chain on VMEM values: each flat shift is ONE aligned
+cyclic lane roll on the Layout1DLanes layout (halo lanes absorb the wrap
+garbage; the start-of-call fixup rebuilt them from the neighbor rows),
+symmetric taps +-d fold into one product via an exact pair add, and
+taps with w == +-1 skip the product entirely.
+
+This is the TPU pair-arithmetic answer to the reference's native-fp64
+1-D tensor-core engine (``/root/reference/src/1d/1d_utils.h:44``
+``DATA_TYPE double``; DMMA segments ``src/1d/gpu_1r.cu:21-87``): fp32
+lane rolls + error-free transformations instead of m8n8k4 fp64 MMA.
+
+Numerics: identical EFT formulation to ops/df64.py (products exact via
+12-bit Veltkamp halves, rounded corrections only enter plain adds --
+FMA contraction cannot change any value); accuracy ~1e-14/step.  Single
+step per call (the pair state's validity creeps r_eff lanes per step;
+lane_halo >= r_eff).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.shapes import StencilSpec
+from .df64 import df_add, veltkamp_split
+from .layout import LANE, Layout1DLanes
+from .pallas_1d import _dense_taps, _lanes_fixup, effective_radius
+from .pallas_df64 import _fold_taps, _pair_scale
+
+
+def _df64_1d_lanes_kernel(
+    in_hbm,
+    donor_hbm,  # aliased to out; never read
+    *rest,
+    layout: Layout1DLanes,
+    n: int,
+    entries,
+    has_bounds: bool,
+    region=None,
+):
+    bounds_ref = None
+    if has_bounds:
+        bounds_ref = rest[0]
+        rest = rest[1:]
+    out_hbm, win, out_tile, sem_in, sem_out = rest
+
+    TR = layout.tile_rows
+    G = layout.guard_rows
+    h = layout.lane_halo
+    S = layout.stride
+    Wd = layout.width
+    ngrp = layout.groups
+    t0, t1 = region if region is not None else (0, layout.grid[0])
+    g = t1 - t0
+    pid = pl.program_id(0)
+    ti = t0 + pid
+    slot = jax.lax.rem(pid, jnp.int32(2))
+    nslot = jax.lax.rem(pid + 1, jnp.int32(2))
+
+    def in_dma(t_i, s):
+        return pltpu.make_async_copy(
+            in_hbm.at[:, pl.ds(t_i * TR, TR + 2 * G), :],
+            win.at[s], sem_in.at[s],
+        )
+
+    def out_dma(t_i, s):
+        return pltpu.make_async_copy(
+            out_tile.at[s],
+            out_hbm.at[:, pl.ds(G + t_i * TR, TR), :],
+            sem_out.at[s],
+        )
+
+    @pl.when(pid == 0)
+    def _():
+        in_dma(ti, slot).start()
+
+    @pl.when(pid + 1 < g)
+    def _():
+        in_dma(ti + 1, nslot).start()
+
+    in_dma(ti, slot).wait()
+
+    R = TR + 2 * G
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, Wd), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, Wd), 0) + ti * TR - G
+    jl = jax.lax.rem(lane, jnp.int32(LANE))
+    if ngrp > 1:
+        grp = jax.lax.div(lane, jnp.int32(LANE))
+        flat = (row * ngrp + grp) * S + jl - h
+    else:
+        flat = row * S + jl - h
+    if has_bounds:
+        lo_b, hi_b = bounds_ref[0], bounds_ref[1]
+    else:
+        lo_b, hi_b = 0, n
+    wmask = ((flat >= lo_b) & (flat < hi_b)).astype(jnp.float32)
+
+    W = win[pl.ds(slot, 1)][0]  # (2, R, Wd)
+    # halo-lane fixup per pair plane: HBM halo lanes are stale by
+    # contract; the rebuild is pure copies/selects, exact on (hi, lo)
+    hi = _lanes_fixup(W[0], lane, jl, h, Wd, ngrp)
+    lo = _lanes_fixup(W[1], lane, jl, h, Wd, ngrp)
+    # hoisted exact halves of hi (shared by every tap's partials)
+    his, hil = veltkamp_split(hi)
+
+    views = {"h": hi, "l": lo, "hs": his, "hl": hil}
+    cache = {}
+
+    def rolled(tag, d):
+        key = (tag, d)
+        if key not in cache:
+            v = views[tag]
+            cache[key] = v if d % Wd == 0 else pltpu.roll(v, (-d) % Wd, 1)
+        return cache[key]
+
+    acc_h = acc_l = None
+    for kind, d, w4 in entries:
+        if kind == "pair":
+            zh, zl = df_add(rolled("h", d), rolled("l", d),
+                            rolled("h", -d), rolled("l", -d))
+            ph, pl_ = _pair_scale(zh, zl, w4)
+        elif d == 0:
+            ph, pl_ = _pair_scale(hi, lo, w4, split=(his, hil))
+        elif (abs(w4[0]), w4[1]) == (1.0, 0.0):
+            # w == +-1: the shifted pair itself (no product)
+            ph, pl_ = _pair_scale(rolled("h", d), rolled("l", d), w4)
+        else:
+            xs, xl2 = rolled("hs", d), rolled("hl", d)
+            # xs + xl2 == the rolled hi, exactly (split identity)
+            ph, pl_ = _pair_scale(xs + xl2, rolled("l", d), w4,
+                                  split=(xs, xl2))
+        acc_h, acc_l = ((ph, pl_) if acc_h is None
+                        else df_add(acc_h, acc_l, ph, pl_))
+    if acc_h is None:
+        acc_h = acc_l = jnp.zeros((R, Wd), jnp.float32)
+    acc_h = acc_h * wmask
+    acc_l = acc_l * wmask
+
+    @pl.when(pid >= 2)
+    def _():
+        out_dma(ti - 2, slot).wait()
+
+    out_tile[slot, 0] = acc_h[G: G + TR, :]
+    out_tile[slot, 1] = acc_l[G: G + TR, :]
+    out_dma(ti, slot).start()
+
+    @pl.when(pid == g - 1)
+    def _():
+        out_dma(ti, slot).wait()
+
+    @pl.when((pid == g - 1) & (g >= 2))
+    def _():
+        out_dma(ti - 1, nslot).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "layout", "interpret", "region"),
+)
+def df64_1d_step(
+    cur2: jax.Array,
+    donor2: jax.Array,
+    spec: StencilSpec,
+    layout: Layout1DLanes,
+    interpret: bool = False,
+    bounds: "jax.Array | None" = None,
+    region=None,
+) -> jax.Array:
+    """One df64 1-D stencil step on stacked (2, rows, width) fp32 pairs
+    on the overlapped-lane layout.
+
+    ``donor2`` is the zero-ringed spare buffer (aliased to the output:
+    halo cells decay to zero after the step, reference semantics).
+    ``bounds`` (optional, (2,) int32): dynamic [lo, hi) interior mask in
+    local flat coordinates (domain-decomposed runs).  ``region``
+    (optional, (t0, t1)): restrict the call to a tile-index window."""
+    layout.validate()
+    assert cur2.ndim == 3 and cur2.shape[0] == 2, cur2.shape
+    assert cur2.dtype == jnp.float32
+    r_eff = effective_radius(spec)
+    if r_eff > layout.lane_halo:
+        raise ValueError(
+            f"the pair kernel needs lane_halo >= effective radius "
+            f"{r_eff}; layout has {layout.lane_halo}")
+    entries = _fold_taps(_dense_taps(spec))
+    kernel = functools.partial(
+        _df64_1d_lanes_kernel,
+        layout=layout, n=layout.interior, entries=entries,
+        has_bounds=bounds is not None, region=region,
+    )
+    grid = layout.grid
+    if region is not None:
+        t0, t1 = region
+        assert 0 <= t0 < t1 <= grid[0]
+        grid = (t1 - t0,)
+    bounds_args = [] if bounds is None else [jnp.asarray(bounds, jnp.int32)]
+    bounds_specs = [] if bounds is None else [
+        pl.BlockSpec(memory_space=pltpu.SMEM)]
+    TR = layout.tile_rows
+    G = layout.guard_rows
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct(cur2.shape, cur2.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2 + bounds_specs,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, TR + 2 * G, layout.width), jnp.float32),
+            pltpu.VMEM((2, 2, TR, layout.width), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={1: 0},
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit()),
+    )(cur2, donor2, *bounds_args)
+
+
+def _vmem_limit() -> int:
+    from .pallas_2d import vmem_limit_bytes
+
+    return vmem_limit_bytes()

@@ -1559,10 +1559,10 @@ class ShardedStencil1D:
         from ..ops import pallas_1d
         from ..ops.layout import LANE, SUBLANE, Layout1D, Layout1DLanes
 
-        if config.dtype == "df64":
+        if config.dtype == "df64" and type(self) is ShardedStencil1D:
             raise ValueError(
-                "sharded df64 is 2-D/3-D (the Pallas pair kernels); "
-                "run 1-D df64 single-device via StencilEngine")
+                "dtype='df64' pair state needs ShardedStencilDF64_1D "
+                "(sharded_engine dispatches there)")
         self.spec = spec
         self.config = config
         _check_reflect_fused(spec, config)
@@ -1890,23 +1890,182 @@ class ShardedStencil1D:
         return self._checksum_jit(padded, steps=steps)
 
 
+class ShardedStencilDF64_1D(ShardedStencil1D):
+    """Domain-decomposed fp64-GRADE 1-D stencil: double-float fp32 pair
+    state over a 1-D device mesh.
+
+    The 1-D twin of ShardedStencilDF64: state is a stacked
+    (2, dx*R, width) fp32 array on the overlapped-lane layout, sharded
+    P(None, 'x', None); the hi/lo planes ride the SAME edge-strip
+    ppermute exchange as the fp32 tier (vmapped over the pair axis) and
+    each device runs the pair lanes kernel (ops/pallas_df64_1d.py) on
+    its local block with the dynamic flat bounds.  Boundary conditions:
+    dirichlet0, periodic, reflect (ring copies/flips are exact on
+    (hi, lo) pairs).
+
+    Tier boundaries (loud errors): fused_steps == 1 (the pair kernel is
+    single-step), effective radius in [1, 16] (the lanes layout), and
+    divisible-or-dirichlet0 blocks (the tailed ghost modes need the
+    flat layout's dynamic strip moves, which have no pair kernel).
+    overlap=True uses the ring-in-output dataflow, like the 2-D/3-D
+    twins."""
+
+    def __init__(self, spec: StencilSpec, interior: int,
+                 config: ShardedConfig, mesh: Optional[Mesh] = None):
+        from ..ops import pallas_1d
+        from ..ops.layout import LANE, SUBLANE, Layout1DLanes
+
+        if config.dtype != "df64":
+            raise ValueError("ShardedStencilDF64_1D needs dtype='df64'")
+        if max(1, config.fused_steps) != 1:
+            raise ValueError(
+                "sharded df64 needs fused_steps=1 (the pair kernel is "
+                "single-step)")
+        if config.algorithm not in ("auto", "vpu_roll"):
+            raise ValueError(
+                f"1-D df64 kernel algorithm must be 'auto' or "
+                f"'vpu_roll' (pair lane rolls), got "
+                f"{config.algorithm!r}")
+        r_eff = pallas_1d.effective_radius(spec)
+        if not 1 <= r_eff <= 16:
+            raise ValueError(
+                f"sharded 1-D df64 needs an effective radius in "
+                f"[1, 16] (the overlapped-lane layout); this spec has "
+                f"{r_eff} -- run single-device via StencilEngine's XLA "
+                f"pair path")
+        base = dataclasses.replace(config, dtype="float32",
+                                   algorithm="vpu_roll", fused_steps=1)
+        super().__init__(spec, interior, base, mesh)
+        if self.tail != self.local_interior:
+            # only reachable for ghost boundaries (dirichlet0 keeps
+            # tail == local_interior): the true-tail strips need the
+            # flat layout's dynamic moves
+            raise ValueError(
+                f"sharded 1-D df64 with {config.boundary} boundaries "
+                f"needs the interior ({interior}) divisible into "
+                f"lane-aligned blocks across {self.dx} devices")
+        if not self.lanes:
+            # the base class routes resident-size blocks to the flat
+            # layout; the pair kernel is lanes-only, so force the
+            # overlapped-lane layout (k=1)
+            d_l = max(spec.halo[0], spec.radius)
+            self.fused_steps = 1
+            self.depth = d_l
+            self.layout, _ = Layout1DLanes.build(
+                self.local_interior, d_l, 1, r_eff)
+            self.lanes = True
+        if not self.interpret and self.layout.tile_rows > 64:
+            # build()'s depth caps are sized for single-plane fp32
+            # windows; the pair window doubles the bytes and the EFT
+            # chain holds several window extents of transients (TR=496
+            # measured 72.8M scoped vmem vs the 64M limit; the engine
+            # applies the same cap, StencilEngine._build_layout)
+            self.layout = dataclasses.replace(self.layout, tile_rows=64)
+        if self.interpret and self.layout.grid == (1,):
+            # keep the interpret-mode grid loop alive (trip-1 grids hit
+            # the XLA:CPU df64-chain compile blowup; same split as the
+            # single-device engine)
+            TR = self.layout.tile_rows
+            if TR >= 2 * SUBLANE:
+                self.layout = dataclasses.replace(
+                    self.layout,
+                    tile_rows=SUBLANE * (-(-(TR // SUBLANE) // 2)))
+
+    # -- per-device step (pair state) -------------------------------------
+    def _df64_kernel_step(self, cur2, donor2, bounds):
+        from ..ops import pallas_df64_1d
+
+        return pallas_df64_1d.df64_1d_step(
+            cur2, donor2, self.spec, self.layout,
+            interpret=self.interpret, bounds=bounds)
+
+    def _local_step(self, cur2, donor2, fused_k):
+        cur2 = jax.vmap(self._exchange)(cur2)
+        return self._df64_kernel_step(cur2, donor2, self._bounds())
+
+    def _local_step_ringout(self, cur2, donor2, fused_k):
+        """Ring-in-output pass (see the 2-D twin): cur2's ring already
+        holds this pass's neighbor data; the fresh output's edge strips
+        exchange after the kernel."""
+        out2 = self._df64_kernel_step(cur2, donor2, self._bounds())
+        parts = jax.vmap(self._exchange_strips)(out2)
+        return jax.vmap(self._write_ring)(out2, parts)
+
+    def _run(self, state2, steps: int):
+        """state2: (2, dx*R, width) fp32 pair stack, P(None, 'x', None)."""
+        from jax import shard_map
+
+        from ..engine import ping_pong_loop
+
+        step_fn = (self._local_step_ringout if self.config.overlap
+                   else self._local_step)
+
+        def body_fn(local2):
+            return ping_pong_loop(step_fn, local2, steps, 1)
+
+        fn = shard_map(
+            body_fn, mesh=self.mesh,
+            in_specs=P(None, "x", None), out_specs=P(None, "x", None),
+            check_vma=False,
+        )
+        return fn(state2)
+
+    # -- user API ---------------------------------------------------------
+    def to_sharded(self, pair):
+        """(2, n+2h) fp32 hi/lo strips (ops/df64.split_host) -> sharded
+        (2, dx*R, width) pair stack."""
+        embed = ShardedStencil1D.to_sharded
+        out = jnp.stack([embed(self, pair[0]), embed(self, pair[1])])
+        return jax.lax.with_sharding_constraint(
+            out, NamedSharding(self.mesh, P(None, "x", None)))
+
+    def from_sharded(self, state2):
+        extract = ShardedStencil1D.from_sharded
+        return jnp.stack([extract(self, state2[0]),
+                          extract(self, state2[1])])
+
+    def run(self, padded, steps: int):
+        """User global fp64 padded array in, fp64 NumPy out (pair
+        split/merge on the host; one jitted program in between)."""
+        from ..ops import df64 as _df64
+
+        pair = _df64.split_host(np.asarray(padded))
+        if not hasattr(self, "_full_jit"):
+            self._full_jit = jax.jit(
+                lambda p, steps: self.from_sharded(
+                    self._run(self.to_sharded(p), steps)),
+                static_argnames=("steps",),
+            )
+        return _df64.merge_host(np.asarray(self._full_jit(pair,
+                                                          steps=steps)))
+
+    def run_checksum(self, padded, steps: int):
+        from ..ops import df64 as _df64
+
+        pair = _df64.split_host(np.asarray(padded))
+        if not hasattr(self, "_checksum_jit"):
+            self._checksum_jit = jax.jit(
+                lambda p, steps: jnp.sum(
+                    self._run(self.to_sharded(p), steps)),
+                static_argnames=("steps",),
+            )
+        return self._checksum_jit(pair, steps=steps)
+
+
 def sharded_engine(shape, interior, mesh_shape, **kw):
     """Domain-decomposed engine for a registry shape name OR a custom
     ``StencilSpec`` (e.g. from ``StencilEngine.for_coeffs(...).spec``)."""
     spec = shape if isinstance(shape, StencilSpec) else get_shape(shape)
     cfg = ShardedConfig(mesh_shape=tuple(mesh_shape), **kw)
     if cfg.dtype == "df64":
-        # sharded df64 rides the 2-D pair kernel (ops/pallas_df64.py)
-        # or the 3-D pair slab kernel (ops/pallas_df64_3d.py); 1-D df64
-        # runs single-device via StencilEngine's XLA pair path
-        # (documented tier boundary)
+        # sharded df64 rides the Pallas pair kernels: 2-D
+        # (ops/pallas_df64.py), 3-D slab (ops/pallas_df64_3d.py), 1-D
+        # lanes (ops/pallas_df64_1d.py)
         if spec.ndim == 3:
             return ShardedStencilDF64_3D(spec, tuple(interior), cfg)
-        if spec.ndim != 2:
-            raise ValueError(
-                f"sharded df64 is 2-D/3-D (the Pallas pair kernels); "
-                f"run {spec.ndim}-D df64 single-device via "
-                f"StencilEngine(dtype='df64')")
+        if spec.ndim == 1:
+            return ShardedStencilDF64_1D(
+                spec, int(np.atleast_1d(interior)[0]), cfg)
         return ShardedStencilDF64(spec, tuple(interior), cfg)
     if spec.ndim == 3:
         return ShardedStencil3D(spec, tuple(interior), cfg)

@@ -136,11 +136,21 @@ def test_df64_checksum_and_internal_api():
 
 
 def test_df64_config_guards():
-    # the df64 Pallas kernels are 2-D (ops/pallas_df64.py) and 3-D
-    # (ops/pallas_df64_3d.py); 1-D df64 runs the XLA pair path
-    with pytest.raises(ValueError, match="1-D df64"):
+    # every dim has a df64 Pallas kernel (ops/pallas_df64{_1d,,_3d}.py);
+    # only wide-radius 1-D specs (effective radius > 32, beyond the
+    # overlapped-lane layout) fall back to the XLA pair path
+    wide = np.zeros(99)  # radius 49
+    wide[0] = wide[-1] = 1.0
+    wide[49] = -2.0
+    assert engine.StencilEngine.for_coeffs(
+        wide, (4096,), dtype="df64").df64_pallas is False
+    with pytest.raises(ValueError, match="XLA pair path"):
+        engine.StencilEngine.for_coeffs(
+            wide, (4096,), dtype="df64", backend="pallas")
+    with pytest.raises(ValueError, match="1-D"):
+        # 1-D pair kernel is lane rolls only
         engine.StencilEngine.for_shape(
-            "1d1r", (300,), dtype="df64", backend="pallas")
+            "1d1r", (4096,), dtype="df64", algorithm="vpu_sep")
     with pytest.raises(ValueError, match="3-D"):
         # the 3-D pair slab kernel's only path is separable slices
         engine.StencilEngine.for_shape(
@@ -419,6 +429,56 @@ def test_df64_pallas_interpret_single_tile_guard():
         assert gi * gj >= 2, (interior, eng.layout.tile)
 
 
+# -- 1-D pair lanes kernel (ops/pallas_df64_1d.py) ---------------------------
+@pytest.mark.parametrize("name,n", [("1d1r", 4096), ("1d2r", 20000)])
+def test_df64_1d_pallas_kernel(name, n):
+    """Multi-tile lanes grids stay fp64-grade; the engine must engage
+    the pair lanes kernel (round 4: previously the XLA pair path)."""
+    from lorastencil_tpu.ops.layout import Layout1DLanes
+
+    spec = shapes.get_shape(name)
+    g0 = _padded_input(spec, (n,), seed=46)
+    eng = engine.StencilEngine.for_shape(name, (n,), dtype="df64")
+    assert eng.df64_pallas and isinstance(eng.layout, Layout1DLanes)
+    assert eng.df64_algorithm == "vpu_roll"
+    got = eng.run(g0, 4)
+    want = reference.run(g0, spec, 4)
+    rel = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert rel < 1e-12, (name, rel)
+    h = spec.halo[0]
+    assert np.all(got[:h] == 0.0) and np.all(got[-h:] == 0.0)
+
+
+def test_df64_1d_custom_asymmetric_coeffs():
+    """The 'single' tap path (+-d weights differ), a zero center tap,
+    and the w == +-1 product shortcuts on the pair lanes kernel."""
+    taps = np.asarray([1.0, -0.75, 0.0, 0.5, -1.0])
+    eng = engine.StencilEngine.for_coeffs(taps, (6000,), dtype="df64")
+    assert eng.df64_pallas
+    g0 = (reference.random_padded(eng.spec, (6000,), seed=47)
+          * (np.e / 100.0))
+    got = eng.run(g0, 3)
+    want = reference.run(g0, eng.spec, 3)
+    rel = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert rel < 1e-12, rel
+
+
+def test_df64_1d_wide_radius_xla_fallback():
+    """Effective radius beyond the overlapped-lane layout (> 32): the
+    engine falls back to the XLA pair path and stays fp64-grade."""
+    taps = np.zeros(81)  # radius 40
+    taps[0] = taps[-1] = 0.5
+    taps[40] = 1.0
+    eng = engine.StencilEngine.for_coeffs(taps, (2000,), dtype="df64")
+    assert not eng.df64_pallas
+    g0 = (reference.random_padded(eng.spec, (2000,), seed=48)
+          * (np.pi / 100.0))
+    got = eng.run(g0, 2)
+    want = reference.run(g0, eng.spec, 2)
+    rel = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert rel < 1e-12, rel
+
+
 # -- sharded df64 (pair state through the halo exchange) ---------------------
 @pytest.mark.parametrize("name,mesh_shape", [
     ("star2d1r", (2, 2)), ("star2d3r", (1, 2)), ("box2d3r", (2, 2)),
@@ -466,11 +526,10 @@ def test_sharded_df64_nondivisible_and_sequential():
     ("box3d1r", "periodic"), ("star3d1r", "reflect"),
 ])
 def test_df64_ghost_boundaries(name, boundary):
-    """periodic/reflect ghost rings on the df64 tier: 2-D rides the
-    Pallas pair kernel (per-plane ring refresh + ghost bounds), 1-D/3-D
-    the XLA pair path (per-step padded-ring refresh).  Ring copies and
-    flips are exact on (hi, lo) pairs, so accuracy must stay fp64-grade
-    vs the host ghost truths."""
+    """periodic/reflect ghost rings on the df64 tier: every dim rides
+    its Pallas pair kernel (per-plane ring refresh + ghost bounds).
+    Ring copies and flips are exact on (hi, lo) pairs, so accuracy must
+    stay fp64-grade vs the host ghost truths."""
     spec = shapes.get_shape(name)
     interior = INTERIORS[spec.ndim]
     g0 = _padded_input(spec, interior, seed=51)
@@ -560,8 +619,20 @@ def test_sharded_df64_guards():
     direct base-class misuse all raise."""
     from lorastencil_tpu.parallel import domain
 
-    with pytest.raises(ValueError, match="1-D df64"):
-        domain.sharded_engine("1d1r", 4096, (8,), dtype="df64")
+    with pytest.raises(ValueError, match="ShardedStencilDF64_1D"):
+        domain.ShardedStencil1D(
+            shapes.get_shape("1d1r"), 4096,
+            domain.ShardedConfig(mesh_shape=(4,), dtype="df64"))
+    with pytest.raises(ValueError, match="divisible"):
+        # tailed ghost blocks need the flat layout's dynamic strip
+        # moves, which have no pair kernel
+        domain.sharded_engine("1d1r", 5000, (4,), dtype="df64",
+                              boundary="periodic")
+    wide = np.zeros(99)
+    wide[0] = wide[-1] = 1.0
+    wide[49] = -2.0
+    with pytest.raises(ValueError, match="effective radius"):
+        domain.sharded_engine_for_coeffs(wide, 8192, (4,), dtype="df64")
     with pytest.raises(ValueError, match="separable"):
         domain.sharded_engine("star3d1r", (6, 16, 256), (2, 2),
                               dtype="df64", algorithm="vpu_roll")
@@ -590,9 +661,12 @@ def test_sharded_df64_cli_check(capsys):
     out = capsys.readouterr().out
     assert rc == 0, out
     assert "Correct!" in out
-    # 1-D df64 meshes refuse loudly (the XLA pair path is single-chip)
-    with pytest.raises(SystemExit):
-        cli.main(["1d1r", "4096", "3", "--dtype", "df64", "--mesh", "4"])
+    # 1-D df64 meshes ride the pair lanes kernel (round 4)
+    rc = cli.main(["1d2r", "4096", "3", "--dtype", "df64",
+                   "--mesh", "4", "--check", "--repeats", "1"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "Correct!" in out
 
 
 @pytest.mark.parametrize("name,mesh_shape,interior,boundary", [
@@ -649,3 +723,49 @@ def test_sharded_df64_3d_cli_check(capsys):
     out = capsys.readouterr().out
     assert rc == 0, out
     assert "Correct!" in out
+
+
+@pytest.mark.parametrize("mesh_shape,boundary", [
+    ((4,), "dirichlet0"), ((8,), "periodic"), ((2,), "reflect"),
+])
+def test_sharded_df64_1d(mesh_shape, boundary):
+    """Sharded 1-D df64 (round 4): the pair planes ride the edge-strip
+    ppermute exchange and each device runs the pair lanes kernel;
+    accuracy stays fp64-grade across device boundaries for every
+    boundary condition."""
+    from lorastencil_tpu.parallel import domain
+
+    spec = shapes.get_shape("1d2r")
+    n = 1024 * mesh_shape[0]  # lane-aligned divisible blocks
+    g0 = _padded_input(spec, (n,), seed=93)
+    sh = domain.sharded_engine("1d2r", n, mesh_shape, dtype="df64",
+                               boundary=boundary)
+    assert isinstance(sh, domain.ShardedStencilDF64_1D) and sh.lanes
+    got = sh.run(g0, 3)
+    assert got.dtype == np.float64
+    truth = {"dirichlet0": reference.run,
+             "periodic": reference.run_periodic,
+             "reflect": reference.run_reflect}[boundary]
+    want = truth(g0, spec, 3)
+    rel = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert rel < 1e-12, (mesh_shape, boundary, rel)
+
+
+def test_sharded_df64_1d_nondivisible_and_sequential():
+    """Non-divisible dirichlet0 blocks (bounds mask the fake tail) and
+    the sequential (overlap=False) exchange; checksum is deterministic."""
+    from lorastencil_tpu.parallel import domain
+
+    spec = shapes.get_shape("1d1r")
+    n = 5000
+    g0 = _padded_input(spec, (n,), seed=94)
+    want = reference.run(g0, spec, 3)
+    for overlap in (True, False):
+        sh = domain.sharded_engine("1d1r", n, (4,), dtype="df64",
+                                   overlap=overlap)
+        got = sh.run(g0, 3)
+        rel = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+        assert rel < 1e-12, (overlap, rel)
+    cs = float(sh.run_checksum(g0, 2))
+    assert np.isfinite(cs)
+    assert cs == float(sh.run_checksum(g0, 2))
