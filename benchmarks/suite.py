@@ -67,6 +67,10 @@ BF16 = [(name, interior, steps,
 # r9 post-mortems); 3-D at ~20 GCells/s needs steps=64, pipeline=4;
 # 1-D at ~20 GCells/s and 16M cells needs steps=256
 DF64 = [
+    # the reference's ACTUAL 1-D regime (native fp64 at n=4096): the
+    # resident pair kernel runs all 64 steps in one dispatch; chained
+    # runs amortize the ~1 ms tunnel dispatch like the fp32 row
+    ("1d1r", (4096,), 64, {"pipeline": 8, "chain": 256, "dtype": "df64"}),
     ("1d1r", (16 * 1024 * 1024,), 256, {"pipeline": 2, "dtype": "df64"}),
     ("1d2r", (16 * 1024 * 1024,), 256, {"pipeline": 2, "dtype": "df64"}),
     ("star2d1r", (4096, 4096), 64, {"pipeline": 2, "dtype": "df64"}),

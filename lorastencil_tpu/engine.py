@@ -570,11 +570,22 @@ class StencilEngine:
 
             n1 = interior[0]
             if self.df64_pallas:
-                # pair lanes kernel: single-step (k=1) tiled lanes
-                # layout, never resident (no pair variant of the
-                # in-kernel periodic halo refresh)
+                r_eff1 = pallas_1d.effective_radius(spec)
+                if (self.config.boundary == "dirichlet0"
+                        and not (self.config.lanes_width
+                                 or self.config.lanes_tile_rows)):
+                    # small grids: VMEM-RESIDENT pair layout with a
+                    # deep lane halo (fixup every h/r_eff steps; one
+                    # dispatch per RUN -- the dispatch-bound tiny-grid
+                    # fast path, like the fp32 tier)
+                    res, _ = Layout1DLanes.build(n1, spec.halo[0], 8,
+                                                 r_eff1)
+                    res = dataclasses.replace(res, resident=True)
+                    if pallas_1d.fits_resident_lanes(res, itemsize=8):
+                        return res
+                # larger grids: single-step (k=1) tiled lanes layout
                 lanes, _ = Layout1DLanes.build(
-                    n1, spec.halo[0], 1, pallas_1d.effective_radius(spec))
+                    n1, spec.halo[0], 1, r_eff1)
                 if self.config.lanes_width or self.config.lanes_tile_rows:
                     lanes = dataclasses.replace(
                         lanes,
@@ -921,6 +932,15 @@ class StencilEngine:
 
     def _run_internal(self, state, steps: int):
         if self.df64_pallas:
+            if (self.spec.ndim == 1 and steps > 0 and not self.ghost
+                    and getattr(self.layout, "resident", False)):
+                # resident pair fast path: ALL steps in ONE kernel
+                # (dispatch-bound tiny grids; dirichlet0 only)
+                from .ops import pallas_df64_1d
+
+                return pallas_df64_1d.stencil1d_resident_pair(
+                    state, self.spec, self.layout, steps,
+                    interpret=self.interpret)
             out = ping_pong_loop(self._df64_step, state, steps, 1)
             if self.ghost and steps > 0:
                 # masked-kernel writes inside the tile round-up region;

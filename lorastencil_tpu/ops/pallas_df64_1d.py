@@ -228,6 +228,141 @@ def df64_1d_step(
     )(cur2, donor2, *bounds_args)
 
 
+def _resident_pair_kernel(in_ref, out_ref, *, layout, n: int, entries,
+                          steps: int, refresh: int):
+    """ALL ``steps`` df64 timesteps on a VMEM-resident overlapped-lane
+    pair grid (the df64 twin of pallas_1d._stencil1d_resident_lanes_kernel).
+
+    The lane halo is ``refresh * r_eff`` deep, so the halo-lane fixup
+    runs only every ``refresh`` steps; between fixups each step is the
+    pair tap chain + the interior mask, with the roll garbage creeping
+    r_eff lanes per step inside the halo margin.  Each step stores
+    through the output ref -- value chains across the whole run make
+    Mosaic keep every step's EFT temporaries live at once (the fp32
+    resident kernels' round-1 lesson).  The 3-D output VMEM buffer
+    starts UNINITIALIZED on the real backend despite the HBM alias
+    (measured zeros; interpret mode happens to carry the input, and
+    the 2-D fp32 resident kernels do get theirs carried), so the
+    kernel seeds it from in_ref first."""
+    R, Wd = layout.shape
+    G = layout.guard_rows
+    h = layout.lane_halo
+    S = layout.stride
+    ngrp = layout.groups
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, Wd), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, Wd), 0) - G
+    jl = jax.lax.rem(lane, jnp.int32(LANE))
+    if ngrp > 1:
+        grp = jax.lax.div(lane, jnp.int32(LANE))
+        flat = (row * ngrp + grp) * S + jl - h
+    else:
+        flat = row * S + jl - h
+    mask = ((flat >= 0) & (flat < n)).astype(jnp.float32)
+
+    def one_step(do_fixup):
+        hi = out_ref[0]
+        lo = out_ref[1]
+        if do_fixup:
+            hi = _lanes_fixup(hi, lane, jl, h, Wd, ngrp)
+            lo = _lanes_fixup(lo, lane, jl, h, Wd, ngrp)
+        his, hil = veltkamp_split(hi)
+        views = {"h": hi, "l": lo, "hs": his, "hl": hil}
+        cache = {}
+
+        def rolled(tag, d):
+            key = (tag, d)
+            if key not in cache:
+                v = views[tag]
+                cache[key] = (v if d % Wd == 0
+                              else pltpu.roll(v, (-d) % Wd, 1))
+            return cache[key]
+
+        acc_h = acc_l = None
+        for kind, d, w4 in entries:
+            if kind == "pair":
+                zh, zl = df_add(rolled("h", d), rolled("l", d),
+                                rolled("h", -d), rolled("l", -d))
+                ph, pl_ = _pair_scale(zh, zl, w4)
+            elif d == 0:
+                ph, pl_ = _pair_scale(hi, lo, w4, split=(his, hil))
+            elif (abs(w4[0]), w4[1]) == (1.0, 0.0):
+                ph, pl_ = _pair_scale(rolled("h", d), rolled("l", d), w4)
+            else:
+                xs, xl2 = rolled("hs", d), rolled("hl", d)
+                ph, pl_ = _pair_scale(xs + xl2, rolled("l", d), w4,
+                                      split=(xs, xl2))
+            acc_h, acc_l = ((ph, pl_) if acc_h is None
+                            else df_add(acc_h, acc_l, ph, pl_))
+        if acc_h is None:
+            acc_h = acc_l = jnp.zeros((R, Wd), jnp.float32)
+        out_ref[0] = acc_h * mask
+        out_ref[1] = acc_l * mask
+
+    out_ref[0] = in_ref[0]
+    out_ref[1] = in_ref[1]
+
+    def block(inner):
+        one_step(True)
+        for _ in range(inner - 1):
+            one_step(False)
+
+    nfull, tail = divmod(steps, refresh)
+
+    def body(_, carry):
+        block(refresh)
+        return carry
+
+    if nfull:
+        jax.lax.fori_loop(0, nfull, body, 0)
+    if tail:
+        block(tail)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "layout", "interpret", "steps"),
+)
+def stencil1d_resident_pair(
+    cur2: jax.Array,
+    spec: StencilSpec,
+    layout: Layout1DLanes,
+    steps: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """ALL ``steps`` df64 timesteps in ONE kernel on a VMEM-resident
+    overlapped-lane pair grid.
+
+    This is what lifts the dispatch-bound tiny-grid df64 configs (the
+    reference's ACTUAL regime for its 1-D driver -- native fp64 at
+    n=4096, ``/root/reference/src/1d/1d_utils.h:44`` + the resident-L2
+    launch loop ``src/1d/gpu_1r.cu:121-123``): one dispatch per run
+    instead of one ~0.9 ms tunnel dispatch per step."""
+    layout.validate()
+    assert cur2.ndim == 3 and cur2.shape[0] == 2, cur2.shape
+    assert cur2.dtype == jnp.float32
+    from .pallas_1d import fits_resident_lanes
+
+    assert fits_resident_lanes(layout, itemsize=8), \
+        "pair grid too large for the resident kernel"
+    r_eff = effective_radius(spec)
+    refresh = max(1, layout.lane_halo // max(1, r_eff))
+    kernel = functools.partial(
+        _resident_pair_kernel, layout=layout, n=layout.interior,
+        entries=_fold_taps(_dense_taps(spec)), steps=steps,
+        refresh=refresh,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(cur2.shape, cur2.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit()),
+    )(cur2)
+
+
 def _vmem_limit() -> int:
     from .pallas_2d import vmem_limit_bytes
 

@@ -193,8 +193,8 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def test_suite_run_config_df64():
     """benchmarks.suite.run_config measures the df64 tier (pair-shaped
-    state; the 2-D Pallas pair kernel tags its algorithm, the 1-D XLA
-    pair path keeps the xla-df64 tag)."""
+    state; the Pallas pair kernels tag their algorithm, the wide-radius
+    1-D XLA fallback keeps the xla-df64 tag)."""
     sys.path.insert(0, REPO_ROOT)
     from benchmarks.suite import run_config
 
@@ -204,7 +204,7 @@ def test_suite_run_config_df64():
     assert r.backend == "pallas-df64-vpu_sep"
     assert r.gcells_per_s > 0
     r1 = run_config("1d1r", (4096,), 2, dtype="df64")
-    assert r1.backend == "xla-df64"
+    assert r1.backend == "pallas-df64-vpu_roll"
     assert r1.gcells_per_s > 0
 
 
@@ -447,6 +447,26 @@ def test_df64_1d_pallas_kernel(name, n):
     assert rel < 1e-12, (name, rel)
     h = spec.halo[0]
     assert np.all(got[:h] == 0.0) and np.all(got[-h:] == 0.0)
+
+
+def test_df64_1d_resident_pair():
+    """Small grids take the VMEM-resident pair kernel (ALL steps in one
+    dispatch); accuracy holds across fixup blocks and tails (refresh =
+    lane_halo / r_eff = 8 for 1d1r)."""
+    spec = shapes.get_shape("1d1r")
+    g0 = _padded_input(spec, (4096,), seed=95)
+    eng = engine.StencilEngine.for_shape("1d1r", (4096,), dtype="df64")
+    assert eng.df64_pallas and getattr(eng.layout, "resident", False)
+    for steps in (1, 8, 9, 17):
+        got = eng.run(g0, steps)
+        want = reference.run(g0, spec, steps)
+        rel = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+        assert rel < 1e-12, (steps, rel)
+    # ghost boundaries keep the tiled lanes path (the ring refresh runs
+    # between kernel passes)
+    engg = engine.StencilEngine.for_shape("1d1r", (4096,), dtype="df64",
+                                          boundary="periodic")
+    assert not getattr(engg.layout, "resident", False)
 
 
 def test_df64_1d_custom_asymmetric_coeffs():
