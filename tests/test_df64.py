@@ -241,12 +241,18 @@ def test_suite_gate_tiers(tmp_path):
     ]
     path = tmp_path / "results.jsonl"
     path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
-    best = suite.recorded_best(str(path), "tpu")
+    best, floor = suite.recorded_stats(str(path), "tpu")
     key = ("star2d1r", (8192, 8192), 256)
     assert best[("fp32",) + key] == 60.0
     assert best[("bf16",) + key] == 99.0
     assert best[("df64",) + key] == 6.0  # best across xla/pallas pair paths
     assert len(best) == 3  # float64/sharded rows excluded
+    # the gate floor is robust (median - max(3*MAD, 10%), never above
+    # the recent minimum) -- a single stable recording floors at 90%
+    assert floor[("fp32",) + key] == pytest.approx(54.0)
+    # bimodal df64 recordings [2, 6]: med 4, mad 2 -> band floor is
+    # below the min; the floor is min(recent) capped
+    assert floor[("df64",) + key] <= 2.0
 
 
 def test_df64_cli_check(capsys):
