@@ -189,6 +189,32 @@ def pick_algorithm(spec: StencilSpec) -> str:
         "vpu_roll")
 
 
+def df64_cost_per_cell(spec: StencilSpec, algorithm: str) -> float:
+    """Static cost units/cell/step of the pair kernel that actually
+    runs for ``spec`` (the roofline's df64 compute model; calibrated
+    against the honest device rows via
+    utils.profiling.MEASURED['vpu_df64_costunits_teraops']).
+
+    1-D walks the lanes kernel's real folded-tap entries (one aligned
+    roll per view per tap); 3-D and 2-D 'vpu_sep' use the separable
+    plan cost (the 3-D slab kernel runs the same _sep_plan per plane);
+    2-D roll/slice paths use the dense-chain cost."""
+    if spec.ndim == 1:
+        from .pallas_1d import _dense_taps
+
+        cost = 0.0
+        for kind, d, _w4 in _fold_taps(_dense_taps(spec)):
+            if kind == "pair":
+                cost += 4 * _COST_ROLL + _COST_FOLD + _COST_SPLIT
+            elif d != 0:
+                cost += 3 * _COST_ROLL
+            cost += _COST_PRODUCT
+        return cost
+    if spec.ndim == 3 or algorithm == "vpu_sep":
+        return _sep_cost(spec)
+    return _dense_cost(spec)
+
+
 def _pair_scale(zh, zl, w4, split=None):
     """(zh, zl) * w for a static split weight w4 = (w_h, w_l, b_h, b_l).
 

@@ -48,6 +48,17 @@ MEASURED = dict(
     hbm_lanes_1d_gbps=218.0,
     vpu_teraops=2.1,       # effective roll/fma elem-op rate
     mxu_bf16_tflops=134.3,  # 8192^3 chain, 68% of nominal
+    # df64 pair-kernel rate in the STATIC COST UNITS of
+    # ops/pallas_df64._sep_cost/_dense_cost (PRODUCT=20, ROLL=3, ...),
+    # calibrated at the max implied rate over the seven honest device
+    # rows (star2d1r 12.0 GCells/s x 451 units -> 5.4; 1-D 3.5-3.6,
+    # 3-D 3.5-3.9, star2d3r 3.1): a first-order EFT-chain ceiling, so
+    # pct_of_governing_bound reads 57-98% across the recorded tier
+    vpu_df64_costunits_teraops=5.5,
+    # double-buffered copy-kernel aggregate (PERF.md): the df64 pair
+    # kernels are compute-dense enough that the pattern-effective
+    # ceilings above never bind; their byte ceiling is the raw stream
+    hbm_copy_aggregate_gbps=800.0,
 )
 
 _SUBLANE, _LANE = 8, 128
@@ -163,11 +174,16 @@ def engine_roofline(eng) -> Optional["Roofline"]:
     rows carry a machine-checkable ``pct_of_governing_bound`` (the
     BASELINE north-star accounting) instead of PERF.md prose.
 
-    Returns None for tiers without a measured ceiling model (df64 pair
-    arithmetic, the fp64 CPU tier, the pure-XLA backend)."""
+    Returns None for tiers without a measured ceiling model (the fp64
+    CPU tier, the pure-XLA backends -- including the wide-radius df64
+    XLA pair fallback)."""
     import jax.numpy as jnp
 
-    if getattr(eng, "df64", False) or eng.backend == "xla":
+    if getattr(eng, "df64", False):
+        if not getattr(eng, "df64_pallas", False):
+            return None
+        return _df64_roofline(eng)
+    if eng.backend == "xla":
         return None
     if eng.dtype == jnp.dtype(jnp.float64):
         return None
@@ -202,6 +218,55 @@ def engine_roofline(eng) -> Optional["Roofline"]:
     # 1-D: the lanes-layout bandwidth model governs; tile is unused
     return stencil_roofline(spec, (_SUBLANE, _LANE), k, dtype_bytes,
                             algorithm=eng.algorithm)
+
+
+def _df64_roofline(eng) -> "Roofline":
+    """Roofline for the Pallas df64 pair kernels: the compute bound
+    comes from the kernels' static cost model
+    (ops/pallas_df64.df64_cost_per_cell; rate calibrated on the honest
+    device rows, PERF.md round 9) and the byte bound from the raw copy
+    aggregate over the (hi, lo) pair state -- the EFT chains are dense
+    enough that the pattern-effective bandwidth ceilings never bind."""
+    from ..ops.pallas_df64 import df64_cost_per_cell
+
+    spec = eng.spec
+    cost = df64_cost_per_cell(spec, eng.df64_algorithm)
+    r = spec.radius
+    if spec.ndim == 2:
+        TM, TN = eng.layout.tile
+        g_r = _ceil_to(max(_SUBLANE, r), _SUBLANE)
+        amp = ((TM + 2 * g_r) * (TN + 2 * _LANE)) / float(TM * TN)
+        w_amp = 1.0
+    elif spec.ndim == 3:
+        from ..ops.pallas_3d import pick_slab
+        from ..ops.pallas_df64_3d import _classify_terms
+
+        TM, TN = eng.layout.tile
+        buffered_idx, _, _ = _classify_terms(spec)
+        slab = pick_slab(eng.layout.interior[0], TM, TN, dtype_bytes=8,
+                         radius=r,
+                         acc_bytes=8 * max(1, len(buffered_idx)))
+        amp = ((slab + 2 * r) / float(slab)
+               * (TM + 2 * _SUBLANE) / float(TM)
+               * (TN + 2 * _LANE) / float(TN))
+        w_amp = 1.0
+    else:
+        h = getattr(eng.layout, "lane_halo", _SUBLANE)
+        amp = (_LANE + 2 * h) / float(_LANE)
+        w_amp = amp  # 1-D lanes storage writes the duplicated halo too
+    bpc = (amp + w_amp) * 8.0  # (hi, lo) fp32 pair, one read + write
+    bw_bound = MEASURED["hbm_copy_aggregate_gbps"] / bpc
+    vpu_bound = (MEASURED["vpu_df64_costunits_teraops"] * 1000.0 / cost
+                 if cost else float("inf"))
+    return Roofline(
+        bytes_per_cell_step=bpc,
+        vpu_ops_per_cell_step=cost,
+        mxu_flops_per_cell_step=0.0,
+        bw_bound_gcells=bw_bound,
+        vpu_bound_gcells=vpu_bound,
+        mxu_bound_gcells=float("inf"),
+        bound="bw" if bw_bound <= vpu_bound else "vpu",
+    )
 
 
 def stencil_roofline(

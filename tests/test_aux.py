@@ -135,9 +135,21 @@ def test_engine_roofline_and_suite_rows():
     assert profiling.engine_roofline(e3) is not None
     e1 = eng_mod.StencilEngine.for_shape("1d1r", (1 << 24,))
     assert profiling.engine_roofline(e1) is not None
-    edf = eng_mod.StencilEngine.for_shape("star2d1r", (64, 256),
-                                          dtype="df64")
-    assert profiling.engine_roofline(edf) is None
+    # df64 Pallas tiers carry the pair-kernel cost model (vpu-governed
+    # at the suite extents; calibrated so honest device rows sit at
+    # 26-98% of governing, never above)
+    for name, interior in [("star2d1r", (64, 256)), ("1d1r", (4096,)),
+                           ("box3d1r", (32, 64, 256))]:
+        edf = eng_mod.StencilEngine.for_shape(name, interior,
+                                              dtype="df64")
+        rdf = profiling.engine_roofline(edf)
+        assert rdf is not None and rdf.vpu_ops_per_cell_step > 0
+        assert rdf.mxu_flops_per_cell_step == 0.0
+        assert 0 < rdf.governing_gcells < 100
+    # ... but the wide-radius XLA pair fallback has no ceiling model
+    exla = eng_mod.StencilEngine.for_shape("1d1r", (4096,),
+                                           dtype="df64", backend="xla")
+    assert profiling.engine_roofline(exla) is None
 
     import benchmarks.suite as suite
 
