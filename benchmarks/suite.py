@@ -9,10 +9,27 @@ is flagged as a REGRESSION (the all-time best is printed for context
 but ratchets on tunnel-noise tails — dispatch-bound 1-D configs spread
 ~±20% between sessions, PERF.md).
 
-    python benchmarks/suite.py [--quick] [--gate]
-                               [--bf16 | --df64 | --all-tiers]
+    python benchmarks/suite.py [--quick] [--gate] [--no-control]
+                               [--bf16 | --df64 | --all-tiers | --custom]
 
 ``--gate``: exit nonzero when any config regresses (CI/worker-job mode).
+
+Measurement integrity is ENFORCED IN CODE (round-4 VERDICT item 1; two
+historical contaminated sessions produced physically impossible rows,
+PERF.md r9 items 1/8a):
+
+* **fp32 flagship control first**: on a real TPU backend the suite runs
+  the fp32 flagship control config before recording ANYTHING and
+  hard-aborts (exit 2, zero rows appended) when the reading falls
+  outside the honest band ``CONTROL_BAND`` -- the stale-worker-module /
+  tunnel-anomaly signature.  ``--no-control`` skips it (CPU runs never
+  control: interpret-mode throughput is not the device tier).
+* **physical-bound quarantine**: any row reading above
+  ``PHYS_CAP`` x its governing roofline bound is appended to
+  ``quarantine.jsonl`` instead of ``results.jsonl`` (impossible rows
+  would poison the median/MAD gate floor for the next 7 sessions) and
+  counts as a gate failure.  ``recorded_stats`` also drops any
+  historical row above the cap when computing the floor/best.
 """
 
 import json
@@ -89,9 +106,74 @@ QUICK = [
     ("1d1r", (4096,), 8, {"pipeline": 1, "chain": 4}),
 ]
 
+# for_coeffs custom-stencil rows (round-4 VERDICT item 5/8): the headline
+# "arbitrary user stencils" capability gets recorded TPU numbers and its
+# own regression gate.  One non-symmetric 2-D spec (rank peel + sparse
+# residue) and the 3-D rank-1-z-unfolding case (factorize.decompose_3d's
+# fully-separable branch).  Coefficients are deterministic so the gate
+# keys stay comparable across sessions.
+def custom_coeffs(kind: str):
+    import numpy as np
+
+    if kind == "custom2d_asym5":
+        # non-symmetric rank-1 outer product + 3 off-pattern spikes ->
+        # pivot peel + sparse residue (the decompose_2d general path)
+        u = np.array([1.0, 2.0, 3.0, 1.0, 0.5])
+        v = np.array([0.25, 1.0, 2.0, 0.5, 0.125])
+        S = np.outer(u, v)
+        S[0, 4] += 0.25
+        S[4, 0] -= 0.125
+        S[2, 2] += 1.0
+        return S
+    if kind == "custom3d_sep3":
+        # exactly-separable 3x3x3 -> decompose_3d's rank-1 z-unfolding
+        z = np.array([1.0, 2.0, 1.0])
+        u = np.array([1.0, 2.0, 1.0])
+        v = np.array([0.5, 1.0, 0.5])
+        return np.einsum("i,j,k->ijk", z, u, v)
+    raise KeyError(kind)
+
+
+CUSTOM = [
+    ("custom2d_asym5", (4096, 4096), 256, 8),
+    ("custom3d_sep3", (256, 256, 256), 64, 8),
+]
+
+
+# -- measurement integrity (round-4 VERDICT item 1) -----------------------
+# The fp32 flagship is the control: its honest clean-session device range
+# is 52-64 GCells/s (BENCH_r02/r04 60.0-60.2; PERF.md session spread).
+# Both historical contamination events read far outside it (the r9
+# all-tier event at 300-400% of physical bounds; the r8 df64 event's fp32
+# companion rows were equally inflated), so a single pre-record control
+# catches the stale-worker-module / tunnel-anomaly signature before any
+# row lands in results.jsonl.
+CONTROL = ("star2d1r", (8192, 8192), 256, {"pipeline": 2})
+CONTROL_BAND = (52.0, 64.0)
+# No honest kernel reads above its governing roofline ceiling; tunnel
+# noise is downward.  Allow 10% model slack, quarantine beyond it.
+PHYS_CAP = 1.10
+
+
+def control_ok(gcells: float) -> bool:
+    return CONTROL_BAND[0] <= gcells <= CONTROL_BAND[1]
+
+
+def row_disposition(rec: dict) -> str:
+    """'record' or 'quarantine' for a result row: rows above PHYS_CAP x
+    their governing roofline bound are physically impossible (a known
+    recurring contamination signature) and must never enter
+    results.jsonl, where they would ratchet the median/MAD floor."""
+    pct = rec.get("pct_of_governing_bound")
+    return "quarantine" if (pct is not None and pct > PHYS_CAP) else "record"
+
 
 def run_config(name, interior, steps, pipeline=1, chain=1, **kw):
-    eng = engine.StencilEngine.for_shape(name, interior, **kw)
+    if name.startswith("custom"):
+        eng = engine.StencilEngine.for_coeffs(custom_coeffs(name),
+                                              interior, name=name, **kw)
+    else:
+        eng = engine.StencilEngine.for_shape(name, interior, **kw)
 
     # df64 state is stacked fp32 pairs: (2, *internal) for the 2-D
     # Pallas pair kernel, (2, *padded) for the XLA pair path
@@ -183,6 +265,11 @@ def recorded_stats(outpath, platform):
                 if ((not be.startswith("pallas-") and be != "xla-df64")
                         or "float64" in be):
                     continue
+                if row_disposition(rec) != "record":
+                    # historical physically-impossible rows (recorded
+                    # before the quarantine existed) must not poison
+                    # the floor/best
+                    continue
                 key = (_tier(be), rec.get("shape"),
                        tuple(rec.get("interior", ())), rec.get("steps"))
                 vals.setdefault(key, []).append(
@@ -208,31 +295,51 @@ def recorded_stats(outpath, platform):
     return best, floor
 
 
-def main(argv=None) -> int:
-    argv = sys.argv[1:] if argv is None else argv
-    configs = QUICK if "--quick" in argv else CONFIGS
-    if "--bf16" in argv:
-        configs = BF16
-    elif "--df64" in argv:
-        configs = DF64
-    elif "--all-tiers" in argv:
-        configs = CONFIGS + BF16 + DF64
-    outpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "results.jsonl")
-    best, floor = recorded_stats(outpath, jax.default_backend())
+def run_suite(configs, outpath, platform, runner=run_config,
+              control=None) -> "tuple[int, list, list]":
+    """Record ``configs`` through the integrity gate.  Returns
+    ``(status, rows, regressions)``: status 2 = control failed (NOTHING
+    recorded).  ``control``: callable returning the fp32 flagship
+    control GCells/s, or None to skip (CPU / --no-control)."""
+    if control is not None:
+        g = control()
+        if not control_ok(g):
+            print(f"CONTROL FAILED: fp32 flagship control read "
+                  f"{g:.2f} GCells/s, outside the honest band "
+                  f"{CONTROL_BAND[0]}-{CONTROL_BAND[1]} -- contaminated "
+                  f"session (stale worker modules / tunnel anomaly, "
+                  f"PERF.md r9); recording NOTHING.", flush=True)
+            return 2, [], [f"control {g:.2f} outside {CONTROL_BAND}"]
+        print(f"control: fp32 flagship {g:.2f} GCells/s (band "
+              f"{CONTROL_BAND[0]}-{CONTROL_BAND[1]}) -- OK", flush=True)
+    best, floor = recorded_stats(outpath, platform)
+    qpath = os.path.join(os.path.dirname(outpath), "quarantine.jsonl")
     rows, regressions = [], []
     with open(outpath, "a") as out:
         for name, interior, steps, opts in configs:
             try:
                 kw = opts if isinstance(opts, dict) else {"pipeline": opts}
-                res = run_config(name, interior, steps, **kw)
+                res = runner(name, interior, steps, **kw)
                 rows.append(res)
                 rec = json.loads(res.json())
                 rec["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
-                rec["backend_platform"] = jax.default_backend()
+                rec["backend_platform"] = platform
                 rec["roofline_bound"] = res.roofline_bound
                 rec["governing_bound_gcells"] = res.governing_bound_gcells
                 rec["pct_of_governing_bound"] = res.pct_of_governing_bound
+                pct = res.pct_of_governing_bound
+                if row_disposition(rec) == "quarantine":
+                    with open(qpath, "a") as q:
+                        q.write(json.dumps(rec) + "\n")
+                    regressions.append(
+                        f"{name} {interior} x{steps}: QUARANTINED -- "
+                        f"{res.gcells_per_s:.2f} GCells/s is {pct:.0%} "
+                        f"of its governing bound (> {PHYS_CAP:.0%} is "
+                        f"physically impossible); row -> {qpath}")
+                    print(f"{name:10s} {str(interior):18s} x{steps:<4d} "
+                          f"{res.gcells_per_s:7.2f} GCells/s  "
+                          f"QUARANTINED ({pct:.0%} of bound)", flush=True)
+                    continue
                 out.write(json.dumps(rec) + "\n")
                 out.flush()
                 key = (_tier(rec.get("backend", "")), name,
@@ -241,7 +348,6 @@ def main(argv=None) -> int:
                 flo = floor.get(key)
                 vs = (f"  {res.gcells_per_s / ref - 1.0:+6.1%} vs best "
                       f"{ref:.2f}" if ref else "")
-                pct = res.pct_of_governing_bound
                 roofs = (f"  [{pct:4.0%} of {res.roofline_bound}-bound "
                          f"{res.governing_bound_gcells:.0f}]"
                          if pct is not None else "")
@@ -254,7 +360,7 @@ def main(argv=None) -> int:
                 # governing ceiling is worth a look -- EXCEPT chained
                 # tiny grids, which are dispatch-bound by construction
                 if (pct is not None and pct < 0.4 and chain_of(kw) == 1
-                        and jax.default_backend() == "tpu"):
+                        and platform == "tpu"):
                     print(f"WARNING: {name} {interior} at {pct:.0%} of "
                           f"its governing {res.roofline_bound} bound "
                           f"({res.governing_bound_gcells:.1f} GCells/s)",
@@ -271,6 +377,32 @@ def main(argv=None) -> int:
     print(f"\n{len(rows)}/{len(configs)} configs; results -> {outpath}")
     for r in regressions:
         print(f"REGRESSION: {r}", flush=True)
+    return 0, rows, regressions
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    configs = QUICK if "--quick" in argv else CONFIGS
+    if "--bf16" in argv:
+        configs = BF16
+    elif "--df64" in argv:
+        configs = DF64
+    elif "--custom" in argv:
+        configs = CUSTOM
+    elif "--all-tiers" in argv:
+        configs = CONFIGS + BF16 + DF64 + CUSTOM
+    outpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "results.jsonl")
+    platform = jax.default_backend()
+    control = None
+    if platform == "tpu" and "--no-control" not in argv:
+        def control():
+            name, interior, steps, kw = CONTROL
+            return run_config(name, interior, steps, **kw).gcells_per_s
+    status, _rows, regressions = run_suite(configs, outpath, platform,
+                                           control=control)
+    if status:
+        return status
     return 1 if (regressions and "--gate" in argv) else 0
 
 
