@@ -183,11 +183,27 @@ def decompose_3d(
     terms3, residue3 = [], []
     if s.size == 0 or s[0] <= tol:
         return (), ()
-    if s.size == 1 or (s[1:] <= tol * s[0]).all():
-        # rank-1 z-unfolding: S = a (x) P exactly (to tol)
+    use_rank1 = s.size == 1 or (s[1:] <= tol * s[0]).all()
+    rank1_resid = ()
+    if use_rank1:
         iz = int(np.argmax(np.max(np.abs(flat), axis=1)))
         k = int(np.argmax(np.abs(flat[iz])))
         a = flat[:, k] / flat[iz, k]  # largest-|.| z tap == 1.0 exactly
+        # exact reconstruction check AT MACHINE PRECISION: the SVD gap
+        # test above accepts deviations up to ~tol (1e-10) relative,
+        # which silently dropped would break the df64 tier's
+        # ~1e-14/step accuracy contract (advisor finding, round 4).
+        # Push the rank-1 reconstruction residual S - a (x) S[iz] into
+        # the sparse residue when it is sparse; fall back to the
+        # per-plane path when it is dense.
+        R = S - a[:, None, None] * S[iz][None]
+        eps = 1e-15 * np.abs(S).max()
+        rank1_resid = tuple(map(tuple, np.argwhere(np.abs(R) > eps)))
+        if len(rank1_resid) > residue_budget:
+            use_rank1 = False
+    if use_rank1:
+        # rank-1 z-unfolding: S = a (x) S[iz] + sparse machine-eps
+        # residual (rank1_resid, usually empty)
         terms2, residue2 = decompose_2d(S[iz], max_rank=max_rank,
                                         residue_budget=residue_budget,
                                         tol=tol)
@@ -197,6 +213,9 @@ def decompose_3d(
             for z in range(nz):
                 if abs(a[z]) > tol:
                     residue3.append(((z - rz, dr, dc), float(a[z] * w)))
+        for idx in rank1_resid:
+            residue3.append(((int(idx[0]) - rz, int(idx[1]) - r2[0],
+                              int(idx[2]) - r2[1]), float(R[idx])))
     else:
         for z in range(nz):
             plane = S[z]

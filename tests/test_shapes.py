@@ -209,6 +209,39 @@ class TestFactorize:
             acc[1 + dz, 1 + dr, 1 + dc] += w
         np.testing.assert_allclose(acc, S, atol=1e-10)
 
+    def test_decompose_3d_near_rank1_keeps_machine_precision(self):
+        # nearly-but-not-exactly separable (a ~1e-11 spike below the
+        # SVD gap tol): the rank-1 branch must push the reconstruction
+        # residual into the sparse residue instead of silently dropping
+        # it -- the df64 tier advertises ~1e-14/step (advisor finding,
+        # round 4)
+        S = np.einsum("i,j,k->ijk", [1.0, 2.0, 1.0], [1.0, 2.0, 1.0],
+                      [0.5, 1.0, 0.5])
+        S[0, 2, 1] += 3e-11
+        terms, residue = factorize.decompose_3d(S)
+        assert len(terms) == 1  # still the shared-z-tap branch
+        assert any(off == (-1, 1, 0) for off, _ in residue)
+        acc = np.zeros_like(S)
+        for tz, u, v in terms:
+            acc += np.einsum("i,j,k->ijk", tz, u, v)
+        for (dz, dr, dc), w in residue:
+            acc[1 + dz, 1 + dr, 1 + dc] += w
+        assert np.abs(acc - S).max() <= 1e-14 * np.abs(S).max()
+        # a DENSE sub-tol deviation cannot ride the sparse residue:
+        # falls back to the per-plane path (still within the documented
+        # tol contract)
+        rng = np.random.default_rng(0)
+        S2 = np.einsum("i,j,k->ijk", [1.0, 2.0, 1.0], [1.0, 2.0, 1.0],
+                       [0.5, 1.0, 0.5])
+        S2 = S2 + 1e-11 * rng.standard_normal(S2.shape)
+        terms2, residue2 = factorize.decompose_3d(S2)
+        acc = np.zeros_like(S2)
+        for tz, u, v in terms2:
+            acc += np.einsum("i,j,k->ijk", tz, u, v)
+        for (dz, dr, dc), w in residue2:
+            acc[1 + dz, 1 + dr, 1 + dc] += w
+        assert np.abs(acc - S2).max() <= 1e-10 * np.abs(S2).max()
+
     def test_fuse_taps(self):
         np.testing.assert_allclose(
             factorize.fuse_taps([1, 1, 1, 1], 2), [1, 2, 3, 4, 3, 2, 1]
