@@ -54,6 +54,41 @@ def test_row_disposition():
     assert suite.row_disposition(_row(200.0, None)) == "record"
 
 
+def _bf16_row(gcells, bound):
+    row = _row(gcells, bound)
+    row["backend"] = "pallas-mxu_hybrid1-bfloat16"
+    return row
+
+
+def test_row_disposition_bf16_cap():
+    """The bf16 ceiling model is fp32-calibrated; honest bf16 sessions
+    read up to ~1.6x of it (r9 device rows) while contamination reads
+    >= 3x.  The flat 1.10 cap would have quarantined the entire honest
+    bf16 tier -- the tier cap is 2.0 (round 5)."""
+    # the actual recorded honest bf16 rows must pass the gate
+    assert suite.row_disposition(_bf16_row(89.0, 55.7)) == "record"  # 1.60
+    assert suite.row_disposition(_bf16_row(99.2, 72.4)) == "record"  # 1.37
+    # the r9 contamination signature (300-400%) still quarantines
+    assert suite.row_disposition(_bf16_row(220.0, 55.7)) == "quarantine"
+    # ...and the fp32/df64 tiers keep the tight 1.10 cap
+    assert suite.phys_cap("pallas-mxu_hybrid1") == suite.PHYS_CAP
+    assert suite.phys_cap("pallas-df64-vpu_sep") == suite.PHYS_CAP
+
+
+def test_recorded_stats_keeps_honest_bf16_rows(tmp_path):
+    """Historical honest bf16 rows (pct 1.29-1.6 of the fp32-calibrated
+    model) must keep baselining the bf16 gate floor."""
+    out = tmp_path / "results.jsonl"
+    with open(out, "w") as f:
+        for g in (86.5, 88.4, 88.5):
+            f.write(json.dumps(_bf16_row(g, 55.7)) + "\n")
+        f.write(json.dumps(_bf16_row(300.0, 55.7)) + "\n")  # >= 3x: drop
+    best, floor = suite.recorded_stats(str(out), "tpu")
+    key = ("bf16", "star2d1r", (8192, 8192), 256)
+    assert best[key] == 88.5  # not 300
+    assert floor[key] <= 86.5
+
+
 def test_recorded_stats_drops_impossible_rows(tmp_path):
     out = tmp_path / "results.jsonl"
     with open(out, "w") as f:
@@ -143,6 +178,35 @@ def test_custom_suite_configs_are_correct(kind, interior):
     want = reference.run(g0, eng.spec, 3)
     err = np.abs(got - want).max() / np.abs(want).max()
     assert err < 5e-6, err
+
+
+def test_accounting_regenerates(tmp_path):
+    """tools/accounting.py renders a row for EVERY suite config from
+    results.jsonl (round-5 VERDICT item 9: the north-star accounting is
+    a generated table, not hand-maintained prose), excludes
+    physically-impossible rows, and prefers the latest honest row."""
+    tools_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+    sys.path.insert(0, tools_dir)
+    import accounting
+
+    out = tmp_path / "results.jsonl"
+    with open(out, "w") as f:
+        f.write(json.dumps(_row(57.0, 65.7)) + "\n")
+        f.write(json.dumps(_row(60.0, 65.7)) + "\n")     # latest honest
+        f.write(json.dumps(_row(260.0, 65.7)) + "\n")    # impossible
+    text = accounting.render(str(out))
+    for key in accounting.suite_keys():
+        tier, name, interior, steps = key
+        cfg = f"{name} {'x'.join(str(s) for s in interior)} x{steps}"
+        assert cfg in text, cfg
+    # the flagship row shows the latest honest reading, not the
+    # quarantine-level one
+    row = [ln for ln in text.splitlines()
+           if "| fp32 | star2d1r 8192x8192 x256 |" in ln]
+    assert row and "60.0" in row[0] and "260" not in row[0], row
+    # every OTHER config reports the missing-row marker, never a crash
+    assert "no honest TPU row recorded yet" in text
 
 
 def test_control_band_matches_recorded_flagship():
