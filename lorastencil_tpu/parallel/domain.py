@@ -1894,19 +1894,24 @@ class ShardedStencilDF64_1D(ShardedStencil1D):
     """Domain-decomposed fp64-GRADE 1-D stencil: double-float fp32 pair
     state over a 1-D device mesh.
 
-    The 1-D twin of ShardedStencilDF64: state is a stacked
-    (2, dx*R, width) fp32 array on the overlapped-lane layout, sharded
-    P(None, 'x', None); the hi/lo planes ride the SAME edge-strip
-    ppermute exchange as the fp32 tier (vmapped over the pair axis) and
-    each device runs the pair lanes kernel (ops/pallas_df64_1d.py) on
-    its local block with the dynamic flat bounds.  Boundary conditions:
-    dirichlet0, periodic, reflect (ring copies/flips are exact on
-    (hi, lo) pairs).
+    The 1-D twin of ShardedStencilDF64: the hi/lo planes ride the SAME
+    edge-strip ppermute exchange as the fp32 tier (vmapped over the
+    pair axis) and each device runs a df64 pair kernel
+    (ops/pallas_df64_1d.py) on its local block with the dynamic flat
+    bounds.  Two layouts (round 5; previously lanes-only):
 
-    Tier boundaries (loud errors): fused_steps == 1 (the pair kernel is
-    single-step), effective radius in [1, 16] (the lanes layout), and
-    divisible-or-dirichlet0 blocks (the tailed ghost modes need the
-    flat layout's dynamic strip moves, which have no pair kernel).
+    * divisible blocks at effective radius <= 32: the overlapped-lane
+      layout + pair lanes kernel (state (2, dx*R, width) fp32,
+      P(None, 'x', None));
+    * tailed ghost blocks (non-divisible interiors under
+      periodic/reflect -- the true-tail strips move with one dynamic
+      flat slice) and wide radii (33..127): the flat Layout1D + flat
+      pair kernel (df64_1d_flat_step).
+
+    Boundary conditions: dirichlet0, periodic, reflect (ring
+    copies/flips are exact on (hi, lo) pairs).  Tier boundaries (loud
+    errors): fused_steps == 1 (the pair kernels are single-step) and
+    effective radius in [1, 127] (flat shifts wrap one 128-lane row).
     overlap=True uses the ring-in-output dataflow, like the 2-D/3-D
     twins."""
 
@@ -1924,43 +1929,40 @@ class ShardedStencilDF64_1D(ShardedStencil1D):
         if config.algorithm not in ("auto", "vpu_roll"):
             raise ValueError(
                 f"1-D df64 kernel algorithm must be 'auto' or "
-                f"'vpu_roll' (pair lane rolls), got "
-                f"{config.algorithm!r}")
+                f"'vpu_roll' (pair rolls), got {config.algorithm!r}")
         r_eff = pallas_1d.effective_radius(spec)
-        if not 1 <= r_eff <= 16:
+        if not 1 <= r_eff <= LANE - 1:
             raise ValueError(
                 f"sharded 1-D df64 needs an effective radius in "
-                f"[1, 16] (the overlapped-lane layout); this spec has "
-                f"{r_eff} -- run single-device via StencilEngine's XLA "
-                f"pair path")
+                f"[1, 127] (flat shifts wrap one 128-lane row); this "
+                f"spec has {r_eff} -- run single-device via "
+                f"StencilEngine's XLA pair path")
         base = dataclasses.replace(config, dtype="float32",
                                    algorithm="vpu_roll", fused_steps=1)
         super().__init__(spec, interior, base, mesh)
-        if self.tail != self.local_interior:
-            # only reachable for ghost boundaries (dirichlet0 keeps
-            # tail == local_interior): the true-tail strips need the
-            # flat layout's dynamic moves
-            raise ValueError(
-                f"sharded 1-D df64 with {config.boundary} boundaries "
-                f"needs the interior ({interior}) divisible into "
-                f"lane-aligned blocks across {self.dx} devices")
-        if not self.lanes:
+        if (not self.lanes and self.tail == self.local_interior
+                and r_eff <= 32):
             # the base class routes resident-size blocks to the flat
-            # layout; the pair kernel is lanes-only, so force the
-            # overlapped-lane layout (k=1)
+            # layout; divisible lanes-compatible blocks force the
+            # overlapped-lane layout (k=1) -- one roll per shift beats
+            # the flat kernel's two + select
             d_l = max(spec.halo[0], spec.radius)
             self.fused_steps = 1
             self.depth = d_l
             self.layout, _ = Layout1DLanes.build(
                 self.local_interior, d_l, 1, r_eff)
             self.lanes = True
-        if not self.interpret and self.layout.tile_rows > 64:
+        # tailed ghost blocks and wide radii keep the base class's flat
+        # layout and run the flat pair kernel (_df64_kernel_step)
+        if not self.interpret and self.layout.tile_rows > (
+                64 if self.lanes else 128):
             # build()'s depth caps are sized for single-plane fp32
             # windows; the pair window doubles the bytes and the EFT
             # chain holds several window extents of transients (TR=496
             # measured 72.8M scoped vmem vs the 64M limit; the engine
-            # applies the same cap, StencilEngine._build_layout)
-            self.layout = dataclasses.replace(self.layout, tile_rows=64)
+            # applies the same caps, StencilEngine._build_layout)
+            self.layout = dataclasses.replace(
+                self.layout, tile_rows=64 if self.lanes else 128)
         if self.interpret and self.layout.grid == (1,):
             # keep the interpret-mode grid loop alive (trip-1 grids hit
             # the XLA:CPU df64-chain compile blowup; same split as the
@@ -1975,7 +1977,11 @@ class ShardedStencilDF64_1D(ShardedStencil1D):
     def _df64_kernel_step(self, cur2, donor2, bounds):
         from ..ops import pallas_df64_1d
 
-        return pallas_df64_1d.df64_1d_step(
+        if self.lanes:
+            return pallas_df64_1d.df64_1d_step(
+                cur2, donor2, self.spec, self.layout,
+                interpret=self.interpret, bounds=bounds)
+        return pallas_df64_1d.df64_1d_flat_step(
             cur2, donor2, self.spec, self.layout,
             interpret=self.interpret, bounds=bounds)
 
