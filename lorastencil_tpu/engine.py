@@ -291,23 +291,27 @@ class StencilEngine:
             # 2-D df64 runs the Pallas pair kernel (window read once,
             # error-free tap chain in VMEM -- ops/pallas_df64.py); 3-D
             # the pair slab kernel (ops/pallas_df64_3d.py); 1-D the
-            # pair lanes kernel (ops/pallas_df64_1d.py) when the
-            # effective radius fits the overlapped-lane layout, else
-            # the XLA dense pair path (ops/df64.py)
+            # pair lanes kernel (ops/pallas_df64_1d.py) for effective
+            # radii <= 32 (the overlapped-lane layout) and the flat
+            # pair kernel (df64_1d_flat_step) for 33..127 -- the tier
+            # is radius-uniform like the reference's fp64 band build
+            # (/root/reference/src/1d/gpu_1r.cu:94-99); only
+            # r_eff == 0 (pure center tap) keeps the XLA pair path
+            # (ops/df64.py)
             if spec.ndim == 1:
                 from .ops import pallas_1d as _p1d
 
                 r1 = _p1d.effective_radius(spec)
-                dim_ok = 1 <= r1 <= 32
+                dim_ok = 1 <= r1 <= LANE - 1
             else:
                 dim_ok = True
             want_pallas = dim_ok and config.backend != "xla"
             if config.backend == "pallas" and not want_pallas:
                 raise ValueError(
                     "no df64 Pallas kernel applies: 1-D needs an "
-                    "effective radius in [1, 32] (the overlapped-lane "
-                    "layout); this spec runs the XLA pair path "
-                    "(backend 'auto'/'xla')")
+                    "effective radius in [1, 127] (flat shifts wrap "
+                    "one 128-lane row); this spec runs the XLA pair "
+                    "path (backend 'auto'/'xla')")
             if config.algorithm == "auto":
                 # 2-D: separable low-rank pair kernel when its static
                 # op count beats the dense roll path (ops/pallas_df64.
@@ -356,7 +360,7 @@ class StencilEngine:
                 f"'reflect', got {config.boundary!r}")
         if (config.boundary != "dirichlet0" and config.backend == "xla"
                 and not self.df64):
-            # (df64 is exempt: its XLA-pair fallback (wide-radius 1-D)
+            # (df64 is exempt: its XLA-pair fallback (r_eff = 0 1-D)
             # runs a per-step padded-ring refresh, _ring_refresh_padded)
             raise ValueError(
                 f"{config.boundary} boundaries need the Pallas backend "
@@ -571,6 +575,26 @@ class StencilEngine:
             n1 = interior[0]
             if self.df64_pallas:
                 r_eff1 = pallas_1d.effective_radius(spec)
+                if r_eff1 > 32:
+                    # wide radius: the overlapped-lane stride cannot
+                    # absorb the halo; flat pair kernel
+                    # (pallas_df64_1d.df64_1d_flat_step).  Tile depth
+                    # capped like the lanes pair windows (the EFT chain
+                    # holds several window extents of transients).
+                    rows = max(SUBLANE,
+                               min(128,
+                                   SUBLANE * (-(-n1 // (SUBLANE * LANE)))))
+                    flat = Layout1D(interior=n1, halo=spec.halo[0],
+                                    tile_rows=rows, guard_rows=SUBLANE)
+                    if (self.interpret and flat.grid == (1,)
+                            and rows >= 2 * SUBLANE):
+                        # keep the interpret-mode grid loop alive
+                        # (trip-1 grids hit the XLA:CPU df64-chain
+                        # compile blowup)
+                        flat = dataclasses.replace(
+                            flat, tile_rows=SUBLANE * (
+                                -(-(rows // SUBLANE) // 2)))
+                    return flat
                 if (self.config.boundary == "dirichlet0"
                         and not (self.config.lanes_width
                                  or self.config.lanes_tile_rows)):
@@ -919,8 +943,14 @@ class StencilEngine:
                 interpret=self.interpret, bounds=bounds)
         if self.spec.ndim == 1:
             from .ops import pallas_df64_1d
+            from .ops.layout import Layout1DLanes
 
-            return pallas_df64_1d.df64_1d_step(
+            if isinstance(self.layout, Layout1DLanes):
+                return pallas_df64_1d.df64_1d_step(
+                    cur, donor, self.spec, self.layout,
+                    interpret=self.interpret, bounds=bounds)
+            # wide radius (32 < r_eff <= 127): flat pair kernel
+            return pallas_df64_1d.df64_1d_flat_step(
                 cur, donor, self.spec, self.layout,
                 interpret=self.interpret, bounds=bounds)
         from .ops import pallas_df64
@@ -941,6 +971,17 @@ class StencilEngine:
                 return pallas_df64_1d.stencil1d_resident_pair(
                     state, self.spec, self.layout, steps,
                     interpret=self.interpret)
+            if self.spec.ndim == 2 and steps > 0 and not self.ghost:
+                from .ops import pallas_df64
+
+                if pallas_df64.fits_resident_pair_2d(self.layout):
+                    # resident pair fast path: ALL steps in ONE kernel
+                    # (small grids are dispatch-bound through per-step
+                    # pair kernels; round-5 VERDICT item 6)
+                    return pallas_df64.stencil2d_resident_pair(
+                        state, self.spec, self.layout, steps,
+                        interpret=self.interpret,
+                        algorithm=self.df64_algorithm)
             out = ping_pong_loop(self._df64_step, state, steps, 1)
             if self.ghost and steps > 0:
                 # masked-kernel writes inside the tile round-up region;
@@ -971,6 +1012,20 @@ class StencilEngine:
                 # whole-grid-resident fast path: ALL steps in ONE kernel
                 # (small grids are dispatch-bound otherwise; VERDICT r1)
                 return pallas_1d.stencil1d_resident(
+                    state, self.spec, self.layout, steps,
+                    interpret=self.interpret)
+        if (self.backend != "xla" and self.spec.ndim == 2 and steps > 0
+                and not self.ghost and self._fusion_mode() != "skew"
+                and self.algorithm in ("mxu_hybrid1", "vpu_roll", "vpu")):
+            # 2-D whole-grid-resident fast path (round-5 VERDICT item
+            # 6): ALL steps in one kernel via full-buffer rolled convs
+            # -- exact fp32, the same numerics class as the gated
+            # algorithms (lossy mxu tiers keep their tiled path)
+            from .ops import pallas_2d
+
+            if pallas_2d.fits_resident_2d(self.layout,
+                                          self.dtype.itemsize):
+                return pallas_2d.stencil2d_resident(
                     state, self.spec, self.layout, steps,
                     interpret=self.interpret)
         out = ping_pong_loop(self._step_internal, state, steps,

@@ -976,3 +976,94 @@ def vmem_limit_bytes() -> int:
     raising it admits wider tiles (lower window-extent amplification).
     Override with LORASTENCIL_VMEM_MB."""
     return int(os.environ.get("LORASTENCIL_VMEM_MB", "64")) * 2**20
+
+
+def _stencil2d_resident_kernel(in_ref, out_ref, *, spec, layout: Layout2D,
+                               steps: int):
+    """ALL ``steps`` timesteps on a VMEM-resident 2-D grid (the 2-D
+    twin of pallas_1d._stencil1d_resident_kernel).
+
+    Each step is one exact-fp32 full-buffer rolled convolution
+    (band_gemm.apply_spec_vpu_rolled) + the interior mask: wrap garbage
+    reaches <= radius cells from the buffer edge, which the guard ring
+    keeps outside the interior, and the mask re-zeroes it every step
+    (the reference's decaying Dirichlet-0 halo).  One dispatch for the
+    whole run -- the small-grid fast path the reference covers with
+    per-step launches on an L2-resident working set
+    (``/root/reference/src/2d/main.cu:282-328`` CHECK regime); over the
+    tunneled backend one dispatch per RUN beats one per step by orders
+    of magnitude.  Steps go through the (aliased) output ref; it seeds
+    from in_ref first (resident out VMEM arrives uninitialized on the
+    real backend despite the HBM alias -- PERF r9 8b)."""
+    m, n = layout.interior
+    r0, c0 = layout.origin
+    R, C = layout.shape
+    gr = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) - r0
+    gc = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1) - c0
+    rmask = ((gr >= 0) & (gr < m)).astype(jnp.float32)
+    cmask = ((gc >= 0) & (gc < n)).astype(jnp.float32)
+
+    out_ref[:] = in_ref[:]
+
+    def body(_, carry):
+        cur = out_ref[:]
+        if cur.dtype == jnp.bfloat16:  # bf16 state: compute fp32
+            cur = cur.astype(jnp.float32)
+        val = apply_spec_vpu_rolled(cur, spec) * rmask * cmask
+        out_ref[:] = val.astype(out_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, steps, body, 0)
+
+
+# whole-grid residency cap: internal buffer bytes.  DEFAULT 0 (off):
+# the round-5 device sweep measured the resident kernel SLOWER than
+# the tiled pipeline at EVERY small-grid size (star2d1r vpu_roll
+# fp32: 8.8 vs 10.4 at 64x128, 15.8 vs 19.3 at 128x256, 19.7-25.0 vs
+# 20.6-27.3 at 512x512) -- unlike 1-D, the 2-D tiled path's whole run
+# is already ONE jitted program, so there is no per-step dispatch to
+# amortize, and the double-buffered window DMA beats whole-buffer
+# rolls.  The kernel stays available for A/B and future hardware via
+# LORASTENCIL_RESIDENT2D_KB.
+RESIDENT_2D_BYTES = int(os.environ.get("LORASTENCIL_RESIDENT2D_KB",
+                                       "0")) * 1024
+
+
+def fits_resident_2d(layout, itemsize: int = 4) -> bool:
+    if not isinstance(layout, Layout2D) or layout.extra_row_tiles:
+        return False
+    R, C = layout.shape
+    return R * C * itemsize <= RESIDENT_2D_BYTES
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "layout", "interpret", "steps"),
+)
+def stencil2d_resident(
+    cur: jax.Array,
+    spec: StencilSpec,
+    layout: Layout2D,
+    steps: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """ALL ``steps`` timesteps in ONE kernel on a VMEM-resident 2-D
+    grid (see the kernel docstring; exact fp32, dirichlet0 only --
+    small grids are dispatch-bound through per-step kernels over the
+    tunneled backend, round-5 VERDICT item 6)."""
+    layout.validate()
+    assert fits_resident_2d(layout, jnp.dtype(cur.dtype).itemsize), \
+        "grid too large for the resident kernel"
+    assert spec.radius <= min(layout.guard), "guard ring < radius"
+    kernel = functools.partial(
+        _stencil2d_resident_kernel, spec=spec, layout=layout, steps=steps,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(cur.shape, cur.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes()),
+    )(cur)

@@ -41,6 +41,7 @@ Algorithms:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -134,49 +135,78 @@ def _sep_plan(spec: StencilSpec):
     return tuple(terms), tuple(res)
 
 
-# static per-elem op-cost weights for the auto pick (arbitrary units;
-# the final arbiter is the device A/B in PERF.md -- these only need to
-# rank dense vs separable correctly)
+# static per-elem op-cost weights for the auto pick AND the df64
+# roofline (units calibrated so tools/df64_eft_probe.py -- which issues
+# exactly one full-product 'pair' entry = 48 units -- measures the
+# achievable units/s on device; round 5).  The final arbiter for the
+# auto pick is the device A/B in PERF.md.
 _COST_PRODUCT = 20.0  # _tap_product + the accumulating df_add
 _COST_FOLD = 13.0     # df_add of two rolled pairs
 _COST_SPLIT = 3.0     # veltkamp_split
 _COST_ROLL = 3.0      # one pltpu.roll of a window plane
 
 
-def _sep_cost(spec: StencilSpec) -> float:
+def _entry_cost(kind: str, d, w4, nroll_single: int = 3,
+                roll_cost: float = _COST_ROLL) -> float:
+    """Cost of ONE folded tap entry, pricing the code path _pair_conv /
+    conv_axis actually takes (round 5: the old model charged full
+    SPLIT+PRODUCT for the w == +-1 shortcuts, which skip the product
+    entirely -- honest 2-D device rows then implied rates ABOVE the
+    independent probe ceiling).
+
+    ``d`` may be an int offset (axis entries) or an offset tuple (2-D
+    residue entries); ``nroll_single``: rolls a full-product single
+    needs per shifted view unit (3: hs, hl, l).  ``roll_cost``: pass 0
+    for the ARITHMETIC-ONLY cost (the roofline's governing model --
+    the tools/df64_eft_probe.py triple measured rolls overlapping with
+    the EFT arithmetic in real kernels, so the sustainable ceiling is
+    the pure-arithmetic rate, the df64 analog of DMA hiding under
+    compute)."""
+    unit = 1.0 if isinstance(d, int) else float(sum(1 for o in d if o))
+    is_zero = (d == 0) if isinstance(d, int) else not any(d)
+    w_pm1 = (abs(w4[0]), w4[1]) == (1.0, 0.0)
+    if kind == "pair":
+        # 4 distinct rolls (h, l at +-d) + the exact pair fold
+        cost = 4 * unit * roll_cost + _COST_FOLD
+        if w_pm1:
+            return cost + _COST_FOLD  # accumulate only (no product)
+        return cost + _COST_SPLIT + _COST_PRODUCT  # split zh + product
+    if is_zero:
+        # center tap: hoisted split (charged by the caller), product
+        # on the pre-split halves (or a bare accumulate for w == +-1)
+        return _COST_FOLD if w_pm1 else _COST_PRODUCT
+    if w_pm1:
+        # shifted pair itself: h + l rolls, accumulate
+        return 2 * unit * roll_cost + _COST_FOLD
+    return nroll_single * unit * roll_cost + _COST_PRODUCT
+
+
+def _sep_cost(spec: StencilSpec, roll_cost: float = _COST_ROLL) -> float:
     terms, res = _sep_plan(spec)
-    cost = 0.0
+    cost = _COST_SPLIT  # hoisted split of the input hi
     for axes in terms:
         for ai, ops in enumerate(axes):
             if ops is None:
                 continue
-            for kind, d, _ in ops:
-                if kind == "pair":
-                    cost += 4 * _COST_ROLL + _COST_FOLD + _COST_SPLIT
-                else:
-                    cost += (3 * _COST_ROLL if d else 0.0)
-                cost += _COST_PRODUCT
+            for kind, d, w4 in ops:
+                cost += _entry_cost(kind, d, w4, roll_cost=roll_cost)
             if ai > 0:
                 cost += _COST_SPLIT  # re-split of the intermediate
-    for kind, off, _ in res:
-        nroll = sum(1 for o in off if o)
-        if kind == "pair":
-            cost += 4 * nroll * _COST_ROLL + _COST_FOLD + _COST_SPLIT
-        else:
-            cost += 3 * nroll * _COST_ROLL
-        cost += _COST_PRODUCT
+    for kind, off, w4 in res:
+        cost += _entry_cost(kind, off, w4, roll_cost=roll_cost)
     return cost
 
 
-def _dense_cost(spec: StencilSpec) -> float:
+def _dense_cost(spec: StencilSpec,
+                roll_cost: float = _COST_ROLL) -> float:
     S = spec.dense_coeffs()
     idxs = np.argwhere(np.abs(S) > 0)
     drs = {int(i[0]) for i in idxs}
-    cost = len(drs) * 4 * _COST_ROLL  # memoized row rolls of 4 views
+    cost = len(drs) * 4 * roll_cost  # memoized row rolls of 4 views
     for idx in idxs:
         r = spec.radius
         if int(idx[1]) - r:
-            cost += 4 * _COST_ROLL
+            cost += 4 * roll_cost
         cost += _COST_PRODUCT
     return cost
 
@@ -189,30 +219,33 @@ def pick_algorithm(spec: StencilSpec) -> str:
         "vpu_roll")
 
 
-def df64_cost_per_cell(spec: StencilSpec, algorithm: str) -> float:
+def df64_cost_per_cell(spec: StencilSpec, algorithm: str,
+                       arith_only: bool = False) -> float:
     """Static cost units/cell/step of the pair kernel that actually
-    runs for ``spec`` (the roofline's df64 compute model; calibrated
-    against the honest device rows via
-    utils.profiling.MEASURED['vpu_df64_costunits_teraops']).
+    runs for ``spec``.
+
+    ``arith_only=True`` excludes the roll ops: that is the ROOFLINE
+    model (governing bound = arithmetic units x the probe-derived
+    MEASURED['vpu_df64_arith_units_teraops'] rate -- rolls overlap
+    with the EFT arithmetic in real kernels per the
+    tools/df64_eft_probe.py axis triple).  With rolls priced (the
+    default) the cost ranks algorithm choices for pick_algorithm.
 
     1-D walks the lanes kernel's real folded-tap entries (one aligned
     roll per view per tap); 3-D and 2-D 'vpu_sep' use the separable
     plan cost (the 3-D slab kernel runs the same _sep_plan per plane);
     2-D roll/slice paths use the dense-chain cost."""
+    roll_cost = 0.0 if arith_only else _COST_ROLL
     if spec.ndim == 1:
         from .pallas_1d import _dense_taps
 
-        cost = 0.0
-        for kind, d, _w4 in _fold_taps(_dense_taps(spec)):
-            if kind == "pair":
-                cost += 4 * _COST_ROLL + _COST_FOLD + _COST_SPLIT
-            elif d != 0:
-                cost += 3 * _COST_ROLL
-            cost += _COST_PRODUCT
+        cost = _COST_SPLIT  # hoisted split of hi
+        for kind, d, w4 in _fold_taps(_dense_taps(spec)):
+            cost += _entry_cost(kind, d, w4, roll_cost=roll_cost)
         return cost
     if spec.ndim == 3 or algorithm == "vpu_sep":
-        return _sep_cost(spec)
-    return _dense_cost(spec)
+        return _sep_cost(spec, roll_cost=roll_cost)
+    return _dense_cost(spec, roll_cost=roll_cost)
 
 
 def _pair_scale(zh, zl, w4, split=None):
@@ -251,6 +284,136 @@ def _tap_product(xs, xl2, xlo, x, tap):
         ph, pe = two_sum(q1, q3)
         pl_ = pe + c
     return ph, pl_
+
+
+def dense_pair_conv(hi, lo, his, hil, taps):
+    """One dense df64 stencil application at the FULL extent of the
+    pair state: aligned cyclic rolls; row rolls of the four state views
+    are memoized across taps sharing dr.  Wrap garbage reaches
+    ``radius`` cells from each edge -- callers mask / slice it off
+    (guard >= radius).  ``his``/``hil`` are the exact 12-bit halves of
+    ``hi`` (split hoisted, shared by every tap's partials).  Shared by
+    the tiled window kernel and the resident kernel."""
+    WR, WC = hi.shape
+    views = (his, hil, lo, hi)
+    rowroll = {}
+
+    def rolled(dr, dc):
+        if (dr, 0) not in rowroll:
+            rowroll[(dr, 0)] = tuple(
+                pltpu.roll(v, (-dr) % WR, 0) if dr else v
+                for v in views)
+        vs = rowroll[(dr, 0)]
+        if dc:
+            vs = tuple(pltpu.roll(v, (-dc) % WC, 1) for v in vs)
+        return vs
+
+    acc_h = jnp.zeros((WR, WC), jnp.float32)
+    acc_l = jnp.zeros((WR, WC), jnp.float32)
+    for tap in taps:
+        xs, xl2, xlo, x = rolled(tap[0], tap[1])
+        ph, pl_ = _tap_product(xs, xl2, xlo, x, tap)
+        acc_h, acc_l = df_add(acc_h, acc_l, ph, pl_)
+    return acc_h, acc_l
+
+
+def sep_pair_conv(hi, lo, his, hil, spec):
+    """One SEPARABLE low-rank df64 stencil application at the FULL
+    extent of the pair state: per term a df64 column conv into an
+    intermediate pair, ONE Veltkamp re-split, a df64 row conv; then the
+    sparse residue.  Symmetric taps +-d fold into one product via an
+    exact-class pair add.  Wrap garbage composes: the col conv dirties
+    <= radius rows at the edge, the row conv <= radius cols -- both
+    inside the guard margin callers cut off (guard >= radius).  Shared
+    by the tiled window kernel and the resident kernel."""
+    WR, WC = hi.shape
+    terms, res_entries = _sep_plan(spec)
+    cache = {}
+
+    def rolled(tag, arr, dr, dc):
+        key = (tag, dr, dc)
+        if key not in cache:
+            v = arr
+            if dr % WR:
+                v = pltpu.roll(v, (-dr) % WR, 0)
+            if dc % WC:
+                v = pltpu.roll(v, (-dc) % WC, 1)
+            cache[key] = v
+        return cache[key]
+
+    def conv_axis(ops, axis, vh, vl, vhs, vhl, tag):
+        """df64 1-D correlation along `axis` of the pair (vh, vl);
+        vhs/vhl are the exact 12-bit halves of vh (split hoisted by
+        the caller, shared across this axis's taps)."""
+        ah = al = None
+        for kind, d, w4 in ops:
+            dr, dc = (d, 0) if axis == 0 else (0, d)
+            if kind == "pair":
+                zh, zl = df_add(
+                    rolled(tag + "h", vh, dr, dc),
+                    rolled(tag + "l", vl, dr, dc),
+                    rolled(tag + "h", vh, -dr, -dc),
+                    rolled(tag + "l", vl, -dr, -dc))
+                ph, pl_ = _pair_scale(zh, zl, w4)
+            elif d == 0:
+                ph, pl_ = _pair_scale(vh, vl, w4, split=(vhs, vhl))
+            elif (abs(w4[0]), w4[1]) == (1.0, 0.0):
+                # w == +-1: the shifted pair itself (no product)
+                ph, pl_ = _pair_scale(rolled(tag + "h", vh, dr, dc),
+                                      rolled(tag + "l", vl, dr, dc),
+                                      w4)
+            else:
+                xs = rolled(tag + "hs", vhs, dr, dc)
+                xl2 = rolled(tag + "hl", vhl, dr, dc)
+                xlo = rolled(tag + "l", vl, dr, dc)
+                # xs + xl2 == the rolled vh, exactly (split identity)
+                ph, pl_ = _pair_scale(xs + xl2, xlo, w4,
+                                      split=(xs, xl2))
+            ah, al = ((ph, pl_) if ah is None
+                      else df_add(ah, al, ph, pl_))
+        if ah is None:
+            ah = al = jnp.zeros((WR, WC), jnp.float32)
+        return ah, al
+
+    acc_h = acc_l = None
+    for t_i, (col_ops, row_ops) in enumerate(terms):
+        if col_ops is not None:
+            yh, yl = conv_axis(col_ops, 0, hi, lo, his, hil, "x")
+        else:
+            yh, yl = hi, lo
+        if row_ops is not None:
+            if col_ops is None:
+                yhs, yhl, tag = his, hil, "x"
+            else:
+                yhs, yhl = veltkamp_split(yh)
+                tag = f"y{t_i}"
+            yh, yl = conv_axis(row_ops, 1, yh, yl, yhs, yhl, tag)
+        acc_h, acc_l = ((yh, yl) if acc_h is None
+                        else df_add(acc_h, acc_l, yh, yl))
+    for kind, off, w4 in res_entries:
+        dr, dc = off
+        if kind == "pair":
+            zh, zl = df_add(rolled("xh", hi, dr, dc),
+                            rolled("xl", lo, dr, dc),
+                            rolled("xh", hi, -dr, -dc),
+                            rolled("xl", lo, -dr, -dc))
+            ph, pl_ = _pair_scale(zh, zl, w4)
+        elif (dr, dc) == (0, 0):
+            ph, pl_ = _pair_scale(hi, lo, w4, split=(his, hil))
+        elif (abs(w4[0]), w4[1]) == (1.0, 0.0):
+            ph, pl_ = _pair_scale(rolled("xh", hi, dr, dc),
+                                  rolled("xl", lo, dr, dc), w4)
+        else:
+            xs = rolled("xhs", his, dr, dc)
+            xl2 = rolled("xhl", hil, dr, dc)
+            xlo = rolled("xl", lo, dr, dc)
+            ph, pl_ = _pair_scale(xs + xl2, xlo, w4,
+                                  split=(xs, xl2))
+        acc_h, acc_l = ((ph, pl_) if acc_h is None
+                        else df_add(acc_h, acc_l, ph, pl_))
+    if acc_h is None:
+        acc_h = acc_l = jnp.zeros((WR, WC), jnp.float32)
+    return acc_h, acc_l
 
 
 def _df64_kernel(
@@ -339,124 +502,11 @@ def _df64_kernel(
         return val * ((gc >= b_clo) & (gc < b_chi)).astype(val.dtype)
 
     if algorithm == "vpu_roll":
-        # aligned cyclic rolls at the full window extent; row rolls of
-        # the four state views are memoized across taps sharing dr
-        views = (his, hil, lo, hi)
-        rowroll = {}
-
-        def rolled(dr, dc):
-            if (dr, 0) not in rowroll:
-                rowroll[(dr, 0)] = tuple(
-                    pltpu.roll(v, (-dr) % WR, 0) if dr else v
-                    for v in views)
-            vs = rowroll[(dr, 0)]
-            if dc:
-                vs = tuple(pltpu.roll(v, (-dc) % WC, 1) for v in vs)
-            return vs
-
-        acc_h = jnp.zeros((WR, WC), jnp.float32)
-        acc_l = jnp.zeros((WR, WC), jnp.float32)
-        for tap in taps:
-            xs, xl2, xlo, x = rolled(tap[0], tap[1])
-            ph, pl_ = _tap_product(xs, xl2, xlo, x, tap)
-            acc_h, acc_l = df_add(acc_h, acc_l, ph, pl_)
+        acc_h, acc_l = dense_pair_conv(hi, lo, his, hil, taps)
         acc_h = mask(acc_h, HR, HC)[HR: HR + TM, HC: HC + TN]
         acc_l = mask(acc_l, HR, HC)[HR: HR + TM, HC: HC + TN]
     elif algorithm == "vpu_sep":
-        # separable low-rank form on the pair state: per term a df64
-        # column conv into an intermediate pair, ONE Veltkamp re-split,
-        # a df64 row conv; then the sparse residue.  Symmetric taps
-        # +-d fold into one product via an exact-class pair add.  Wrap
-        # garbage composes: the col conv dirties <= radius rows at the
-        # window edge, the row conv <= radius cols -- both inside the
-        # guard margin the final interior slice cuts off (guard >=
-        # radius asserted in df64_step).
-        terms, res_entries = _sep_plan(spec)
-        cache = {}
-
-        def rolled(tag, arr, dr, dc):
-            key = (tag, dr, dc)
-            if key not in cache:
-                v = arr
-                if dr % WR:
-                    v = pltpu.roll(v, (-dr) % WR, 0)
-                if dc % WC:
-                    v = pltpu.roll(v, (-dc) % WC, 1)
-                cache[key] = v
-            return cache[key]
-
-        def conv_axis(ops, axis, vh, vl, vhs, vhl, tag):
-            """df64 1-D correlation along `axis` of the pair (vh, vl);
-            vhs/vhl are the exact 12-bit halves of vh (split hoisted by
-            the caller, shared across this axis's taps)."""
-            ah = al = None
-            for kind, d, w4 in ops:
-                dr, dc = (d, 0) if axis == 0 else (0, d)
-                if kind == "pair":
-                    zh, zl = df_add(
-                        rolled(tag + "h", vh, dr, dc),
-                        rolled(tag + "l", vl, dr, dc),
-                        rolled(tag + "h", vh, -dr, -dc),
-                        rolled(tag + "l", vl, -dr, -dc))
-                    ph, pl_ = _pair_scale(zh, zl, w4)
-                elif d == 0:
-                    ph, pl_ = _pair_scale(vh, vl, w4, split=(vhs, vhl))
-                elif (abs(w4[0]), w4[1]) == (1.0, 0.0):
-                    # w == +-1: the shifted pair itself (no product)
-                    ph, pl_ = _pair_scale(rolled(tag + "h", vh, dr, dc),
-                                          rolled(tag + "l", vl, dr, dc),
-                                          w4)
-                else:
-                    xs = rolled(tag + "hs", vhs, dr, dc)
-                    xl2 = rolled(tag + "hl", vhl, dr, dc)
-                    xlo = rolled(tag + "l", vl, dr, dc)
-                    # xs + xl2 == the rolled vh, exactly (split identity)
-                    ph, pl_ = _pair_scale(xs + xl2, xlo, w4,
-                                          split=(xs, xl2))
-                ah, al = ((ph, pl_) if ah is None
-                          else df_add(ah, al, ph, pl_))
-            if ah is None:
-                ah = al = jnp.zeros((WR, WC), jnp.float32)
-            return ah, al
-
-        acc_h = acc_l = None
-        for t_i, (col_ops, row_ops) in enumerate(terms):
-            if col_ops is not None:
-                yh, yl = conv_axis(col_ops, 0, hi, lo, his, hil, "x")
-            else:
-                yh, yl = hi, lo
-            if row_ops is not None:
-                if col_ops is None:
-                    yhs, yhl, tag = his, hil, "x"
-                else:
-                    yhs, yhl = veltkamp_split(yh)
-                    tag = f"y{t_i}"
-                yh, yl = conv_axis(row_ops, 1, yh, yl, yhs, yhl, tag)
-            acc_h, acc_l = ((yh, yl) if acc_h is None
-                            else df_add(acc_h, acc_l, yh, yl))
-        for kind, off, w4 in res_entries:
-            dr, dc = off
-            if kind == "pair":
-                zh, zl = df_add(rolled("xh", hi, dr, dc),
-                                rolled("xl", lo, dr, dc),
-                                rolled("xh", hi, -dr, -dc),
-                                rolled("xl", lo, -dr, -dc))
-                ph, pl_ = _pair_scale(zh, zl, w4)
-            elif (dr, dc) == (0, 0):
-                ph, pl_ = _pair_scale(hi, lo, w4, split=(his, hil))
-            elif (abs(w4[0]), w4[1]) == (1.0, 0.0):
-                ph, pl_ = _pair_scale(rolled("xh", hi, dr, dc),
-                                      rolled("xl", lo, dr, dc), w4)
-            else:
-                xs = rolled("xhs", his, dr, dc)
-                xl2 = rolled("xhl", hil, dr, dc)
-                xlo = rolled("xl", lo, dr, dc)
-                ph, pl_ = _pair_scale(xs + xl2, xlo, w4,
-                                      split=(xs, xl2))
-            acc_h, acc_l = ((ph, pl_) if acc_h is None
-                            else df_add(acc_h, acc_l, ph, pl_))
-        if acc_h is None:
-            acc_h = acc_l = jnp.zeros((WR, WC), jnp.float32)
+        acc_h, acc_l = sep_pair_conv(hi, lo, his, hil, spec)
         acc_h = mask(acc_h, HR, HC)[HR: HR + TM, HC: HC + TN]
         acc_l = mask(acc_l, HR, HC)[HR: HR + TM, HC: HC + TN]
     else:  # 'vpu': statically shifted slices at the tile extent
@@ -554,6 +604,111 @@ def df64_step(
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_vmem_limit()),
     )(cur2, donor2, *bounds_args)
+
+
+def _resident_pair_2d_kernel(in_ref, out_ref, *, spec, layout: Layout2D,
+                             taps, algorithm: str, steps: int):
+    """ALL ``steps`` df64 timesteps on a VMEM-resident 2-D pair grid
+    (the 2-D twin of pallas_df64_1d._resident_pair_kernel).
+
+    Each step is one full-buffer pair conv (dense rolls or the
+    separable plan) + the interior mask; wrap garbage reaches <= radius
+    cells from the buffer edge, which the guard ring keeps outside the
+    interior, and the mask re-zeroes it every step (the reference's
+    decaying Dirichlet-0 halo).  Steps go through the (aliased) output
+    ref -- value chains across the run make Mosaic keep every step's
+    EFT temporaries live at once -- and the out VMEM buffer starts
+    UNINITIALIZED on the real backend despite the HBM alias (the 1-D
+    resident pair kernel's measured gotcha, PERF r9 8b), so it seeds
+    from in_ref first."""
+    m, n = layout.interior
+    r0, c0 = layout.origin
+    R, C = layout.shape
+    gr = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) - r0
+    gc = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1) - c0
+    rmask = ((gr >= 0) & (gr < m)).astype(jnp.float32)
+    cmask = ((gc >= 0) & (gc < n)).astype(jnp.float32)
+
+    out_ref[0] = in_ref[0]
+    out_ref[1] = in_ref[1]
+
+    def body(_, carry):
+        hi = out_ref[0]
+        lo = out_ref[1]
+        his, hil = veltkamp_split(hi)
+        if algorithm == "vpu_sep":
+            acc_h, acc_l = sep_pair_conv(hi, lo, his, hil, spec)
+        else:
+            acc_h, acc_l = dense_pair_conv(hi, lo, his, hil, taps)
+        out_ref[0] = acc_h * rmask * cmask
+        out_ref[1] = acc_l * rmask * cmask
+        return carry
+
+    jax.lax.fori_loop(0, steps, body, 0)
+
+
+# whole-pair-grid residency cap: buffer bytes (both pair planes).
+# DEFAULT 0 (off): the round-5 device sweep measured the resident pair
+# kernel SLOWER than the tiled pair pipeline at every small-grid size
+# (star2d1r df64: 2.3 vs 2.9 at 64x128, 4.1 vs 4.4 at 128x256, 4.5-3.8
+# vs 5.7-5.0 at 512x512/256x256) -- the tiled path's whole run is
+# already one jitted program (see pallas_2d.RESIDENT_2D_BYTES).
+# Available for A/B via LORASTENCIL_RESIDENT2D_PAIR_KB.
+RESIDENT_PAIR_2D_BYTES = int(os.environ.get(
+    "LORASTENCIL_RESIDENT2D_PAIR_KB", "0")) * 1024
+
+
+def fits_resident_pair_2d(layout) -> bool:
+    if not isinstance(layout, Layout2D) or layout.extra_row_tiles:
+        return False
+    R, C = layout.shape
+    return 2 * R * C * 4 <= RESIDENT_PAIR_2D_BYTES
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "layout", "interpret", "algorithm", "steps"),
+)
+def stencil2d_resident_pair(
+    cur2: jax.Array,
+    spec: StencilSpec,
+    layout: Layout2D,
+    steps: int,
+    interpret: bool = False,
+    algorithm: str = "vpu_sep",
+) -> jax.Array:
+    """ALL ``steps`` df64 timesteps in ONE kernel on a VMEM-resident
+    2-D pair grid.
+
+    The small-grid fast path (round-5 VERDICT item 6): one dispatch per
+    RUN instead of one ~1 ms tunnel dispatch per step -- the df64 twin
+    of the reference's small-grid CHECK regime running at L2-resident
+    launch rate (``/root/reference/src/2d/main.cu:282-328``)."""
+    layout.validate()
+    assert cur2.ndim == 3 and cur2.shape[0] == 2, cur2.shape
+    assert cur2.dtype == jnp.float32
+    assert fits_resident_pair_2d(layout), "pair grid too large"
+    assert spec.radius <= min(layout.guard), "guard ring < radius"
+    if algorithm not in ("vpu", "vpu_roll", "vpu_sep"):
+        raise ValueError(
+            f"df64 kernel algorithm must be 'vpu', 'vpu_roll' or "
+            f"'vpu_sep', got {algorithm!r}")
+    kernel = functools.partial(
+        _resident_pair_2d_kernel, spec=spec, layout=layout,
+        taps=_tap_table(spec),
+        algorithm="vpu_sep" if algorithm == "vpu_sep" else "vpu_roll",
+        steps=steps,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(cur2.shape, cur2.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit()),
+    )(cur2)
 
 
 def _vmem_limit() -> int:

@@ -48,13 +48,19 @@ MEASURED = dict(
     hbm_lanes_1d_gbps=218.0,
     vpu_teraops=2.1,       # effective roll/fma elem-op rate
     mxu_bf16_tflops=134.3,  # 8192^3 chain, 68% of nominal
-    # df64 pair-kernel rate in the STATIC COST UNITS of
-    # ops/pallas_df64._sep_cost/_dense_cost (PRODUCT=20, ROLL=3, ...),
-    # calibrated at the max implied rate over the seven honest device
-    # rows (star2d1r 12.0 GCells/s x 451 units -> 5.4; 1-D 3.5-3.6,
-    # 3-D 3.5-3.9, star2d3r 3.1): a first-order EFT-chain ceiling, so
-    # pct_of_governing_bound reads 57-98% across the recorded tier
-    vpu_df64_costunits_teraops=5.5,
+    # df64 ARITHMETIC-unit rate (PRODUCT=20, FOLD=13, SPLIT=3 of
+    # ops/pallas_df64._entry_cost; rolls excluded), PROBE-DERIVED
+    # (round 5, tools/df64_eft_probe.py on v5e): the no-roll variant
+    # measured 5.27 T priced-units/s on a 48-priced/36-arith mix
+    # -> 5.27 * 36/48 = 3.95 T arith-units/s.  Roll variants for
+    # context: lane-roll mix 3.72, row-roll mix 1.71 T priced-units/s
+    # at (256, 2048) -- yet honest kernel rows imply rates ABOVE the
+    # roll-mix rates, i.e. rolls overlap with the EFT arithmetic in
+    # real kernels, so the governing ceiling is the pure-arithmetic
+    # rate (the df64 analog of DMA hiding under compute).  Replaces
+    # the round-4 constant 5.5 that was circularly calibrated on the
+    # best honest device row; tests/test_aux.py pins the probe link.
+    vpu_df64_arith_units_teraops=3.95,
     # double-buffered copy-kernel aggregate (PERF.md): the df64 pair
     # kernels are compute-dense enough that the pattern-effective
     # ceilings above never bind; their byte ceiling is the raw stream
@@ -230,7 +236,10 @@ def _df64_roofline(eng) -> "Roofline":
     from ..ops.pallas_df64 import df64_cost_per_cell
 
     spec = eng.spec
-    cost = df64_cost_per_cell(spec, eng.df64_algorithm)
+    # ARITHMETIC-ONLY units: rolls overlap with the EFT arithmetic in
+    # real kernels (tools/df64_eft_probe.py axis triple, round 5), so
+    # the governing compute ceiling is the pure-arithmetic probe rate
+    cost = df64_cost_per_cell(spec, eng.df64_algorithm, arith_only=True)
     r = spec.radius
     if spec.ndim == 2:
         TM, TN = eng.layout.tile
@@ -256,7 +265,7 @@ def _df64_roofline(eng) -> "Roofline":
         w_amp = amp  # 1-D lanes storage writes the duplicated halo too
     bpc = (amp + w_amp) * 8.0  # (hi, lo) fp32 pair, one read + write
     bw_bound = MEASURED["hbm_copy_aggregate_gbps"] / bpc
-    vpu_bound = (MEASURED["vpu_df64_costunits_teraops"] * 1000.0 / cost
+    vpu_bound = (MEASURED["vpu_df64_arith_units_teraops"] * 1000.0 / cost
                  if cost else float("inf"))
     return Roofline(
         bytes_per_cell_step=bpc,

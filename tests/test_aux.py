@@ -281,3 +281,56 @@ def test_autotune_tile_3d(tmp_path, monkeypatch):
     assert tile in [tuple(c) for c in cands]
     eng = autotune.autotuned_engine("box3d1r", (4, 16, 128))
     assert eng.layout.tile == tile
+
+
+def test_df64_roofline_matches_eft_probe():
+    """The df64 compute ceiling must stay in sync with the on-device
+    EFT probe it is calibrated against (round-5 VERDICT item 4 -- this
+    replaces the round-4 constant that was circularly calibrated on
+    the best honest device row):
+
+    - tools/df64_eft_probe.py prices one full-product 'pair' entry at
+      exactly 48 units (4xROLL + FOLD + SPLIT + PRODUCT) and its
+      arithmetic-only part at 36 units; the no-roll probe variant read
+      5.27 T priced-units/s on v5e -> 5.27 * 36/48 = 3.95 T
+      arith-units/s (PERF.md round 5);
+    - the roofline's governing compute model is ARITHMETIC-ONLY
+      (rolls measured overlapping with the EFT arithmetic in real
+      kernels: honest rows implied rates above every roll-mix probe
+      rate but below the no-roll rate).
+    """
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "tools"))
+    import df64_eft_probe as probe
+
+    from lorastencil_tpu.ops import pallas_df64 as P
+
+    # the probe's priced mix must track the cost model's constants
+    assert probe.N_ENTRIES * probe.UNITS_PER_ENTRY == 192.0
+    assert probe.UNITS_PER_ENTRY == (4 * P._COST_ROLL + P._COST_FOLD
+                                     + P._COST_SPLIT + P._COST_PRODUCT)
+    arith_per_entry = P._COST_FOLD + P._COST_SPLIT + P._COST_PRODUCT
+    assert arith_per_entry == 36.0
+    # MEASURED rate == probe-derived 5.27 * arith/priced, to 2%
+    derived = 5.27 * arith_per_entry / probe.UNITS_PER_ENTRY
+    got = profiling.MEASURED["vpu_df64_arith_units_teraops"]
+    assert abs(got - derived) / derived < 0.02, (got, derived)
+    # arith-only cost excludes rolls and is what the roofline uses
+    spec = shapes.get_shape("star2d1r")
+    full = P.df64_cost_per_cell(spec, "vpu_sep")
+    arith = P.df64_cost_per_cell(spec, "vpu_sep", arith_only=True)
+    assert arith < full
+    eng = engine.StencilEngine.for_shape("star2d1r", (8192, 8192),
+                                          dtype="df64")
+    r = profiling.engine_roofline(eng)
+    assert abs(r.vpu_bound_gcells - got * 1000.0 / arith) < 1e-6
+    # the w == +-1 shortcut pricing: a unit-weight pair entry carries
+    # no product/split (the round-4 model charged both, pushing honest
+    # 2-D rows above their own bound)
+    e1 = P._entry_cost("pair", 1, (1.0, 0.0, 1.0, 0.0), roll_cost=0.0)
+    e2 = P._entry_cost("pair", 1, (0.5, 0.25, 0.5, 0.0), roll_cost=0.0)
+    assert e1 == 2 * P._COST_FOLD
+    assert e2 == P._COST_FOLD + P._COST_SPLIT + P._COST_PRODUCT

@@ -137,16 +137,16 @@ def test_df64_checksum_and_internal_api():
 
 def test_df64_config_guards():
     # every dim has a df64 Pallas kernel (ops/pallas_df64{_1d,,_3d}.py);
-    # only wide-radius 1-D specs (effective radius > 32, beyond the
-    # overlapped-lane layout) fall back to the XLA pair path
-    wide = np.zeros(99)  # radius 49
-    wide[0] = wide[-1] = 1.0
-    wide[49] = -2.0
+    # the 1-D tier is radius-uniform to 127 (lanes kernel <= 32, flat
+    # pair kernel 33..127); only a pure-center-tap spec (effective
+    # radius 0) keeps the XLA pair path
+    center = np.zeros(9)  # radius 4, but only the center tap is nonzero
+    center[4] = 1.5
     assert engine.StencilEngine.for_coeffs(
-        wide, (4096,), dtype="df64").df64_pallas is False
+        center, (4096,), dtype="df64").df64_pallas is False
     with pytest.raises(ValueError, match="XLA pair path"):
         engine.StencilEngine.for_coeffs(
-            wide, (4096,), dtype="df64", backend="pallas")
+            center, (4096,), dtype="df64", backend="pallas")
     with pytest.raises(ValueError, match="1-D"):
         # 1-D pair kernel is lane rolls only
         engine.StencilEngine.for_shape(
@@ -489,20 +489,72 @@ def test_df64_1d_custom_asymmetric_coeffs():
     assert rel < 1e-12, rel
 
 
-def test_df64_1d_wide_radius_xla_fallback():
+@pytest.mark.parametrize("r_eff", [33, 64, 100])
+def test_df64_1d_wide_radius_flat_kernel(r_eff):
     """Effective radius beyond the overlapped-lane layout (> 32): the
-    engine falls back to the XLA pair path and stays fp64-grade."""
-    taps = np.zeros(81)  # radius 40
+    engine runs the flat pair kernel (df64_1d_flat_step) and stays
+    fp64-grade -- the tier is radius-uniform like the reference's fp64
+    band build (src/1d/gpu_1r.cu:94-99), no 12x XLA-path cliff at 33."""
+    from lorastencil_tpu.ops.layout import Layout1D
+
+    taps = np.zeros(2 * r_eff + 1)
     taps[0] = taps[-1] = 0.5
-    taps[40] = 1.0
+    taps[r_eff] = 1.0
+    taps[r_eff // 3] = -0.625
     eng = engine.StencilEngine.for_coeffs(taps, (2000,), dtype="df64")
-    assert not eng.df64_pallas
+    assert eng.df64_pallas and isinstance(eng.layout, Layout1D)
     g0 = (reference.random_padded(eng.spec, (2000,), seed=48)
           * (np.pi / 100.0))
     got = eng.run(g0, 2)
     want = reference.run(g0, eng.spec, 2)
     rel = np.abs(got - want).max() / max(1.0, np.abs(want).max())
     assert rel < 1e-12, rel
+
+
+def test_df64_1d_wide_radius_ghost_boundaries():
+    """Ghost rings on the wide-radius flat pair tier (the ring refresh
+    is the generic flat-layout path, per pair plane)."""
+    taps = np.zeros(81)  # radius 40
+    taps[0] = taps[-1] = 1.0
+    taps[40] = -2.0
+    for boundary, truth in (("periodic", reference.run_periodic),
+                            ("reflect", reference.run_reflect)):
+        eng = engine.StencilEngine.for_coeffs(
+            taps, (2000,), dtype="df64", boundary=boundary)
+        assert eng.df64_pallas
+        g0 = (reference.random_padded(eng.spec, (2000,), seed=3)
+              * 0.01)
+        it = reference.interior_slices(eng.spec, g0.shape)
+        got = eng.run(g0, 3)
+        want = truth(g0, eng.spec, 3)
+        rel = (np.abs(got[it] - want[it]).max()
+               / max(1.0, np.abs(want).max()))
+        assert rel < 1e-12, (boundary, rel)
+
+
+@pytest.mark.parametrize("name", ["star2d1r", "box2d3r"])
+def test_df64_2d_resident_pair(name, monkeypatch):
+    """The 2-D VMEM-resident df64 pair kernel (round-5 VERDICT item 6);
+    fp64-grade across steps.  OFF by default (the device sweep measured
+    it slower than the tiled pair pipeline at every size); enabled here
+    via the byte-cap override."""
+    from lorastencil_tpu.ops import pallas_df64
+
+    monkeypatch.setattr(pallas_df64, "RESIDENT_PAIR_2D_BYTES", 8 * 2**20)
+    spec = shapes.get_shape(name)
+    interior = (256, 384)
+    g0 = _padded_input(spec, interior, seed=61)
+    eng = engine.StencilEngine.for_shape(name, interior, dtype="df64")
+    assert pallas_df64.fits_resident_pair_2d(eng.layout)
+    for steps in (1, 4):
+        got = eng.run(g0, steps)
+        want = reference.run(g0, spec, steps)
+        rel = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+        assert rel < 1e-12, (name, steps, rel)
+    h = spec.halo
+    assert np.all(got[: h[0]] == 0.0) and np.all(got[:, : h[1]] == 0.0)
+    # ghost boundaries ride the tiled pair kernel (ring refresh between
+    # passes) -- covered for correctness by test_df64_ghost_boundaries
 
 
 # -- sharded df64 (pair state through the halo exchange) ---------------------
@@ -601,6 +653,66 @@ def test_sharded_df64_ghost_boundaries():
         assert rel < 1e-12, (boundary, rel)
 
 
+@pytest.mark.parametrize("boundary", ["periodic", "reflect"])
+def test_sharded_df64_1d_tailed_ghost_blocks(boundary):
+    """Non-divisible 1-D df64 blocks under ghost boundaries (round 5;
+    previously a loud tier error): the true-tail edge strips move
+    through the flat layout's dynamic slices, and the pair state runs
+    the flat pair kernel per device."""
+    from lorastencil_tpu.parallel import domain
+
+    spec = shapes.get_shape("1d1r")
+    g0 = _padded_input(spec, (5000,), seed=21)
+    it = reference.interior_slices(spec, g0.shape)
+    truth = (reference.run_periodic if boundary == "periodic"
+             else reference.run_reflect)
+    want = truth(g0, spec, 3)
+    for overlap in (True, False):
+        sh = domain.sharded_engine("1d1r", 5000, (4,), dtype="df64",
+                                   boundary=boundary, overlap=overlap)
+        assert not sh.lanes  # the flat pair tier
+        got = np.asarray(sh.run(g0, 3))
+        rel = (np.abs(got[it] - want[it]).max()
+               / max(1.0, np.abs(want).max()))
+        assert rel < 1e-12, (boundary, overlap, rel)
+
+
+def test_sharded_df64_1d_wide_radius():
+    """Wide-radius (r_eff > 32) sharded 1-D df64 rides the flat pair
+    kernel (round 5; previously a loud tier error)."""
+    from lorastencil_tpu.parallel import domain
+
+    wide = np.zeros(99)  # radius 49
+    wide[0] = wide[-1] = 1.0
+    wide[49] = -2.0
+    sh = domain.sharded_engine_for_coeffs(wide, 8192, (4,),
+                                          dtype="df64")
+    assert not sh.lanes
+    g0 = (reference.random_padded(sh.spec, (8192,), seed=5) * 0.01)
+    got = np.asarray(sh.run(g0, 2))
+    want = reference.run(g0, sh.spec, 2)
+    rel = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert rel < 1e-12, rel
+
+
+def test_sharded_df64_1d_midband_radius_forces_lanes():
+    """Divisible blocks at r_eff in (16, 32] force the overlapped-lane
+    pair layout (the base fp32 class only auto-picks lanes to 16)."""
+    from lorastencil_tpu.parallel import domain
+
+    taps = np.zeros(49)  # r_eff 24
+    taps[0] = taps[-1] = 0.25
+    taps[24] = 1.0
+    sh = domain.sharded_engine_for_coeffs(taps, 16384, (4,),
+                                          dtype="df64")
+    assert sh.lanes
+    g0 = (reference.random_padded(sh.spec, (16384,), seed=11) * 0.01)
+    got = np.asarray(sh.run(g0, 2))
+    want = reference.run(g0, sh.spec, 2)
+    rel = np.abs(got - want).max() / max(1.0, np.abs(want).max())
+    assert rel < 1e-12, rel
+
+
 def test_sharded_df64_beats_sharded_fp32():
     """The sharded pair state must actually carry the extra mantissa
     bits end-to-end (a downcast anywhere would still pass a loose
@@ -649,16 +761,11 @@ def test_sharded_df64_guards():
         domain.ShardedStencil1D(
             shapes.get_shape("1d1r"), 4096,
             domain.ShardedConfig(mesh_shape=(4,), dtype="df64"))
-    with pytest.raises(ValueError, match="divisible"):
-        # tailed ghost blocks need the flat layout's dynamic strip
-        # moves, which have no pair kernel
-        domain.sharded_engine("1d1r", 5000, (4,), dtype="df64",
-                              boundary="periodic")
-    wide = np.zeros(99)
-    wide[0] = wide[-1] = 1.0
-    wide[49] = -2.0
+    center = np.zeros(9)  # effective radius 0: XLA pair path only
+    center[4] = 1.5
     with pytest.raises(ValueError, match="effective radius"):
-        domain.sharded_engine_for_coeffs(wide, 8192, (4,), dtype="df64")
+        domain.sharded_engine_for_coeffs(center, 8192, (4,),
+                                         dtype="df64")
     with pytest.raises(ValueError, match="separable"):
         domain.sharded_engine("star3d1r", (6, 16, 256), (2, 2),
                               dtype="df64", algorithm="vpu_roll")
