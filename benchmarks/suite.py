@@ -67,9 +67,10 @@ CONFIGS = [
     # through the tiled pipeline -- the device sweep measured the
     # whole-grid-resident kernel SLOWER at every small size (the tiled
     # run is already ONE jitted program; see
-    # ops/pallas_2d.RESIDENT_2D_BYTES), so tiled is the recorded path
-    ("star2d1r", (512, 512), 64,
-     {"pipeline": 4, "chain": 32, "algorithm": "vpu_roll"}),
+    # ops/pallas_2d.RESIDENT_2D_BYTES), so tiled is the recorded path.
+    # Algorithm A/B at 512^2 (r5 device): mxu_hybrid1 35.4 > vpu_roll
+    # 28.2 > vpu 27.0 GCells/s; k=1 beats k=2/4/8.
+    ("star2d1r", (512, 512), 64, {"pipeline": 4, "chain": 32}),
     ("star3d1r", (256, 256, 256), 64, 8),
     ("box3d1r", (256, 256, 256), 64, 8),
 ]
