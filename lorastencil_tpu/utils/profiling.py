@@ -48,6 +48,23 @@ MEASURED = dict(
     hbm_lanes_1d_gbps=218.0,
     vpu_teraops=2.1,       # effective roll/fma elem-op rate
     mxu_bf16_tflops=134.3,  # 8192^3 chain, 68% of nominal
+    # bf16 STATE tier pattern bandwidths (tools/pipeline_probe.py,
+    # round-5 device probes): the same zero-compute specs through the
+    # same kernels with bf16 HBM state.  NOT derived from the fp32
+    # rates: bf16 halves every DMA row's byte length at the same cell
+    # tile, and HBM efficiency is row-length dependent, so the bf16
+    # pattern GB/s is 64-96% of the same-session fp32 reading (2-D 96%,
+    # 3-D 76%, 1-D 64% -- the shorter the rows, the bigger the loss).
+    # Values = probe GCells/s x the probe engine's modeled B/cell/step
+    # at dtype_bytes=2.
+    # 140.3 GCells/s zero-compute probe at (256, 2048) bf16 x 4.391 B
+    hbm_windowed_2d_bf16_gbps=616.0,
+    # 107.7 GCells/s z-shift probe, bf16 slabs x 3.531 B (76% of the
+    # fp32 pattern rate at half the bytes -- NOT the same GB/s)
+    hbm_slab_3d_bf16_gbps=380.0,
+    # 237.0 GCells/s shift probe at 16M k=4 bf16 x 1.25 B (64% of the
+    # same-session fp32 pattern rate; short rows cost efficiency)
+    hbm_lanes_1d_bf16_gbps=296.0,
     # df64 ARITHMETIC-unit rate (PRODUCT=20, FOLD=13, SPLIT=3 of
     # ops/pallas_df64._entry_cost; rolls excluded), PROBE-DERIVED
     # (round 5, tools/df64_eft_probe.py on v5e): the no-roll variant
@@ -123,6 +140,94 @@ def _vpu_ops_per_cell(spec: StencilSpec, algorithm: str,
     if mxu_cols and algorithm == "mxu_hybrid1":
         ops += 5.0  # exact 3-part fp32 state split (PERF.md)
     return ops
+
+
+def _bf16_stream_costs(spec: StencilSpec, algorithm: str,
+                       mxu_terms: Optional[int] = None,
+                       res_mxu: bool = False,
+                       chunk: int = _LANE) -> "tuple[float, float]":
+    """(VPU elem-ops, MXU FLOPs) per cell per substep for the bf16
+    STATE tier, priced as the kernels are actually built -- NOT the
+    fp32 pricing at the same taps (round-5 TODO item 4: honest bf16
+    rows read 1.3-1.6x the fp32-calibrated model because the bf16
+    build differs structurally):
+
+      * ONE state part everywhere (the bf16 state has no low bits to
+        split off; ``pallas_2d._build_mxu_mats``) -- a third of the
+        fp32 hybrid1 matmul passes and no 3-part split (~5 VPU ops);
+      * 'mxu_hybrid1' offloads EVERY column conv (per-dtype cap 99,
+        including single-axis col-only terms) and, with ``res_mxu``,
+        the tap-sharing residue groups as shared banded matmuls --
+        the VPU keeps only the row convs, the per-group row-shifted
+        adds, the ungrouped residue points, and the state casts;
+      * 'mxu_hybrid'/'mxu_split'/'mxu_hybrid3' put both axes on the
+        MXU (one banded stream per non-identity axis);
+      * 'vpu'/'vpu_roll' (incl. every 3-D path) pay the fp32 op count
+        plus one bf16->fp32 cast per plane/state access (3-D kernels
+        cast per ``conv_plane`` call / identity z-tap access);
+      * 1-D 'mxu' is a single per-128-group banded matmul (the fp32
+        pricing wrongly charged the conv to the VPU; harmless there
+        because bandwidth governs, misleading at bf16).
+    """
+    base = 2.0  # state cast (MXU operand / fp32 compute) + store round
+    if spec.ndim == 1:
+        if algorithm == "mxu":
+            # mask multiply + halo-lane fixup selects + casts
+            return 4.0, 2.0 * chunk
+        return base + _conv_vpu_ops(spec.terms[0].taps[0]), 0.0
+    if spec.ndim == 3 or not algorithm.startswith("mxu"):
+        # VPU paths: fp32 ops + one cast per plane/state access
+        vpu = _vpu_ops_per_cell(spec, "vpu")
+        casts = 1.0  # out-store rounding
+        for t in spec.terms:
+            if spec.ndim == 3:
+                tz = t.taps[0]
+                if t.taps[1] is None and t.taps[2] is None:
+                    # identity term: one cast per nonzero z-tap access
+                    casts += sum(1 for w in (tz or (1,)) if w)
+                else:
+                    casts += 1  # conv_plane casts its input plane
+            else:
+                casts += 1
+        return vpu + casts, 0.0
+    # 2-D MXU paths, one bf16 state part per stream
+    from ..ops.band_gemm import residue_mxu_groups
+
+    vpu = base
+    mxu = 0.0
+    if algorithm == "mxu_hybrid1":
+        cap = 99 if mxu_terms is None else mxu_terms
+        built = 0
+        for t in spec.terms:
+            rt, ct = t.taps
+            if ct is not None and built < cap:
+                built += 1
+                rc = (len(ct) - 1) // 2
+                mxu += 2.0 * (chunk + 2 * rc)
+                if rt is not None:
+                    vpu += _conv_vpu_ops(rt)
+            else:
+                for tp in (rt, ct):
+                    if tp is not None:
+                        vpu += _conv_vpu_ops(tp)
+    else:
+        # both axes on the MXU ('mxu_hybrid' / 'mxu_split' / 'mxu'
+        # variants): one banded stream per non-identity axis
+        for t in spec.terms:
+            for tp in t.taps:
+                if tp is not None:
+                    rc = (len(tp) - 1) // 2
+                    mxu += 2.0 * (chunk + 2 * rc)
+    if spec.residue:
+        if res_mxu:
+            groups, rest = residue_mxu_groups(spec.residue)
+            for drs, _taps, rc in groups:
+                mxu += 2.0 * (chunk + 2 * rc)
+                vpu += 2.0 * len(drs)  # one row-shift + add per offset
+            vpu += 2.0 * len(rest)
+        else:
+            vpu += 2.0 * len(spec.residue)
+    return vpu, mxu
 
 
 def _mxu_flops_per_cell(spec: StencilSpec, algorithm: str,
@@ -218,9 +323,13 @@ def engine_roofline(eng) -> Optional["Roofline"]:
             cap = 1 if (exact_split and _n_col_terms(spec) > 2) else 99
             mxu_terms = int(_os.environ.get("LORASTENCIL_H1_MXU_TERMS",
                                             str(cap)))
+        from ..engine import residue_mxu_policy
+
+        res_mxu = residue_mxu_policy(eng.config.residue_mxu, eng.dtype,
+                                     eng.algorithm)
         return stencil_roofline(spec, eng.layout.tile, k, dtype_bytes,
                                 algorithm=eng.algorithm,
-                                mxu_terms=mxu_terms)
+                                mxu_terms=mxu_terms, res_mxu=res_mxu)
     # 1-D: the lanes-layout bandwidth model governs; tile is unused
     return stencil_roofline(spec, (_SUBLANE, _LANE), k, dtype_bytes,
                             algorithm=eng.algorithm)
@@ -287,8 +396,15 @@ def stencil_roofline(
     mxu_terms: Optional[int] = None,
     slab: int = 32,
     measured: dict = MEASURED,
+    res_mxu: bool = False,
 ) -> Roofline:
     """Roofline against the MEASURED pattern ceilings (PERF.md).
+
+    ``dtype_bytes == 2`` selects the bf16 STATE tier: probe-measured
+    bf16 pattern bandwidths (``hbm_*_bf16_gbps``; fp32 rate as a
+    fallback until probed) and the as-built bf16 stream pricing
+    (``_bf16_stream_costs``; ``res_mxu`` mirrors the engine's MXU
+    residue-offload policy).
 
     Bytes model the real layouts: 2-D windowed tiles read a
     (TM+2*guard_r) x (TN+2*LANE) halo window and write TM x TN; 3-D
@@ -301,11 +417,14 @@ def stencil_roofline(
     min(bw, compute)."""
     k = max(1, fused_steps)
     r = spec.radius
+    bf16 = dtype_bytes == 2
     if spec.ndim == 2:
         TM, TN = tile
         g_r = _ceil_to(max(_SUBLANE, k * r), _SUBLANE)
         amp = ((TM + 2 * g_r) * (TN + 2 * _LANE)) / float(TM * TN)
         bw = measured["hbm_windowed_2d_gbps"]
+        if bf16 and measured.get("hbm_windowed_2d_bf16_gbps"):
+            bw = measured["hbm_windowed_2d_bf16_gbps"]
     elif spec.ndim == 3:
         TM, TN = tile
         z_amp = (slab + 2 * k * r) / float(slab)
@@ -313,17 +432,24 @@ def stencil_roofline(
         col_amp = (TN + 2 * _LANE) / float(TN)
         amp = z_amp * row_amp * col_amp
         bw = measured["hbm_slab_3d_gbps"]
+        if bf16 and measured.get("hbm_slab_3d_bf16_gbps"):
+            bw = measured["hbm_slab_3d_bf16_gbps"]
     else:
         h = _ceil_to(k * r, _SUBLANE)
         amp = (_LANE + 2 * h) / float(_LANE)
         bw = measured["hbm_lanes_1d_gbps"]
+        if bf16 and measured.get("hbm_lanes_1d_bf16_gbps"):
+            bw = measured["hbm_lanes_1d_bf16_gbps"]
     # one amplified read + one (amplified, for 1-D lanes storage) write
     # per k-substep fused pass
     w_amp = amp if spec.ndim == 1 else 1.0
     bpc = (amp + w_amp) * dtype_bytes / k
 
-    vpu = _vpu_ops_per_cell(spec, algorithm, mxu_terms)
-    mxu = _mxu_flops_per_cell(spec, algorithm, mxu_terms)
+    if bf16:
+        vpu, mxu = _bf16_stream_costs(spec, algorithm, mxu_terms, res_mxu)
+    else:
+        vpu = _vpu_ops_per_cell(spec, algorithm, mxu_terms)
+        mxu = _mxu_flops_per_cell(spec, algorithm, mxu_terms)
     bw_bound = bw / bpc
     vpu_bound = (measured["vpu_teraops"] * 1000.0 / vpu if vpu
                  else float("inf"))

@@ -120,6 +120,88 @@ def test_roofline_3d_and_1d_match_probes():
     assert abs(r1.bw_bound_gcells - 97.0) / 97.0 < 0.20, r1
 
 
+def test_bf16_roofline_matches_probes():
+    """The bf16 pattern-bandwidth ceilings (MEASURED.hbm_*_bf16_gbps)
+    must stay in sync with the round-5 device probes that set them
+    (tools/pipeline_probe.py; the bf16 analog of the fp32 probe pins
+    above): for each probe config, MEASURED rate == probe GCells/s x
+    the probe engine's OWN modeled bytes/cell/step, to 2%.  Probe
+    readings (v5e, 2026-08): 2-D 140.3, 3-D 107.66, 1-D 236.98
+    GCells/s."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import pipeline_probe as probe
+
+    probed = {"windowed_2d": (140.3, "hbm_windowed_2d_bf16_gbps"),
+              "slab_3d": (107.66, "hbm_slab_3d_bf16_gbps"),
+              "lanes_1d": (236.98, "hbm_lanes_1d_bf16_gbps")}
+    for label, ndim, _interior, _steps, _pipe, overrides in probe.PROBES:
+        gcells, key = probed[label]
+        # tiny interior: the roofline depends on tile/layout geometry,
+        # not the grid extent, and a full-size CPU engine build is slow
+        interior = {1: (1 << 16,), 2: (512, 4096),
+                    3: (64, 128, 256)}[ndim]
+        cfg = engine.EngineConfig(dtype="bfloat16", **overrides)
+        eng = engine.StencilEngine(probe.probe_spec(ndim), interior, cfg)
+        roof = profiling.engine_roofline(eng)
+        derived = gcells * roof.bytes_per_cell_step
+        want = profiling.MEASURED[key]
+        assert abs(derived - want) / want < 0.02, (label, derived, want)
+        # ...and the probe spec itself is bandwidth-bound under the
+        # model (near-zero arithmetic), so the bound reproduces the
+        # probe reading
+        assert abs(roof.bw_bound_gcells - gcells) / gcells < 0.02, roof
+
+
+def test_bf16_stream_costs_model():
+    """Spot-check the as-built bf16 stream pricing against the kernel
+    structure (round-5 TODO item 4): single-part state (a third of the
+    fp32 hybrid1 MXU passes, no 3-part split), full column offload, and
+    cast accounting -- the honest device rows sit at 0.43-1.00 of the
+    resulting bounds (tools/remodel_rooflines.py output, PERF.md)."""
+    star = shapes.get_shape("star2d1r")
+    fp32 = profiling.stencil_roofline(star, (256, 2048), dtype_bytes=4,
+                                      algorithm="mxu_hybrid1")
+    # one state part: a third of the fp32 3-part MXU FLOPs (residue
+    # offload disabled so only the column-conv streams are compared)
+    bf16_nores = profiling.stencil_roofline(star, (256, 2048),
+                                            dtype_bytes=2,
+                                            algorithm="mxu_hybrid1")
+    assert bf16_nores.mxu_flops_per_cell_step == pytest.approx(
+        fp32.mxu_flops_per_cell_step / 3)
+    # res_mxu=True mirrors the engine's bf16 residue-offload default
+    # (engine.residue_mxu_policy; engine_roofline passes it through):
+    # residue group matmuls move to the MXU stream, relieving the VPU
+    bf16 = profiling.stencil_roofline(star, (256, 2048), dtype_bytes=2,
+                                      algorithm="mxu_hybrid1",
+                                      res_mxu=True)
+    assert (bf16.mxu_flops_per_cell_step
+            > bf16_nores.mxu_flops_per_cell_step)
+    assert bf16.vpu_ops_per_cell_step < bf16_nores.vpu_ops_per_cell_step
+    # no 3-part split on the VPU stream: strictly cheaper than fp32
+    assert bf16.vpu_ops_per_cell_step < fp32.vpu_ops_per_cell_step
+    # star2d1r bf16 is vpu-bound at ~105 GCells/s (flagship 99.6 = 95%)
+    assert bf16.bound == "vpu"
+    assert bf16.governing_gcells == pytest.approx(105.0, rel=0.02)
+    # box2d1r offloads BOTH column terms at bf16 (cap 99 vs fp32's 1):
+    # vpu-bound at ~91 GCells/s, the tier's tightest config (1.00)
+    box = shapes.get_shape("box2d1r")
+    bbox = profiling.stencil_roofline(box, (256, 2048), dtype_bytes=2,
+                                      algorithm="mxu_hybrid1",
+                                      res_mxu=True)
+    assert bbox.governing_gcells == pytest.approx(91.3, rel=0.02)
+    # 3-D vpu paths pay the fp32 ops plus per-plane casts
+    s3 = shapes.get_shape("star3d1r")
+    f3 = profiling.stencil_roofline(s3, (128, 256), dtype_bytes=4,
+                                    algorithm="vpu", fused_steps=2)
+    b3 = profiling.stencil_roofline(s3, (128, 256), dtype_bytes=2,
+                                    algorithm="vpu", fused_steps=2)
+    assert b3.vpu_ops_per_cell_step > f3.vpu_ops_per_cell_step
+
+
 def test_engine_roofline_and_suite_rows():
     """engine_roofline derives the per-row roofline from a built engine
     (suite integration, round-3 VERDICT item 5); tiers without a ceiling

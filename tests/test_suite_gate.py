@@ -61,28 +61,35 @@ def _bf16_row(gcells, bound):
 
 
 def test_row_disposition_bf16_cap():
-    """The bf16 ceiling model is fp32-calibrated; honest bf16 sessions
-    read up to ~1.6x of it (r9 device rows) while contamination reads
-    >= 3x.  The flat 1.10 cap would have quarantined the entire honest
-    bf16 tier -- the tier cap is 2.0 (round 5)."""
-    # the actual recorded honest bf16 rows must pass the gate
-    assert suite.row_disposition(_bf16_row(89.0, 55.7)) == "record"  # 1.60
-    assert suite.row_disposition(_bf16_row(99.2, 72.4)) == "record"  # 1.37
-    # the r9 contamination signature (300-400%) still quarantines
-    assert suite.row_disposition(_bf16_row(220.0, 55.7)) == "quarantine"
+    """The bf16 ceiling model is bf16-specific since round 5
+    (probe-measured pattern bandwidths + as-built stream pricing;
+    tools/remodel_rooflines.py migrated the stored rows): honest rows
+    read 0.05-1.00 of the bound, with the tightest config at 1.00
+    exactly, so the tier cap is 1.25 (session spread margin) while
+    contamination (>= 3x) still quarantines."""
+    # the remodeled honest bf16 rows must pass the gate (box2d1r at
+    # exactly 1.00 of its vpu bound; flagship at 0.95)
+    assert suite.row_disposition(_bf16_row(91.3, 91.3)) == "record"
+    assert suite.row_disposition(_bf16_row(99.6, 105.0)) == "record"
+    # +-10% session spread above the tightest bound still records
+    assert suite.row_disposition(_bf16_row(100.0, 91.3)) == "record"
+    # pre-migration-scale readings (1.6x) and the r9 contamination
+    # signature (300-400%) quarantine
+    assert suite.row_disposition(_bf16_row(146.0, 91.3)) == "quarantine"
+    assert suite.row_disposition(_bf16_row(300.0, 91.3)) == "quarantine"
     # ...and the fp32/df64 tiers keep the tight 1.10 cap
     assert suite.phys_cap("pallas-mxu_hybrid1") == suite.PHYS_CAP
     assert suite.phys_cap("pallas-df64-vpu_sep") == suite.PHYS_CAP
 
 
 def test_recorded_stats_keeps_honest_bf16_rows(tmp_path):
-    """Historical honest bf16 rows (pct 1.29-1.6 of the fp32-calibrated
-    model) must keep baselining the bf16 gate floor."""
+    """Remodeled honest bf16 rows (pct <= ~1.0 of the bf16-specific
+    model) keep baselining the bf16 gate floor; inflated rows drop."""
     out = tmp_path / "results.jsonl"
     with open(out, "w") as f:
         for g in (86.5, 88.4, 88.5):
-            f.write(json.dumps(_bf16_row(g, 55.7)) + "\n")
-        f.write(json.dumps(_bf16_row(300.0, 55.7)) + "\n")  # >= 3x: drop
+            f.write(json.dumps(_bf16_row(g, 91.3)) + "\n")
+        f.write(json.dumps(_bf16_row(300.0, 91.3)) + "\n")  # >= 3x: drop
     best, floor = suite.recorded_stats(str(out), "tpu")
     key = ("bf16", "star2d1r", (8192, 8192), 256)
     assert best[key] == 88.5  # not 300

@@ -1,0 +1,119 @@
+"""Recompute stored roofline fields for bf16 rows in results.jsonl.
+
+Round-5 TODO item 4: the bf16 tier's ceiling model was fp32-calibrated
+(fp32 pattern bandwidths at half the bytes; fp32 3-part-split op
+counts), so honest bf16 device rows recorded
+``pct_of_governing_bound`` up to ~1.6 -- which forced the loose
+per-tier physical cap of 2.0 in benchmarks/suite.py.  The model is now
+bf16-specific (probe-measured ``hbm_*_bf16_gbps`` pattern bandwidths
+from tools/pipeline_probe.py + as-built single-part stream pricing,
+``profiling._bf16_stream_costs``), and every honest bf16 row reads
+<= ~1.0 of its bound.
+
+``pct_of_governing_bound`` / ``governing_bound_gcells`` /
+``roofline_bound`` are DERIVED metadata (suite.run_config computes them
+from the engine it builds at record time, never from the measurement),
+so recomputing them under the corrected model is a metadata migration,
+not a rewrite of any measurement: ``gcells_per_s``/``time_ms`` are
+untouched.  Without the migration the suite's gate would retroactively
+quarantine every honest historical bf16 row once the cap tightens
+(suite.row_disposition reads the STORED pct).
+
+    python tools/remodel_rooflines.py            # rewrites in place (.bak kept)
+    python tools/remodel_rooflines.py --dry-run  # print the changes
+
+Run on CPU (the tool builds engines but never runs them):
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/remodel_rooflines.py
+"""
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+from lorastencil_tpu import engine  # noqa: E402
+from lorastencil_tpu.utils import profiling  # noqa: E402
+
+
+def _algorithm_of(backend: str):
+    """Resolved algorithm from a suite row's backend tag
+    ('pallas-<alg>-bfloat16[-chainN]')."""
+    if not backend.startswith("pallas-"):
+        return None
+    alg = backend[len("pallas-"):]
+    if "-bfloat16" not in alg:
+        return None
+    return alg.split("-bfloat16")[0]
+
+
+def migrate_row(rec, cache):
+    """New (roofline_bound, governing_bound_gcells, pct) for a bf16 suite
+    row, or None if the row is not a remodelable bf16 row."""
+    alg = _algorithm_of(rec.get("backend", ""))
+    if alg is None or rec.get("governing_bound_gcells") is None:
+        return None
+    key = (rec["shape"], tuple(rec["interior"]), alg)
+    if key not in cache:
+        # same construction as suite.run_config at record time, with the
+        # algorithm pinned to what the tag says actually ran (the tag
+        # records the RESOLVED algorithm, so 'auto' re-resolution drift
+        # on CPU cannot change the priced kernel)
+        eng = engine.StencilEngine.for_shape(
+            rec["shape"], tuple(rec["interior"]),
+            dtype="bfloat16", algorithm=alg)
+        cache[key] = profiling.engine_roofline(eng)
+    roof = cache[key]
+    if roof is None:
+        return None
+    return (roof.bound, roof.governing_gcells,
+            rec["gcells_per_s"] / roof.governing_gcells)
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    dry = "--dry-run" in argv
+    path = os.path.join(REPO, "benchmarks", "results.jsonl")
+    cache, out, changed = {}, [], 0
+    with open(path) as f:
+        lines = f.readlines()
+    for line in lines:
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            out.append(line)
+            continue
+        new = migrate_row(rec, cache)
+        if new is None:
+            out.append(line)
+            continue
+        bound_kind, gov, pct = new
+        old_pct = rec.get("pct_of_governing_bound")
+        rec["roofline_bound"] = bound_kind
+        rec["governing_bound_gcells"] = gov
+        rec["pct_of_governing_bound"] = pct
+        out.append(json.dumps(rec) + "\n")
+        changed += 1
+        print(f"{rec['shape']:10s} {str(rec['interior']):20s} "
+              f"{rec['backend']:40s} gcells={rec['gcells_per_s']:7.2f} "
+              f"pct {old_pct if old_pct is not None else float('nan'):.2f} "
+              f"-> {pct:.2f} ({bound_kind})")
+    print(f"{changed} bf16 rows remodeled / {len(lines)} total")
+    if not dry:
+        with open(path + ".bak", "w") as f:
+            f.writelines(lines)
+        with open(path, "w") as f:
+            f.writelines(out)
+        print(f"rewrote {path} (backup: {path}.bak)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
