@@ -58,6 +58,13 @@ from lorastencil_tpu.utils import metrics, profiling
 CONFIGS = [
     ("1d1r", (4096,), 64, {"pipeline": 8, "chain": 256}),
     ("1d2r", (1_000_000,), 256, 16),
+    # large-grid 1-D regime (the df64 tier's 16M configs, on the
+    # throughput tiers): full lanes/MXU pipeline, the configurations
+    # the round-5 fused-depth sweep tuned (1d1r 127.7 at k=4; 1d2r
+    # 124.7 at k=3 -- the optimum sits near lane_halo ~= 12, where the
+    # MXU-stream bound peaks; engine._fused_k)
+    ("1d1r", (16 * 1024 * 1024,), 256, 4),
+    ("1d2r", (16 * 1024 * 1024,), 256, 4),
     ("star2d1r", (4096, 4096), 256, 8),
     ("box2d1r", (4096, 4096), 256, 8),
     ("star2d3r", (8192, 8192), 64, 8),

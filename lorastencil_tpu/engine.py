@@ -880,12 +880,19 @@ class StencilEngine:
         k = self.config.fused_steps
         if k is None:
             if self.spec.ndim == 1:
-                # MXU lanes conv: k=4 measured best (1d1r 96.2 / 90.2 at
-                # k=4 vs 88/86.5 at k=2 vs 78/71 at k=8 -- deeper fusion
-                # widens the lane halo's storage amplification).  The
+                # MXU lanes conv: the fused depth trades HBM bytes/cell
+                # against the 128/(128 - 2*k*r_eff) lane-halo compute
+                # amplification.  Round-5 16M device sweep: r_eff=3
+                # (1d1r) k=4 best (127.7 vs 127.1 at k=3, 112 at
+                # k=2/k=8); r_eff=4 (1d2r) k=3 best (124.7 vs 119.8 at
+                # k=4) -- i.e. the optimum sits near lane_halo ~= 12,
+                # where the MXU-stream bound (governing since the
+                # round-5 bandwidth-ceiling correction) peaks.  The
                 # roll-VPU path keeps its round-3 optima.
                 if self.algorithm == "mxu":
-                    k = 4
+                    from .ops.pallas_1d import effective_radius
+
+                    k = max(1, 12 // max(1, effective_radius(self.spec)))
                 else:
                     k = 2 if self.dtype != jnp.bfloat16 else 1
             elif (self.spec.ndim == 2 and not self.spec.residue

@@ -44,8 +44,12 @@ MEASURED = dict(
     hbm_windowed_2d_gbps=577.0,
     # 64.1 GCells/s z-shift probe at 256-col slab-32 x ~7.1 B/cell
     hbm_slab_3d_gbps=455.0,
-    # ~97 GCells/s shift probe at 16M k=4 x ~2.25 B/cell
-    hbm_lanes_1d_gbps=218.0,
+    # 216.8 GCells/s shift probe at 16M k=4 r_eff=4 x 2.667 B/cell
+    # (long-region re-probe, round 5: steps=2048, 1.27 s region -- the
+    # round-4 "~97 GCells/s" calibration was a short-region artifact;
+    # the corrected ceiling means the fp32 1-D kernels are MXU-stream
+    # bound, not bandwidth bound)
+    hbm_lanes_1d_gbps=578.0,
     vpu_teraops=2.1,       # effective roll/fma elem-op rate
     mxu_bf16_tflops=134.3,  # 8192^3 chain, 68% of nominal
     # bf16 STATE tier pattern bandwidths (tools/pipeline_probe.py,
@@ -62,9 +66,10 @@ MEASURED = dict(
     # 107.7 GCells/s z-shift probe, bf16 slabs x 3.531 B (76% of the
     # fp32 pattern rate at half the bytes -- NOT the same GB/s)
     hbm_slab_3d_bf16_gbps=380.0,
-    # 237.0 GCells/s shift probe at 16M k=4 bf16 x 1.25 B (64% of the
-    # same-session fp32 pattern rate; short rows cost efficiency)
-    hbm_lanes_1d_bf16_gbps=296.0,
+    # 288.9 GCells/s shift probe at 16M k=4 bf16 x 1.333 B (long-region
+    # round-5 re-probe, steps=2048; 67% of the same-session fp32
+    # pattern rate -- short rows cost HBM efficiency)
+    hbm_lanes_1d_bf16_gbps=385.0,
     # df64 ARITHMETIC-unit rate (PRODUCT=20, FOLD=13, SPLIT=3 of
     # ops/pallas_df64._entry_cost; rolls excluded), PROBE-DERIVED
     # (round 5, tools/df64_eft_probe.py on v5e): the no-roll variant
@@ -170,11 +175,6 @@ def _bf16_stream_costs(spec: StencilSpec, algorithm: str,
         because bandwidth governs, misleading at bf16).
     """
     base = 2.0  # state cast (MXU operand / fp32 compute) + store round
-    if spec.ndim == 1:
-        if algorithm == "mxu":
-            # mask multiply + halo-lane fixup selects + casts
-            return 4.0, 2.0 * chunk
-        return base + _conv_vpu_ops(spec.terms[0].taps[0]), 0.0
     if spec.ndim == 3 or not algorithm.startswith("mxu"):
         # VPU paths: fp32 ops + one cast per plane/state access
         vpu = _vpu_ops_per_cell(spec, "vpu")
@@ -228,6 +228,38 @@ def _bf16_stream_costs(spec: StencilSpec, algorithm: str,
         else:
             vpu += 2.0 * len(spec.residue)
     return vpu, mxu
+
+
+def _lanes_1d_stream_costs(spec: StencilSpec, algorithm: str, k: int,
+                           lane_amp: float,
+                           bf16: bool) -> "tuple[float, float]":
+    """(VPU elem-ops, MXU FLOPs) per INTERIOR cell per substep on the
+    overlapped-lane 1-D layout: every computed lane amortizes over the
+    S = 128 - 2*k*r_eff payload cells per 128-group (``lane_amp`` =
+    128/S), and the start-of-pass halo fixup (~8 rolls/selects,
+    ``pallas_1d._lanes_fixup``) amortizes over the k fused substeps.
+
+    The 'mxu' path runs one square per-128-group banded matmul per
+    bf16 state part -- 3 parts fp32-exact, 1 at bf16 state
+    (``pallas_1d._conv_lanes_mxu``) -- at 2*128 MACs/lane each, with
+    the VPU carrying the split/mask support; the roll path pays the
+    pair-shared conv on the VPU.  Round-5 correction: the old fp32
+    pricing charged the conv to the VPU *and* one single-part MXU
+    stream, which only looked harmless while the understated round-4
+    bandwidth ceiling governed."""
+    from ..ops.pallas_1d import _dense_taps
+
+    fixup = 8.0 / k
+    if algorithm == "mxu":
+        nparts = 1 if bf16 else 3
+        mxu = 2.0 * _LANE * nparts * lane_amp
+        # state split (2 subs + 3 casts fp32; 1 up-cast bf16) + wmask
+        support = (2.0 if bf16 else 6.0) + 1.0
+        return (support + fixup) * lane_amp, mxu
+    vpu = _conv_vpu_ops(_dense_taps(spec)) + 1.0 + fixup
+    if bf16:
+        vpu += 1.0  # state up-cast
+    return vpu * lane_amp, 0.0
 
 
 def _mxu_flops_per_cell(spec: StencilSpec, algorithm: str,
@@ -435,8 +467,14 @@ def stencil_roofline(
         if bf16 and measured.get("hbm_slab_3d_bf16_gbps"):
             bw = measured["hbm_slab_3d_bf16_gbps"]
     else:
-        h = _ceil_to(k * r, _SUBLANE)
-        amp = (_LANE + 2 * h) / float(_LANE)
+        # overlapped-lane storage: a 128-lane group carries
+        # S = 128 - 2*k*r_eff payload cells (ops/layout.Layout1DLanes),
+        # so every stored byte AND every computed lane amortizes over S
+        # interior cells; reads and writes both touch the full width
+        from ..ops.pallas_1d import effective_radius
+
+        h = k * effective_radius(spec)
+        amp = _LANE / float(_LANE - 2 * h)
         bw = measured["hbm_lanes_1d_gbps"]
         if bf16 and measured.get("hbm_lanes_1d_bf16_gbps"):
             bw = measured["hbm_lanes_1d_bf16_gbps"]
@@ -445,7 +483,9 @@ def stencil_roofline(
     w_amp = amp if spec.ndim == 1 else 1.0
     bpc = (amp + w_amp) * dtype_bytes / k
 
-    if bf16:
+    if spec.ndim == 1:
+        vpu, mxu = _lanes_1d_stream_costs(spec, algorithm, k, amp, bf16)
+    elif bf16:
         vpu, mxu = _bf16_stream_costs(spec, algorithm, mxu_terms, res_mxu)
     else:
         vpu = _vpu_ops_per_cell(spec, algorithm, mxu_terms)

@@ -110,14 +110,28 @@ def test_roofline_matches_measured_flagship_probe():
 
 def test_roofline_3d_and_1d_match_probes():
     """3-D slab probe 64.1 GCells/s (star3d1r 256-col, slab 32, k=2);
-    1-D lanes probe ~97 GCells/s (1d1r 16M, k=4) -- PERF.md."""
+    1-D lanes probe 216.8 GCells/s (r_eff=4 shift spec, 16M, k=4 --
+    the round-5 LONG-REGION re-probe; the round-4 "~97" was a
+    short-region artifact, PERF.md).  1d2r shares the probe's r_eff=4
+    k=4 lane geometry, so its bw bound reproduces the probe reading;
+    the fp32 1-D kernels are MXU-stream bound under the corrected
+    ceiling (3 state parts x 2*128 MACs/lane x the 128/S lane amp)."""
     s3 = shapes.get_shape("star3d1r")
     r3 = profiling.stencil_roofline(s3, (128, 256), fused_steps=2,
                                     slab=32)
     assert abs(r3.bw_bound_gcells - 64.1) / 64.1 < 0.20, r3
-    s1 = shapes.get_shape("1d1r")
-    r1 = profiling.stencil_roofline(s1, (8, 128), fused_steps=4)
-    assert abs(r1.bw_bound_gcells - 97.0) / 97.0 < 0.20, r1
+    s1 = shapes.get_shape("1d2r")
+    r1 = profiling.stencil_roofline(s1, (8, 128), fused_steps=4,
+                                    algorithm="mxu")
+    assert abs(r1.bw_bound_gcells - 216.8) / 216.8 < 0.02, r1
+    assert r1.bound == "mxu", r1
+    # 1024 MACs/interior cell: 2*128 x 3 parts x (128/(128-2*16))
+    assert abs(r1.mxu_flops_per_cell_step - 1024.0) < 1.0, r1
+    assert abs(r1.mxu_bound_gcells - 131.2) / 131.2 < 0.02, r1
+    # 1d1r's effective radius is 3 (zero end taps): tighter lane amp
+    r11 = profiling.stencil_roofline(shapes.get_shape("1d1r"), (8, 128),
+                                     fused_steps=4, algorithm="mxu")
+    assert abs(r11.mxu_bound_gcells - 142.1) / 142.1 < 0.02, r11
 
 
 def test_bf16_roofline_matches_probes():
@@ -126,7 +140,8 @@ def test_bf16_roofline_matches_probes():
     (tools/pipeline_probe.py; the bf16 analog of the fp32 probe pins
     above): for each probe config, MEASURED rate == probe GCells/s x
     the probe engine's OWN modeled bytes/cell/step, to 2%.  Probe
-    readings (v5e, 2026-08): 2-D 140.3, 3-D 107.66, 1-D 236.98
+    readings (v5e, 2026-08): 2-D 140.3, 3-D 107.66, 1-D 288.85
+    (1-D from the long-region steps=2048 re-probe)
     GCells/s."""
     import os
     import sys
@@ -137,7 +152,7 @@ def test_bf16_roofline_matches_probes():
 
     probed = {"windowed_2d": (140.3, "hbm_windowed_2d_bf16_gbps"),
               "slab_3d": (107.66, "hbm_slab_3d_bf16_gbps"),
-              "lanes_1d": (236.98, "hbm_lanes_1d_bf16_gbps")}
+              "lanes_1d": (288.85, "hbm_lanes_1d_bf16_gbps")}
     for label, ndim, _interior, _steps, _pipe, overrides in probe.PROBES:
         gcells, key = probed[label]
         # tiny interior: the roofline depends on tile/layout geometry,

@@ -92,7 +92,11 @@ PROBES = [
      dict(algorithm="vpu_roll", tile=(256, 2048), fused_steps=1)),
     ("slab_3d", 3, (256, 256, 256), 64, 8,
      dict(algorithm="auto", tile=(128, 256), fused_steps_3d=2)),
-    ("lanes_1d", 1, (16 * 1024 * 1024,), 256, 8,
+    # steps=2048: a >= 1 s timed region (the round-4 "~97 GCells/s"
+    # 1-D calibration and this tool's own first steps=256 run were
+    # short-region artifacts; the long-region fp32 reading is 216.8
+    # GCells/s = 578 GB/s pattern rate)
+    ("lanes_1d", 1, (16 * 1024 * 1024,), 2048, 8,
      dict(algorithm="vpu_roll", fused_steps=4)),
 ]
 

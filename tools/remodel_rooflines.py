@@ -1,4 +1,4 @@
-"""Recompute stored roofline fields for bf16 rows in results.jsonl.
+"""Recompute stored roofline fields for pallas rows in results.jsonl.
 
 Round-5 TODO item 4: the bf16 tier's ceiling model was fp32-calibrated
 (fp32 pattern bandwidths at half the bytes; fp32 3-part-split op
@@ -28,10 +28,12 @@ Run on CPU (the tool builds engines but never runs them):
 
 import json
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "benchmarks"))
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
@@ -44,31 +46,43 @@ from lorastencil_tpu.utils import profiling  # noqa: E402
 
 
 def _algorithm_of(backend: str):
-    """Resolved algorithm from a suite row's backend tag
-    ('pallas-<alg>-bfloat16[-chainN]')."""
+    """(algorithm, dtype) from a suite row's backend tag
+    ('pallas-<alg>[-bfloat16][-chainN]'), or None for non-pallas /
+    df64 rows (the df64 arith-unit roofline is not being migrated)."""
     if not backend.startswith("pallas-"):
         return None
     alg = backend[len("pallas-"):]
-    if "-bfloat16" not in alg:
+    alg = re.sub(r"-chain\d+$", "", alg)
+    if alg.startswith("df64-"):
         return None
-    return alg.split("-bfloat16")[0]
+    if alg.endswith("-bfloat16"):
+        return alg[: -len("-bfloat16")], "bfloat16"
+    return alg, "float32"
 
 
 def migrate_row(rec, cache):
-    """New (roofline_bound, governing_bound_gcells, pct) for a bf16 suite
-    row, or None if the row is not a remodelable bf16 row."""
-    alg = _algorithm_of(rec.get("backend", ""))
-    if alg is None or rec.get("governing_bound_gcells") is None:
+    """New (roofline_bound, governing_bound_gcells, pct) for a suite
+    row, or None if the row is not remodelable."""
+    parsed = _algorithm_of(rec.get("backend", ""))
+    if parsed is None or rec.get("governing_bound_gcells") is None:
         return None
-    key = (rec["shape"], tuple(rec["interior"]), alg)
+    alg, dtype = parsed
+    key = (rec["shape"], tuple(rec["interior"]), alg, dtype)
     if key not in cache:
         # same construction as suite.run_config at record time, with the
         # algorithm pinned to what the tag says actually ran (the tag
         # records the RESOLVED algorithm, so 'auto' re-resolution drift
         # on CPU cannot change the priced kernel)
-        eng = engine.StencilEngine.for_shape(
-            rec["shape"], tuple(rec["interior"]),
-            dtype="bfloat16", algorithm=alg)
+        if rec["shape"].startswith("custom"):
+            import suite  # noqa: PLC0415 -- benchmarks/ on sys.path
+
+            eng = engine.StencilEngine.for_coeffs(
+                suite.custom_coeffs(rec["shape"]), tuple(rec["interior"]),
+                name=rec["shape"], dtype=dtype, algorithm=alg)
+        else:
+            eng = engine.StencilEngine.for_shape(
+                rec["shape"], tuple(rec["interior"]),
+                dtype=dtype, algorithm=alg)
         cache[key] = profiling.engine_roofline(eng)
     roof = cache[key]
     if roof is None:
@@ -105,7 +119,7 @@ def main(argv=None) -> int:
               f"{rec['backend']:40s} gcells={rec['gcells_per_s']:7.2f} "
               f"pct {old_pct if old_pct is not None else float('nan'):.2f} "
               f"-> {pct:.2f} ({bound_kind})")
-    print(f"{changed} bf16 rows remodeled / {len(lines)} total")
+    print(f"{changed} rows remodeled / {len(lines)} total")
     if not dry:
         with open(path + ".bak", "w") as f:
             f.writelines(lines)
