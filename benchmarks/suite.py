@@ -56,18 +56,24 @@ from lorastencil_tpu.utils import metrics, profiling
 # src/1d/gpu_1r.cu:121-123; over the tunneled backend each dispatch
 # costs ~0.9 ms, which would otherwise BE the measurement).
 CONFIGS = [
-    ("1d1r", (4096,), 64, {"pipeline": 8, "chain": 256}),
-    ("1d2r", (1_000_000,), 256, 16),
+    ("1d1r", (4096,), 64, {"pipeline": 8, "chain": 2048}),
+    # chain=32: a single 1M x256 run is ~2-3 ms device time, so the
+    # old pipeline-16 region was ~55 ms -- under the >= 0.3 s
+    # reliability bound (round-5 1M A/Bs swung 26-101 GCells/s at
+    # identical configs, and a first chain=8 re-record read 140% of
+    # the bf16 bound -> quarantined); chained whole runs keep the
+    # region >= ~0.5 s at the honest rates
+    ("1d2r", (1_000_000,), 256, {"pipeline": 16, "chain": 32}),
     # large-grid 1-D regime (the df64 tier's 16M configs, on the
     # throughput tiers): full lanes/MXU pipeline, the configurations
     # the round-5 fused-depth sweep tuned (1d1r 127.7 at k=4; 1d2r
     # 124.7 at k=3 -- the optimum sits near lane_halo ~= 12, where the
     # MXU-stream bound peaks; engine._fused_k)
-    ("1d1r", (16 * 1024 * 1024,), 256, 4),
-    ("1d2r", (16 * 1024 * 1024,), 256, 4),
+    ("1d1r", (16 * 1024 * 1024,), 256, 24),
+    ("1d2r", (16 * 1024 * 1024,), 256, 24),
     ("star2d1r", (4096, 4096), 256, 8),
     ("box2d1r", (4096, 4096), 256, 8),
-    ("star2d3r", (8192, 8192), 64, 8),
+    ("star2d3r", (8192, 8192), 64, 12),
     ("box2d3r", (8192, 8192), 64, 8),
     ("star2d1r", (8192, 8192), 256, 4),
     # small-2-D regime row (round-5 VERDICT item 6): chained whole runs
@@ -77,9 +83,9 @@ CONFIGS = [
     # ops/pallas_2d.RESIDENT_2D_BYTES), so tiled is the recorded path.
     # Algorithm A/B at 512^2 (r5 device): mxu_hybrid1 35.4 > vpu_roll
     # 28.2 > vpu 27.0 GCells/s; k=1 beats k=2/4/8.
-    ("star2d1r", (512, 512), 64, {"pipeline": 4, "chain": 32}),
-    ("star3d1r", (256, 256, 256), 64, 8),
-    ("box3d1r", (256, 256, 256), 64, 8),
+    ("star2d1r", (512, 512), 64, {"pipeline": 4, "chain": 256}),
+    ("star3d1r", (256, 256, 256), 64, 24),
+    ("box3d1r", (256, 256, 256), 64, 24),
 ]
 
 # bf16-state throughput tier (half the HBM bytes; ~4e-3/step storage
@@ -105,19 +111,19 @@ DF64 = [
     # the reference's ACTUAL 1-D regime (native fp64 at n=4096): the
     # resident pair kernel runs all 64 steps in one dispatch; chained
     # runs amortize the ~1 ms tunnel dispatch like the fp32 row
-    ("1d1r", (4096,), 64, {"pipeline": 8, "chain": 256, "dtype": "df64"}),
+    ("1d1r", (4096,), 64, {"pipeline": 8, "chain": 2048, "dtype": "df64"}),
     ("1d1r", (16 * 1024 * 1024,), 256, {"pipeline": 2, "dtype": "df64"}),
     ("1d2r", (16 * 1024 * 1024,), 256, {"pipeline": 2, "dtype": "df64"}),
-    ("star2d1r", (4096, 4096), 64, {"pipeline": 2, "dtype": "df64"}),
+    ("star2d1r", (4096, 4096), 64, {"pipeline": 4, "dtype": "df64"}),
     # small-2-D df64 regime row (round-5 VERDICT item 6; tiled pair
     # pipeline -- the resident pair kernel measured slower, see
     # ops/pallas_df64.RESIDENT_PAIR_2D_BYTES)
     ("star2d1r", (512, 512), 64,
-     {"pipeline": 2, "chain": 8, "dtype": "df64"}),
-    ("box2d3r", (4096, 4096), 32, {"pipeline": 2, "dtype": "df64"}),
+     {"pipeline": 2, "chain": 64, "dtype": "df64"}),
+    ("box2d3r", (4096, 4096), 32, {"pipeline": 6, "dtype": "df64"}),
     ("star2d1r", (8192, 8192), 32, {"pipeline": 2, "dtype": "df64"}),
-    ("star3d1r", (256, 256, 256), 64, {"pipeline": 4, "dtype": "df64"}),
-    ("box3d1r", (256, 256, 256), 64, {"pipeline": 4, "dtype": "df64"}),
+    ("star3d1r", (256, 256, 256), 64, {"pipeline": 6, "dtype": "df64"}),
+    ("box3d1r", (256, 256, 256), 64, {"pipeline": 6, "dtype": "df64"}),
 ]
 
 QUICK = [
@@ -156,7 +162,7 @@ def custom_coeffs(kind: str):
 
 CUSTOM = [
     ("custom2d_asym5", (4096, 4096), 256, 8),
-    ("custom3d_sep3", (256, 256, 256), 64, 8),
+    ("custom3d_sep3", (256, 256, 256), 64, 24),
 ]
 
 

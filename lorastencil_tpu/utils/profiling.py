@@ -41,17 +41,23 @@ def trace(logdir: str):
 # probes.
 MEASURED = dict(
     # 65.9 GCells/s zero-compute probe at (256, 2048) fp32 x ~8.76 B/cell
+    # (0.94 s region; the round-5 long-region audit re-read 73.1 = 642
+    # GB/s -- within session spread, kept)
     hbm_windowed_2d_gbps=577.0,
-    # 64.1 GCells/s z-shift probe at 256-col slab-32 x ~7.1 B/cell
-    hbm_slab_3d_gbps=455.0,
-    # 216.8 GCells/s shift probe at 16M k=4 r_eff=4 x 2.667 B/cell
-    # (long-region re-probe, round 5: steps=2048, 1.27 s region -- the
-    # round-4 "~97 GCells/s" calibration was a short-region artifact;
-    # the corrected ceiling means the fp32 1-D kernels are MXU-stream
-    # bound, not bandwidth bound)
-    hbm_lanes_1d_gbps=578.0,
+    # 86.4 GCells/s z-shift probe at 256-col slab-32 x 7.625 B/cell
+    # (round-5 LONG-REGION re-probe, steps=512 / 0.8 s region; the
+    # round-4 steps=64 calibration ran a 0.13 s region and read 455)
+    hbm_slab_3d_gbps=659.0,
+    # 283.1 GCells/s center-only (TRUE zero-compute: d=0 roll and w==1
+    # multiply both elided) probe at 16M k=4 x 2.133 B/cell, 0.97 s
+    # region.  The round-4 "~97" was a short-region artifact; the
+    # round-5 shift-tap re-probe (578) still paid one roll/substep.
+    hbm_lanes_1d_gbps=604.0,
     vpu_teraops=2.1,       # effective roll/fma elem-op rate
-    mxu_bf16_tflops=134.3,  # 8192^3 chain, 68% of nominal
+    # 8192^2 bf16 matmul chain inside one jit, 0.64 s region (round-5
+    # long-region re-probe; the round-3 "134.3 peak" was measured on a
+    # shorter region and is exceeded by honest 1-D kernel rows)
+    mxu_bf16_tflops=166.1,
     # bf16 STATE tier pattern bandwidths (tools/pipeline_probe.py,
     # round-5 device probes): the same zero-compute specs through the
     # same kernels with bf16 HBM state.  NOT derived from the fp32
@@ -63,13 +69,17 @@ MEASURED = dict(
     # at dtype_bytes=2.
     # 140.3 GCells/s zero-compute probe at (256, 2048) bf16 x 4.391 B
     hbm_windowed_2d_bf16_gbps=616.0,
-    # 107.7 GCells/s z-shift probe, bf16 slabs x 3.531 B (76% of the
-    # fp32 pattern rate at half the bytes -- NOT the same GB/s)
-    hbm_slab_3d_bf16_gbps=380.0,
-    # 288.9 GCells/s shift probe at 16M k=4 bf16 x 1.333 B (long-region
-    # round-5 re-probe, steps=2048; 67% of the same-session fp32
-    # pattern rate -- short rows cost HBM efficiency)
-    hbm_lanes_1d_bf16_gbps=385.0,
+    # 164.3 GCells/s z-shift probe, bf16 slabs x 3.531 B (long-region
+    # steps=512 re-probe; 88% of the same-session fp32 pattern GB/s at
+    # half the bytes -- NOT the same GB/s)
+    hbm_slab_3d_bf16_gbps=580.0,
+    # 711.9 GCells/s center-only probe at 16M k=4 bf16 x 1.067 B
+    # (0.77 s region).  The shift-tap variants (385-447 GB/s) were
+    # compute-limited at bf16 rates -- honest mxu kernel rows exceeded
+    # their implied GB/s, which is how the understatement was caught;
+    # with this ceiling the bf16 1-D rows are VPU-SUPPORT bound
+    # (casts + mask + fixup) and the model reproduces them to ~0.5%.
+    hbm_lanes_1d_bf16_gbps=759.0,
     # df64 ARITHMETIC-unit rate (PRODUCT=20, FOLD=13, SPLIT=3 of
     # ops/pallas_df64._entry_cost; rolls excluded), PROBE-DERIVED
     # (round 5, tools/df64_eft_probe.py on v5e): the no-roll variant
@@ -473,7 +483,10 @@ def stencil_roofline(
         # interior cells; reads and writes both touch the full width
         from ..ops.pallas_1d import effective_radius
 
-        h = k * effective_radius(spec)
+        # max(1, .): Layout1DLanes.build clamps r_eff the same way, so
+        # a zero-effective-radius spec (the center-only probe) still
+        # stores a k-lane halo
+        h = k * max(1, effective_radius(spec))
         amp = _LANE / float(_LANE - 2 * h)
         bw = measured["hbm_lanes_1d_gbps"]
         if bf16 and measured.get("hbm_lanes_1d_bf16_gbps"):

@@ -90,7 +90,8 @@ def test_roofline_matches_measured_flagship_probe():
     - flagship bw bound within 15% of the 65.9 GCells/s zero-compute
       DMA-pipeline probe (PERF.md),
     - VPU stream ~29 ops/cell -> ~72 GCells/s, MXU stream ~0.80
-      KFLOP/cell -> ~167 GCells/s (both hidden under the DMA bound).
+      KFLOP/cell -> ~207 GCells/s (both hidden under the DMA bound;
+      MXU rate = the round-5 long-region 166.1 TFLOP/s chain probe).
     """
     spec = shapes.get_shape("star2d1r")
     r = profiling.stencil_roofline(spec, (256, 2048),
@@ -99,7 +100,7 @@ def test_roofline_matches_measured_flagship_probe():
     assert abs(r.vpu_ops_per_cell_step - 29) <= 3, r
     assert abs(r.vpu_bound_gcells - 72) / 72 < 0.15, r
     assert abs(r.mxu_flops_per_cell_step - 804) <= 40, r
-    assert abs(r.mxu_bound_gcells - 167) / 167 < 0.15, r
+    assert abs(r.mxu_bound_gcells - 207) / 207 < 0.15, r
     assert r.bound == "bw", r
     # pure-VPU exact path additionally pays the column conv
     rv = profiling.stencil_roofline(spec, (256, 2048),
@@ -109,29 +110,32 @@ def test_roofline_matches_measured_flagship_probe():
 
 
 def test_roofline_3d_and_1d_match_probes():
-    """3-D slab probe 64.1 GCells/s (star3d1r 256-col, slab 32, k=2);
-    1-D lanes probe 216.8 GCells/s (r_eff=4 shift spec, 16M, k=4 --
-    the round-5 LONG-REGION re-probe; the round-4 "~97" was a
-    short-region artifact, PERF.md).  1d2r shares the probe's r_eff=4
-    k=4 lane geometry, so its bw bound reproduces the probe reading;
-    the fp32 1-D kernels are MXU-stream bound under the corrected
-    ceiling (3 state parts x 2*128 MACs/lane x the 128/S lane amp)."""
+    """3-D slab probe 86.4 GCells/s x its engine's 7.625 B/cell =
+    659 GB/s pattern rate (round-5 long-region steps=512 re-probe);
+    star3d1r k=2 slab-32 models 7.0625 B/cell -> 93.3 GCells/s bw
+    bound.  1-D lanes center-only probe 604 GB/s -> 1d2r k=4 bw bound
+    226.5 GCells/s.  The round-4 short-region calibrations (64.1 /
+    "~97") understated both, and the fp32 1-D kernels are MXU-stream
+    bound under the corrected ceilings (3 state parts x 2*128
+    MACs/lane x the 128/S lane amp, at the long-region 166.1 TFLOP/s
+    chain rate)."""
     s3 = shapes.get_shape("star3d1r")
     r3 = profiling.stencil_roofline(s3, (128, 256), fused_steps=2,
                                     slab=32)
-    assert abs(r3.bw_bound_gcells - 64.1) / 64.1 < 0.20, r3
+    assert abs(r3.bytes_per_cell_step - 7.0625) < 0.01, r3
+    assert abs(r3.bw_bound_gcells - 93.3) / 93.3 < 0.02, r3
     s1 = shapes.get_shape("1d2r")
     r1 = profiling.stencil_roofline(s1, (8, 128), fused_steps=4,
                                     algorithm="mxu")
-    assert abs(r1.bw_bound_gcells - 216.8) / 216.8 < 0.02, r1
+    assert abs(r1.bw_bound_gcells - 226.5) / 226.5 < 0.02, r1
     assert r1.bound == "mxu", r1
     # 1024 MACs/interior cell: 2*128 x 3 parts x (128/(128-2*16))
     assert abs(r1.mxu_flops_per_cell_step - 1024.0) < 1.0, r1
-    assert abs(r1.mxu_bound_gcells - 131.2) / 131.2 < 0.02, r1
+    assert abs(r1.mxu_bound_gcells - 162.2) / 162.2 < 0.02, r1
     # 1d1r's effective radius is 3 (zero end taps): tighter lane amp
     r11 = profiling.stencil_roofline(shapes.get_shape("1d1r"), (8, 128),
                                      fused_steps=4, algorithm="mxu")
-    assert abs(r11.mxu_bound_gcells - 142.1) / 142.1 < 0.02, r11
+    assert abs(r11.mxu_bound_gcells - 175.7) / 175.7 < 0.02, r11
 
 
 def test_bf16_roofline_matches_probes():
@@ -140,9 +144,9 @@ def test_bf16_roofline_matches_probes():
     (tools/pipeline_probe.py; the bf16 analog of the fp32 probe pins
     above): for each probe config, MEASURED rate == probe GCells/s x
     the probe engine's OWN modeled bytes/cell/step, to 2%.  Probe
-    readings (v5e, 2026-08): 2-D 140.3, 3-D 107.66, 1-D 288.85
-    (1-D from the long-region steps=2048 re-probe)
-    GCells/s."""
+    readings (v5e, 2026-08): 2-D 140.3, 3-D 164.3, 1-D 711.87
+    GCells/s (3-D/1-D from the round-5 long-region re-probes;
+    the 1-D probe is the center-only true-zero-compute variant)."""
     import os
     import sys
 
@@ -151,8 +155,8 @@ def test_bf16_roofline_matches_probes():
     import pipeline_probe as probe
 
     probed = {"windowed_2d": (140.3, "hbm_windowed_2d_bf16_gbps"),
-              "slab_3d": (107.66, "hbm_slab_3d_bf16_gbps"),
-              "lanes_1d": (288.85, "hbm_lanes_1d_bf16_gbps")}
+              "slab_3d": (164.3, "hbm_slab_3d_bf16_gbps"),
+              "lanes_1d": (711.87, "hbm_lanes_1d_bf16_gbps")}
     for label, ndim, _interior, _steps, _pipe, overrides in probe.PROBES:
         gcells, key = probed[label]
         # tiny interior: the roofline depends on tile/layout geometry,

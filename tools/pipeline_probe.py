@@ -22,9 +22,13 @@ and layout geometry as the BASELINE configs but (near-)zero arithmetic:
     aligned interior slice (the round-4 65.9 GCells/s fp32 probe);
   * 3-D: a z-identity term (z taps (0, 1, 0), radius 1) -- pure slab
     DMA through the z-sweep pipeline (the round-4 64.1 probe);
-  * 1-D: a single extreme-offset unit tap (effective radius 4, one
-    aligned lane roll) through the lanes layout at k=4 (the round-4
-    ~97 probe).
+  * 1-D: a CENTER-ONLY unit tap through the lanes layout at k=4 --
+    the d=0 roll and the w==1 multiply are both elided, so the kernel
+    is DMA + mask + fixup only.  (The earlier shift-tap variant paid
+    one roll per substep, which BOUND the probe at bf16 rates: honest
+    mxu kernel rows exceeded its implied GB/s.  Layout1DLanes.build
+    clamps r_eff to >= 1, so the stored halo geometry matches the
+    real rows'.)
 
 Reported ``gbps_effective`` = GCells/s x the probe engine's OWN modeled
 bytes/cell/step (``profiling.engine_roofline``), so the number
@@ -81,7 +85,7 @@ def probe_spec(ndim: int) -> StencilSpec:
                                taps=(_center_taps(1), None, None)),),
                            residue=(), fuse_factor=1)
     return StencilSpec(name="probe1d", ndim=1, radius=4, halo=(4,),
-                       terms=(SeparableTerm(taps=(_shift_taps(4),),),),
+                       terms=(SeparableTerm(taps=(_center_taps(4),),),),
                        residue=(), fuse_factor=1)
 
 
@@ -90,12 +94,13 @@ def probe_spec(ndim: int) -> StencilSpec:
 PROBES = [
     ("windowed_2d", 2, (8192, 8192), 256, 4,
      dict(algorithm="vpu_roll", tile=(256, 2048), fused_steps=1)),
-    ("slab_3d", 3, (256, 256, 256), 64, 8,
+    # steps=512: >= 0.4 s regions (the round-4 steps=64 calibration
+    # ran 0.13 s and understated the ceiling 455 vs 659 GB/s)
+    ("slab_3d", 3, (256, 256, 256), 512, 8,
      dict(algorithm="auto", tile=(128, 256), fused_steps_3d=2)),
-    # steps=2048: a >= 1 s timed region (the round-4 "~97 GCells/s"
+    # steps=2048: a >= 0.4 s timed region (the round-4 "~97 GCells/s"
     # 1-D calibration and this tool's own first steps=256 run were
-    # short-region artifacts; the long-region fp32 reading is 216.8
-    # GCells/s = 578 GB/s pattern rate)
+    # short-region artifacts)
     ("lanes_1d", 1, (16 * 1024 * 1024,), 2048, 8,
      dict(algorithm="vpu_roll", fused_steps=4)),
 ]
