@@ -722,7 +722,10 @@ class StencilEngine:
             guard_r = SUBLANE * (-(-need // SUBLANE))
             return Layout2D(interior=interior, halo=spec.halo, tile=tile,
                             guard=(guard_r, LANE))
-        tile = self.config.tile or default_tile_3d(*interior[1:])
+        # the spec-aware (256, 256) default is fp32/bf16-measured; the
+        # df64 pair slab doubles the VMEM state and keeps (128, 256)
+        tile = self.config.tile or default_tile_3d(
+            *interior[1:], spec=None if self.df64 else spec)
         if self.df64_pallas and self.config.tile is None and self.interpret:
             # interpret mode + a single-tile plane grid hits the same
             # XLA:CPU compile blowup as the 2-D pair kernel (trip-1

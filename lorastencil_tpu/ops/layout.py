@@ -405,14 +405,27 @@ def divisor_tile_2d(m: int, n: int) -> Tuple[int, int]:
     return (tm, tn)
 
 
-def default_tile_3d(m: int, n: int) -> Tuple[int, int]:
+def default_tile_3d(m: int, n: int, spec=None) -> Tuple[int, int]:
     """Measured v5e (round 3, sync-calibrated): (64, 512) wins for both
     3-D shapes at 512^3 (box 48.2, star 43.7 GCells/s; star was 35.2 at
-    (64, 256)); at 256^3 the shapes disagree ((128, 256) for star,
-    (64, 256) for box -- within ~5%), so the small-extent default stays
-    (128, 256) and --autotune resolves per shape."""
+    (64, 256)).  At 256^3 the split is by term structure (round-5
+    suite-methodology A/B, pipeline=24): specs with NO buffered plane
+    convs (star3d1r: identity-z planes + center cross) win at
+    (256, 256) -- fp32 68.2 vs 66.3, bf16 78.3 vs 70.7 GCells/s --
+    while specs WITH a buffered z-spanning plane conv (box3d1r) keep
+    (128, 256) (64.7 vs 60.9 / 71.5 vs 65.5): the buffered conv slab
+    scales with TM*TN, so the bigger tile costs slab depth exactly
+    when the conv buffer exists.  ``spec`` (optional StencilSpec)
+    enables the structure check; --autotune still resolves per shape."""
     if n >= 512 and m >= 64:
         return (64, 512)
+    buffered = spec is not None and any(
+        t.taps[0] is not None
+        and (t.taps[1] is not None or t.taps[2] is not None)
+        for t in spec.terms)
+    big_m = 256 if (spec is not None and not buffered) else 128
     tn = 256 if n >= 256 else LANE * max(1, _cdiv(n, LANE))
-    tm = 128 if m >= 128 else SUBLANE * max(1, _cdiv(m, SUBLANE))
+    tm = (big_m if m >= big_m
+          else 128 if m >= 128
+          else SUBLANE * max(1, _cdiv(m, SUBLANE)))
     return (tm, tn)

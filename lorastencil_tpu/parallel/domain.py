@@ -843,7 +843,10 @@ class ShardedStencil3D:
         k = max(1, config.fused_steps)
         self.fused_steps = k
         lm, ln = -(-gm // dx), -(-gn // dy)
-        tile = config.tile or default_tile_3d(lm, ln)
+        # spec-aware (256, 256) default is fp32/bf16-measured; the df64
+        # pair slab doubles the VMEM state and keeps (128, 256)
+        tile = config.tile or default_tile_3d(
+            lm, ln, spec=None if config.dtype == "df64" else spec)
         # arbitrary global sizes shard via block padding for EVERY
         # boundary (see _pad_local_block and the 2-D twin: ghost modes
         # anchor the wrap/mirror at the last device's true tail)

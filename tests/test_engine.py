@@ -66,6 +66,34 @@ def test_layout_roundtrip():
         np.asarray(l3.from_internal(l3.to_internal(w))), w)
 
 
+def test_default_tile_3d_spec_aware():
+    """Round-5 device A/B (suite methodology, pipeline=24): specs with
+    NO buffered z-spanning plane conv (star3d1r) win at (256, 256) --
+    fp32 67.1 vs 65.6, bf16 78.3 vs 70.6 GCells/s recorded -- while
+    buffered-conv specs (box3d1r, separable customs) keep (128, 256);
+    the df64 pair slab doubles VMEM state and keeps (128, 256) too."""
+    from lorastencil_tpu.models.shapes import get_shape
+    from lorastencil_tpu.ops.layout import default_tile_3d
+
+    star, box = get_shape("star3d1r"), get_shape("box3d1r")
+    assert default_tile_3d(256, 256, spec=star) == (256, 256)
+    assert default_tile_3d(256, 256, spec=box) == (128, 256)
+    assert default_tile_3d(256, 256) == (128, 256)
+    # the measured (64, 512) large-extent optimum is untouched
+    assert default_tile_3d(512, 512, spec=star) == (64, 512)
+    # engines: star fp32/bf16 pick the big tile, df64 does not
+    e = engine.StencilEngine.for_shape("star3d1r", (256, 256, 256))
+    assert e.layout.tile == (256, 256)
+    eb = engine.StencilEngine.for_shape("star3d1r", (256, 256, 256),
+                                        dtype="bfloat16")
+    assert eb.layout.tile == (256, 256)
+    ed = engine.StencilEngine.for_shape("star3d1r", (256, 256, 256),
+                                        dtype="df64")
+    assert ed.layout.tile == (128, 256)
+    ex = engine.StencilEngine.for_shape("box3d1r", (256, 256, 256))
+    assert ex.layout.tile == (128, 256)
+
+
 @pytest.mark.parametrize("name", ["star2d1r", "box2d3r", "star2d3r"])
 @pytest.mark.parametrize("k", [1, 4])
 def test_engine_mxu_split(name, k):
