@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -61,9 +62,18 @@ def _classify_terms(spec: StencilSpec):
     return buffered, identity_z, center
 
 
+def carry_plane_count(fused_steps: int, radius: int) -> int:
+    """Total conv planes the cross-slab carry buffer holds per buffered
+    term: level L of K reuses 2*(K-L+1)*r convs from the previous slab
+    (consecutive slab windows overlap by that many src planes), so the
+    buffer holds sum_L 2*(K-L+1)*r = r*K*(K+1) planes."""
+    return radius * fused_steps * (fused_steps + 1)
+
+
 def pick_slab(H: int, TM: int, TN: int, dtype_bytes: int = 4,
               budget: int = 0, fused_steps: int = 1,
-              radius: int = 1, acc_bytes: int = 4) -> int:
+              radius: int = 1, acc_bytes: int = 4,
+              carry_nbuf: int = 0) -> int:
     """Largest slab in {32,16,8,4,2,1} dividing H whose buffers fit
     the VMEM budget.
 
@@ -86,10 +96,14 @@ def pick_slab(H: int, TM: int, TN: int, dtype_bytes: int = 4,
     pe = (k - 1) * radius
     er = TM + 2 * (((pe + SUBLANE - 1) // SUBLANE) * SUBLANE or 0)
     ec = TN + 2 * (LANE if pe else 0)
+    # slab-independent: the cross-slab conv-carry buffers
+    # (2 parities x carry_nbuf buffered terms x r*K*(K+1) planes)
+    carry = 2 * acc_bytes * carry_nbuf * carry_plane_count(k, radius) \
+        * (TM + 2 * pe) * (TN + 2 * pe)
     for s in (32, 16, 8, 4, 2, 1):
         if H % s != 0:
             continue
-        need = dtype_bytes * (
+        need = carry + dtype_bytes * (
             2 * (s + 2 * k) * wr * wc    # double-buffered window slabs
             + 2 * s * TM * TN            # double-buffered output slabs
         ) + acc_bytes * (
@@ -106,7 +120,7 @@ def _stencil3d_kernel(
     spec: StencilSpec, layout: Layout3D, mats_meta,
     compute_dtype, precision, algorithm, slab: int, fused_steps: int,
     acc_dt=jnp.float32, has_bounds: bool = False,
-    region=None,
+    region=None, conv_carry: bool = False,
 ):
     bounds_ref = None
     if has_bounds:
@@ -121,8 +135,9 @@ def _stencil3d_kernel(
     convbuf = rest[n_mats + 2]   # (n_buffered, SLAB+2k, TM+2pe', TN+2pe')
     out_sl = rest[n_mats + 3]    # (2, SLAB, TM, TN)
     lvlbuf = rest[n_mats + 4]    # (2, SLAB+2k, TM+2pe', TN+2pe') (fused)
-    sem_in = rest[n_mats + 5]    # (2,)
-    sem_out = rest[n_mats + 6]   # (2,)
+    carrybuf = rest[n_mats + 5]  # (2, n_buffered, r*K*(K+1), TM+2pe', .)
+    sem_in = rest[n_mats + 6]    # (2,)
+    sem_out = rest[n_mats + 7]   # (2,)
 
     TM, TN = layout.tile
     K = fused_steps
@@ -280,6 +295,12 @@ def _stencil3d_kernel(
         R, C = TM + 2 * e_out[0], TN + 2 * e_out[1]
         off_r = e_in[0] - e_out[0]
         off_c = e_in[1] - e_out[1]
+
+        def wmul(w, v):
+            # unit-weight elision, like band_gemm.apply_spec_vpu (the
+            # reference shapes' z taps are all +-1.0)
+            return v if w == 1.0 else -v if w == -1.0 else w * v
+
         acc = jnp.zeros((R, C), acc_dt)
         for t_idx in center_idx:
             acc = acc + conv_plane(t_idx, src(j + r), e_in, e_out)
@@ -289,20 +310,20 @@ def _stencil3d_kernel(
             for dz in range(-rz, rz + 1):
                 w = float(tz[rz + dz])
                 if w != 0.0:
-                    acc = acc + w * get_conv(b, j + r + dz)
+                    acc = acc + wmul(w, get_conv(b, j + r + dz))
         for t_idx in identity_idx:
             tz = spec.terms[t_idx].taps[0]
             rz = (len(tz) - 1) // 2
             for dz in range(-rz, rz + 1):
                 w = float(tz[rz + dz])
                 if w != 0.0:
-                    acc = acc + w * src(j + r + dz)[
+                    acc = acc + wmul(w, src(j + r + dz)[
                         off_r: off_r + R, off_c: off_c + C
-                    ].astype(acc_dt)
+                    ].astype(acc_dt))
         for (dz, dr, dc), w in spec.residue:
-            acc = acc + w * src(j + r + dz)[
+            acc = acc + wmul(w, src(j + r + dz)[
                 off_r + dr: off_r + dr + R, off_c + dc: off_c + dc + C
-            ].astype(acc_dt)
+            ].astype(acc_dt))
         return acc
 
     slab_dma(0, 0).start()
@@ -344,14 +365,55 @@ def _stencil3d_kernel(
                 def src(jj, prev=prev, Rp=Rp, Cp=Cp):
                     return prev[jj, :Rp, :Cp]
 
-            # each input plane's conv computed once per level
-            for b, t_idx in enumerate(buffered_idx):
-                for jj in range(n_out_p + 2 * r):
-                    convbuf[b, jj, :R, :C] = conv_plane(
-                        t_idx, src(jj), e_in, e_out)
+            # each input plane's conv computed once per level; with
+            # conv_carry, the first 2*(K-lvl+1)*r convs are the previous
+            # slab's last ones (consecutive slab windows share exactly
+            # that many src planes, and both conv_plane and the masked
+            # level outputs are functions of ABSOLUTE plane position, so
+            # the values coincide across slabs).  ZERO-COPY routing: the
+            # head planes (jj < c) read the opposite parity's carry
+            # slots, the tail planes (jj >= slab) WRITE this parity's --
+            # the next slab's head reads land there directly, so no
+            # VMEM plane copies are ever issued (the copy-based variant
+            # measured a net LOSS: box3d1r fp32 64.2 -> 61.9, bf16 72.0
+            # -> 60.1 GCells/s -- the copies cost more than the convs).
+            count = n_out_p + 2 * r
+            c = 2 * (K - lvl + 1) * r
+            # carry region offset for this level inside carrybuf
+            coff = sum(2 * (K - l + 1) * r for l in range(1, lvl))
+            use_carry = conv_carry and nslabs >= 2 and slab >= 2 * K * r
 
-            def get_conv(b, jj, R=R, C=C):
-                return convbuf[b, jj, :R, :C]
+            def conv_slot(b, jj, c=c, coff=coff, use_carry=use_carry):
+                """(ref, leading indices) of plane jj's conv this slab
+                (static jj; direct multi-dim indexing -- .at ref views
+                lower to alignment-constrained memref slices)."""
+                if use_carry and jj < c:
+                    return carrybuf, (1 - sslot, b, coff + jj)
+                if use_carry and jj >= slab:
+                    return carrybuf, (sslot, b, coff + jj - slab)
+                return convbuf, (b, jj)
+
+            def conv_store(b, jj, val, R=R, C=C):
+                ref, idx = conv_slot(b, jj)
+                ref[idx + (slice(None, R), slice(None, C))] = val
+
+            for b, t_idx in enumerate(buffered_idx):
+                if use_carry:
+                    # head planes: already written by the previous
+                    # slab's tail except on the first slab
+                    @pl.when(si == 0)
+                    def _(b=b, t_idx=t_idx, c=c, src=src,
+                          e_in=e_in, e_out=e_out, R=R, C=C):
+                        for i in range(c):
+                            conv_store(b, i, conv_plane(
+                                t_idx, src(i), e_in, e_out), R, C)
+                for jj in range(c if use_carry else 0, count):
+                    conv_store(b, jj, conv_plane(
+                        t_idx, src(jj), e_in, e_out), R, C)
+
+            def get_conv(b, jj, R=R, C=C, conv_slot=conv_slot):
+                ref, idx = conv_slot(b, jj)
+                return ref[idx + (slice(None, R), slice(None, C))]
 
             for j in range(n_out_p):
                 acc = combine_plane(src, j, e_in, e_out, get_conv)
@@ -390,11 +452,6 @@ def _stencil3d_kernel(
     jax.lax.fori_loop(0, pl.cdiv(nslabs, 2), pair, 0)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("spec", "layout", "compute_dtype", "precision",
-                     "interpret", "algorithm", "fused_steps", "region"),
-)
 def stencil3d_step(
     cur: jax.Array,
     donor: jax.Array,
@@ -407,6 +464,7 @@ def stencil3d_step(
     fused_steps: int = 1,
     bounds: "jax.Array | None" = None,
     region=None,
+    conv_carry: "bool | None" = None,
 ) -> jax.Array:
     """``bounds`` (optional, (4,) or (6,) int32): dynamic global-interior
     (row_lo, row_hi, col_lo, col_hi) -- or, with a z range,
@@ -414,7 +472,40 @@ def stencil3d_step(
     domain-decomposed runs (z-sharded meshes pass 6).  ``region`` (optional,
     ((ti0, ti1), (tj0, tj1))): restrict this call to a tile-index
     sub-rectangle (the overlapped sharded engine's interior/boundary
-    split)."""
+    split).  ``conv_carry`` (None = LORASTENCIL_3D_CARRY env, default
+    on): reuse the previous slab's overlapping buffered-term plane
+    convs instead of recomputing them (bit-identical output).  Resolved
+    OUTSIDE the jit cache so an env flip between calls takes effect."""
+    if conv_carry is None:
+        # default ON: device A/B (round 5, fp32-control 59.3) measured
+        # box3d1r 65.1 -> 68.4 fp32 / 72.9 -> 77.7 bf16, custom3d_sep3
+        # 64.7 -> 67.6 GCells/s, bit-identical output
+        conv_carry = os.environ.get("LORASTENCIL_3D_CARRY", "1") != "0"
+    return _stencil3d_step_jit(
+        cur, donor, spec, layout, compute_dtype, precision, interpret,
+        algorithm, fused_steps, bounds, region, bool(conv_carry))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "layout", "compute_dtype", "precision",
+                     "interpret", "algorithm", "fused_steps", "region",
+                     "conv_carry"),
+)
+def _stencil3d_step_jit(
+    cur: jax.Array,
+    donor: jax.Array,
+    spec: StencilSpec,
+    layout: Layout3D,
+    compute_dtype=jnp.float32,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+    algorithm: str = "vpu",
+    fused_steps: int = 1,
+    bounds: "jax.Array | None" = None,
+    region=None,
+    conv_carry: bool = False,
+) -> jax.Array:
     layout.validate()
     TM, TN = layout.tile
     H = layout.interior[0]
@@ -433,9 +524,13 @@ def stencil3d_step(
     assert fused_steps * spec.radius <= SUBLANE, "fused lookback > guard"
     assert layout.zguard >= fused_steps * spec.radius
     acc_itemsize = 8 if np.dtype(cur.dtype) == np.float64 else 4
+    buffered_pre, _, _ = _classify_terms(spec)
+    conv_carry = bool(conv_carry) and bool(buffered_pre)
     slab = pick_slab(H, TM, TN, np.dtype(cur.dtype).itemsize,
                      fused_steps=fused_steps, radius=spec.radius,
-                     acc_bytes=acc_itemsize)
+                     acc_bytes=acc_itemsize,
+                     carry_nbuf=len(buffered_pre) if conv_carry else 0)
+    conv_carry = conv_carry and (H // slab) >= 2
 
     np_dtype = np.dtype(cur.dtype)
     mats_meta = []
@@ -476,7 +571,7 @@ def stencil3d_step(
         algorithm=algorithm, slab=slab, fused_steps=fused_steps,
         acc_dt=jnp.float64 if np_dtype == np.float64 else jnp.float32,
         has_bounds=bounds is not None,
-        region=region,
+        region=region, conv_carry=conv_carry,
     )
     K = fused_steps
     pe = (K - 1) * spec.radius  # max intermediate in-plane extent
@@ -508,6 +603,13 @@ def stencil3d_step(
             pltpu.VMEM((2, slab, TM, TN), cur.dtype),
             pltpu.VMEM((2, nplanes, TM + 2 * pe, TN + 2 * pe)
                        if K > 1 else (1, 1, SUBLANE, LANE),
+                       jnp.float64 if np_dtype == np.float64
+                       else jnp.float32),
+            # cross-slab conv-carry planes (slab-parity-major so every
+            # index stays a compile-time constant; per buffered term)
+            pltpu.VMEM((2, n_buf, carry_plane_count(K, spec.radius),
+                        TM + 2 * pe, TN + 2 * pe)
+                       if conv_carry else (1, 1, 1, SUBLANE, LANE),
                        jnp.float64 if np_dtype == np.float64
                        else jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),

@@ -154,6 +154,50 @@ def test_engine_3d_fused(name, k):
         assert err < 1e-6, (name, k, steps, err)
 
 
+@pytest.mark.parametrize("name", ["star3d1r", "box3d1r"])
+@pytest.mark.parametrize("k", [1, 2])
+def test_3d_conv_carry_bit_equal(name, k):
+    """The cross-slab conv-carry (reusing the previous slab's last
+    2*(K-lvl+1)*r plane convs) is a pure scheduling change: both
+    conv_plane and the masked level outputs are functions of absolute
+    plane position, so carry on/off must be BIT-equal, and correct vs
+    the dense fp64 reference."""
+    from lorastencil_tpu.ops import pallas_3d
+    from lorastencil_tpu.ops.layout import Layout3D
+
+    spec = shapes.get_shape(name)
+    interior = (64, 16, 150)  # H=64: >= 2 slabs at any picked depth
+    g0 = reference.random_padded(spec, interior, seed=21)
+    lay = Layout3D(interior=interior, halo=spec.halo, tile=(8, 128),
+                   zguard=max(spec.halo[0], k * spec.radius))
+    slab = pallas_3d.pick_slab(64, 8, 128, fused_steps=k,
+                               radius=spec.radius)
+    assert 64 // slab >= 2 and slab >= 2 * k * spec.radius, \
+        "test geometry must actually engage the carry path"
+    full = np.zeros(lay.shape, np.float32)
+    z0, r0, c0 = lay.origin
+    hz, hr, hc = spec.halo
+    full[z0 - hz:z0 + interior[0] + hz,
+         r0 - hr:r0 + interior[1] + hr,
+         c0 - hc:c0 + interior[2] + hc] = g0
+    cur = jnp.asarray(full)
+    donor = jnp.zeros_like(cur)
+    outs = {}
+    for carry in (False, True):
+        o = pallas_3d.stencil3d_step(cur, donor, spec, lay,
+                                     interpret=True, fused_steps=k,
+                                     conv_carry=carry)
+        outs[carry] = np.asarray(o)
+    assert np.array_equal(outs[False], outs[True])
+    got = outs[True][z0:z0 + interior[0], r0:r0 + interior[1],
+                     c0:c0 + interior[2]].astype(np.float64)
+    want = reference.run(g0, spec, k)
+    want_i = want[hz:hz + interior[0], hr:hr + interior[1],
+                  hc:hc + interior[2]]
+    err = np.abs(got - want_i).max() / max(1.0, np.abs(want_i).max())
+    assert err < 1e-6, (name, k, err)
+
+
 class TestReviewRegressions:
     """Fixes from the round-1 code review."""
 
